@@ -1,0 +1,210 @@
+"""IndexCatalog / Index — the engine's Python API.
+
+Mirrors the reference's Node API surface 1:1 so its e2e tests port
+directly (/root/reference/src-nodejs/catalog.js:14-129):
+
+    IndexCatalog.open_or_create(name, schema) / create / has / delete
+    Index.add(docs) / add_segments(segments, source) / segment_info()
+    Index.query(str, limit=10, snippet_field=None)
+    Index.query_json(search_dict)
+    IndexCatalog.multi_query(query, index_names)   # limit 100/index
+
+The RPC/NDJSON layer of the reference (src-rust/rpc.rs, src-nodejs/rpc.js)
+is intentionally gone — the API is in-process, backed by a SparkSession.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sonar_tantivy_spark.operators.build import build_segments
+from sonar_tantivy_spark.operators.search import Searcher
+from sonar_tantivy_spark.operators.snippet import (
+    collect_positive_terms,
+    generate_snippet,
+)
+from sonar_tantivy_spark.plans import ast as A
+from sonar_tantivy_spark.plans.schema import IndexSchema
+from sonar_tantivy_spark.sources.tableio import FsStorage, MemStorage
+
+DEFAULT_QUERY_LIMIT = 10  # handles.rs:143 unwrap_or(10)
+MULTI_QUERY_LIMIT = 100  # index.rs:141 hardcoded per-index limit
+
+
+class Index:
+    def __init__(self, spark: SparkSession, name: str, storage):
+        self.spark = spark
+        self.name = name
+        self.storage = storage
+        self.schema = IndexSchema.from_json(storage.schema_json())
+        self._batch_counter = 0
+
+    # ------------------------------------------------------------- ingest
+    def add(self, docs: list[dict]) -> None:
+        """Batch-append + commit: one new segment per batch, docids in
+        insertion order (index.rs:167-193 semantics)."""
+        if not docs:
+            return
+        rows = []
+        for i, d in enumerate(docs):
+            self.schema.warn_unknown(list(d.keys()))
+            row = {f.name: d.get(f.name) for f in self.schema.fields}
+            row["__ord"] = i
+            rows.append(row)
+        sdf = self.spark.createDataFrame(rows)  # small RPC-parity path
+        self.add_df(sdf, order_cols=["__ord"], num_segments=1)
+
+    def add_df(
+        self,
+        df: DataFrame,
+        *,
+        order_cols: list[str],
+        seg_size: int | None = None,
+        num_segments: int | None = None,
+        epoch: str | None = None,
+    ) -> list[dict]:
+        """Bulk ingest — the distributed build pipeline (SURVEY.md §3.3)."""
+        if epoch is None:
+            self._batch_counter += 1
+            epoch = f"{self.storage.new_epoch()}b{self._batch_counter}"
+        return build_segments(
+            self.spark, df, self.schema, self.storage,
+            order_cols=order_cols, seg_size=seg_size,
+            num_segments=num_segments, epoch=epoch,
+        )
+
+    # ----------------------------------------------------------- segments
+    def segment_info(self) -> list[dict]:
+        """meta.json segment list analog (catalog.js:97-100)."""
+        return [
+            {"segment_id": s["segment_id"], "max_doc": s["max_doc"]}
+            for s in self.storage.manifest()["segments"]
+        ]
+
+    def add_segments(self, segments: list[dict], source: "Index") -> None:
+        """Register segments built by ANOTHER index — a pure metadata
+        commit, the reference's distributed-build primitive
+        (index.rs:293-324; e2e test/segments.js:27-40).  Duplicate
+        segment_ids raise ``SegmentExistsError("Segment exists.")``."""
+        src = {s["segment_id"]: s for s in source.storage.manifest()["segments"]}
+        metas = []
+        for seg in segments:
+            sid = seg["segment_id"]
+            if sid not in src:
+                raise KeyError(f"unknown source segment {sid!r}")
+            metas.append(src[sid])
+        if isinstance(self.storage, MemStorage) and isinstance(source.storage, MemStorage):
+            # RAM indexes: share the cached tables
+            for key, df in source.storage._tables.items():
+                self.storage._tables.setdefault(key, df)
+        self.storage.append_segments(metas)
+
+    # -------------------------------------------------------------- query
+    def searcher(self) -> Searcher:
+        # reader reloads per call ≈ ReloadPolicy::OnCommit (index.rs:219)
+        return Searcher(self.spark, self.schema, self.storage)
+
+    def query(
+        self,
+        query: str,
+        limit: int = DEFAULT_QUERY_LIMIT,
+        snippet_field: str | None = None,
+    ) -> list[dict]:
+        """String-grammar search → [{score, doc, snippet}]
+        (handles.rs:139-156 → index.rs:246-284)."""
+        node = A.parse_string(query, self.schema)
+        s = self.searcher()
+        hits = s.top_k(node, limit=limit)
+        results = s.retrieve(hits)
+        if snippet_field:
+            terms = collect_positive_terms(node).get(snippet_field, set())
+            tok = self.schema.tokenizer_for(snippet_field)
+            for r in results:
+                vals = r["doc"].get(snippet_field, [])
+                r["snippet"] = generate_snippet(vals[0] if vals else None, terms, tok)
+        return results
+
+    def query_json(self, search: dict) -> dict:
+        """Structured toshi DSL (query.rs:14-28 → search.rs:10-103):
+        {"query": {...}, "limit": k, "sort_by": field, "facets": {field: [roots]}}
+        → {"docs": [{score, doc}], "facets": {...}}."""
+        body = search.get("query")
+        if body is None:
+            raise A.QueryError("Empty Query Provided")  # search.rs:100-102
+        node = A.parse_json(body, self.schema)
+        limit = int(search.get("limit", DEFAULT_QUERY_LIMIT))
+        s = self.searcher()
+        hits = s.top_k(node, limit=limit, sort_by=search.get("sort_by"))
+        docs = s.retrieve(hits)
+        out: dict[str, Any] = {"docs": docs, "facets": {}}
+        facets = search.get("facets") or {}
+        if facets:
+            # reference quirk: only the first requested root's counts return
+            field = next(iter(facets))
+            counts = s.facet_counts(node, field).collect()
+            out["facets"] = {field: {r[field]: r["count"] for r in counts}}
+        return out
+
+    def query_df(self, query: str | dict, limit: int = DEFAULT_QUERY_LIMIT) -> DataFrame:
+        """DataFrame-returning variant (for pipelines / the driver contract)."""
+        node = (
+            A.parse_string(query, self.schema)
+            if isinstance(query, str)
+            else A.parse_json(query, self.schema)
+        )
+        s = self.searcher()
+        return s.top_k(node, limit=limit)
+
+
+class IndexCatalog:
+    """Named indexes under one base path (index.rs:18-21, 49-87)."""
+
+    def __init__(self, spark: SparkSession, base_path: str):
+        self.spark = spark
+        self.base_path = base_path
+        self._ram: dict[str, MemStorage] = {}
+
+    def _storage(self, name: str):
+        if name in self._ram:
+            return self._ram[name]
+        return FsStorage(self.base_path, name)
+
+    def create_index(self, name: str, schema: str | list, ram: bool = False) -> Index:
+        schema_json = (
+            schema if isinstance(schema, str) else IndexSchema(
+                IndexSchema.from_json(schema).fields
+            ).to_json()
+        )
+        IndexSchema.from_json(schema_json)  # validate
+        storage = MemStorage(name) if ram else FsStorage(self.base_path, name)
+        if storage.exists():
+            raise FileExistsError(f"index {name!r} already exists")
+        storage.create(schema_json)
+        if ram:
+            self._ram[name] = storage
+        return Index(self.spark, name, storage)
+
+    def has(self, name: str) -> bool:
+        return self._storage(name).exists()
+
+    def open(self, name: str) -> Index:
+        storage = self._storage(name)
+        if not storage.exists():
+            raise KeyError(f"no such index {name!r}")
+        return Index(self.spark, name, storage)
+
+    def open_or_create(self, name: str, schema: str | list, ram: bool = False) -> Index:
+        if self.has(name):
+            return self.open(name)
+        return self.create_index(name, schema, ram=ram)
+
+    def delete(self, name: str) -> None:
+        self._storage(name).delete()
+        self._ram.pop(name, None)
+
+    def multi_query(self, query: str, names: list[str]) -> dict[str, list[dict]]:
+        """Same string query over N indexes; per-index limit 100, no
+        snippets, results grouped per index (index.rs:131-146)."""
+        return {n: self.open(n).query(query, limit=MULTI_QUERY_LIMIT) for n in names}

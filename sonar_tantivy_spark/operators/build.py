@@ -1,0 +1,307 @@
+"""Index-build pipeline — the Spark-native analog of ``add_documents``
+(/root/reference/src-rust/index.rs:167-193: docs → tantivy Documents →
+single writer commit producing immutable segments).
+
+Dataflow (SURVEY.md §3.3), all declarative except two Arrow hops:
+
+    docs DF
+      → repartitionByRange(order_cols) + sortWithinPartitions   (stable order)
+      → global dense docid via per-partition offsets (mapInPandas — the
+        Arrow-native zipWithIndex; deterministic because partitions are
+        range-ordered and sorted)
+      → seg = docid // seg_size  (segment membership is a pure function of
+        the data, so re-runs rebuild byte-identical segments → resumable)
+      → docs table (local docid = docid - seg*seg_size)
+      → tokenize via vectorized pandas UDF (en_stem/default), JVM explode;
+        raw-tokenizer fields need no Python at all
+      → groupBy(segment, field, term, docid): tf + positions
+      → doclens = groupBy(segment, field, docid).sum(tf)  (fieldnorm counts
+        post-filter tokens, so Σtf IS the doc length — no second pass)
+      → norm_id via broadcast range-join against the 256-entry fieldnorm
+        table (SURVEY.md §2.9), denormalized into postings so queries skip
+        a doclens join
+      → termdict = groupBy(segment, field, term): df, max_tf (WAND bound)
+      → sorted parquet per segment + atomic manifest commit
+
+Scale notes (100 TB target):
+  * every shuffle is keyed on (segment_id, field, term[, docid]) — segment
+    size bounds per-task state; stop-word skew is bounded by segment size,
+    and the posting rows for a hot term stay (term,docid)-keyed (never a
+    single giant group) until the final within-partition sort;
+  * parquet files within a segment are sorted by (field, term, docid) so a
+    pushed ``term = X`` predicate prunes row groups via min/max stats;
+  * the tokenizer UDF is the only Python in the pipeline, Arrow-batched,
+    with an lru-cached stemmer (cost ≈ distinct terms, not tokens).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
+
+from sonar_tantivy_spark.analyzer import tokenize as _tokenize_py
+from sonar_tantivy_spark.functions.bm25 import FIELDNORM_TABLE
+from sonar_tantivy_spark.plans.schema import IndexSchema
+
+_TOKENS_TYPE = T.StructType(
+    [
+        T.StructField("terms", T.ArrayType(T.StringType()), False),
+        T.StructField("poss", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+
+def make_tokenize_udf(tokenizer: str):
+    """Arrow-vectorized analyzer: string column → struct(terms, poss)."""
+
+    @F.pandas_udf(_TOKENS_TYPE)
+    def _udf(texts: pd.Series) -> pd.DataFrame:
+        terms_out, poss_out = [], []
+        for text in texts:
+            pairs = _tokenize_py(text, tokenizer) if text is not None else []
+            terms_out.append([t for t, _ in pairs])
+            poss_out.append([p for _, p in pairs])
+        return pd.DataFrame({"terms": terms_out, "poss": poss_out})
+
+    return _udf
+
+
+def _assign_docids(df: DataFrame, order_cols: list[str], parallelism: int) -> DataFrame:
+    """Dense global docid by stable (order_cols) ordering (SURVEY.md §1.3).
+
+    Range-partition + in-partition sort, then offsets from per-partition
+    counts (tiny collect) and an Arrow pass assigning base+row_number.
+    The global rank is invariant to the sampled range boundaries, so
+    docids are stable across parallelism levels and re-runs.
+    """
+    parts = max(1, parallelism)
+    ranked = (
+        df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = {r["__pid"]: r["cnt"] for r in
+              ranked.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    schema = T.StructType(ranked.schema.fields + [T.StructField("docid_g", T.LongType(), False)])
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        seen = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            base = offsets[int(pdf["__pid"].iloc[0])]
+            pdf = pdf.copy()
+            pdf["docid_g"] = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    out = ranked.mapInPandas(assign, schema=schema).drop("__pid")
+    return out, ranked, acc
+
+
+def build_segments(
+    spark: SparkSession,
+    docs_df: DataFrame,
+    schema: IndexSchema,
+    storage,
+    *,
+    order_cols: list[str],
+    seg_size: int | None = None,
+    num_segments: int | None = None,
+    epoch: str | None = None,
+) -> list[dict]:
+    """Tokenize + build postings/doclens/termdict/docs for one batch and
+    commit the new segments to the manifest.  Returns the segment metas.
+
+    Resume: segments whose ``segment_id`` is already committed are skipped
+    (input pruned by docid range) — duplicate registration is impossible
+    by construction, mirroring index.rs:314-316.
+    """
+    t0 = time.time()
+    if epoch is None:
+        epoch = storage.new_epoch() if hasattr(storage, "new_epoch") else "e0"
+    parallelism = spark.sparkContext.defaultParallelism
+
+    schema_cols = [f.name for f in schema.fields]
+    keep = [c for c in docs_df.columns if c in schema_cols or c in order_cols]
+    schema.warn_unknown([c for c in docs_df.columns if c not in keep])
+    docs_df = docs_df.select(*keep)
+
+    with_id, ranked_cache, n = _assign_docids(docs_df, order_cols, parallelism)
+    if n == 0:
+        ranked_cache.unpersist()
+        return []
+    if seg_size is None:
+        if num_segments is None:
+            num_segments = 1
+        seg_size = math.ceil(n / num_segments)
+    num_segments = math.ceil(n / seg_size)
+
+    seg_ids = {i: f"{epoch}-{i:05d}" for i in range(num_segments)}
+    committed = storage.committed_segment_ids()
+    todo = [i for i in range(num_segments) if seg_ids[i] not in committed]
+    if not todo:
+        ranked_cache.unpersist()
+        return []
+    if len(todo) < num_segments:  # resume: prune already-committed ranges
+        cond = None
+        for i in todo:
+            c = (F.col("docid_g") >= i * seg_size) & (F.col("docid_g") < (i + 1) * seg_size)
+            cond = c if cond is None else (cond | c)
+        with_id = with_id.filter(cond)
+
+    seg_expr = (F.col("docid_g") / F.lit(seg_size)).cast("int")
+    sid_expr = F.concat(F.lit(f"{epoch}-"), F.lpad(seg_expr.cast("string"), 5, "0"))
+    docs_tbl = with_id.withColumn("segment_id", sid_expr).withColumn(
+        "docid", (F.col("docid_g") % F.lit(seg_size)).cast("long")
+    ).drop("docid_g")
+
+    # ---- token stream: one UDF pass per analyzed field, zero Python for raw
+    token_parts: list[DataFrame] = []
+    for f in schema.indexed_fields:
+        if f.name not in docs_tbl.columns:
+            continue
+        if schema.tokenizer_for(f.name) == "raw":
+            token_parts.append(
+                docs_tbl.where(F.col(f.name).isNotNull()).select(
+                    "segment_id",
+                    "docid",
+                    F.lit(f.name).alias("field"),
+                    F.col(f.name).cast("string").alias("term"),
+                    F.lit(0).alias("pos"),
+                )
+            )
+        else:
+            udf = make_tokenize_udf(schema.tokenizer_for(f.name))
+            tok = docs_tbl.select(
+                "segment_id", "docid", udf(F.col(f.name).cast("string")).alias("tk")
+            ).select(
+                "segment_id",
+                "docid",
+                F.explode(F.arrays_zip(F.col("tk.terms"), F.col("tk.poss"))).alias("e"),
+            )
+            token_parts.append(
+                tok.select(
+                    "segment_id",
+                    "docid",
+                    F.lit(f.name).alias("field"),
+                    F.col("e.terms").alias("term"),
+                    F.col("e.poss").alias("pos"),
+                )
+            )
+    if not token_parts:
+        raise ValueError("schema has no indexed fields")
+    tokens = token_parts[0]
+    for p in token_parts[1:]:
+        tokens = tokens.unionByName(p)
+
+    postings = (
+        tokens.groupBy("segment_id", "field", "term", "docid")
+        .agg(
+            F.count("*").cast("int").alias("tf"),
+            F.sort_array(F.collect_list("pos")).alias("positions"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # ---- doc lengths + fieldnorm quantization (broadcast range join)
+    norm_rows = []
+    for nid, lo in enumerate(FIELDNORM_TABLE):
+        hi = FIELDNORM_TABLE[nid + 1] if nid < 255 else (1 << 62)
+        norm_rows.append((nid, lo, hi))
+    norm_df = spark.createDataFrame(norm_rows, "norm_id int, lo long, hi long")
+    doclens = (
+        postings.groupBy("segment_id", "field", "docid")
+        .agg(F.sum("tf").cast("long").alias("len"))
+        .join(F.broadcast(norm_df),
+              on=(F.col("len") >= F.col("lo")) & (F.col("len") < F.col("hi")))
+        .select("segment_id", "field", "docid", "len", "norm_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    postings_n = postings.join(
+        doclens.select("segment_id", "field", "docid", "norm_id"),
+        on=["segment_id", "field", "docid"],
+    )
+
+    termdict = postings.groupBy("segment_id", "field", "term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.max("tf").alias("max_tf"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
+
+    # ---- writes (sorted within segments for row-group pruning on term)
+    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    storage.write_table(
+        docs_tbl.repartitionByRange(
+            max(num_segments, min(shuffle_parts, num_segments * 4)),
+            "segment_id", "docid",
+        ).sortWithinPartitions("segment_id", "docid"),
+        epoch, "docs",
+    )
+    storage.write_table(
+        postings_n.repartitionByRange(shuffle_parts, "segment_id", "field", "term")
+        .sortWithinPartitions("segment_id", "field", "term", "docid"),
+        epoch, "postings",
+    )
+    storage.write_table(
+        doclens.repartitionByRange(
+            max(num_segments, 1), "segment_id", "field", "docid"
+        ).sortWithinPartitions("segment_id", "field", "docid"),
+        epoch, "doclens",
+    )
+    storage.write_table(
+        termdict.repartitionByRange(max(num_segments, 1), "segment_id", "field", "term")
+        .sortWithinPartitions("segment_id", "field", "term"),
+        epoch, "termdict",
+    )
+
+    # ---- per-segment stats → manifest metas (tiny collect: segs × fields)
+    stats = {
+        (r["segment_id"], r["field"]): (r["total_tokens"], r["docs_with_field"])
+        for r in doclens.groupBy("segment_id", "field")
+        .agg(F.sum("len").alias("total_tokens"), F.count("*").alias("docs_with_field"))
+        .collect()
+    }
+    postings.unpersist()
+    doclens.unpersist()
+    ranked_cache.unpersist()
+
+    wall = time.time() - t0
+    metas, metrics = [], []
+    for i in todo:
+        sid = seg_ids[i]
+        max_doc = min(seg_size, n - i * seg_size)
+        field_stats = {
+            f: {"total_tokens": v[0], "docs_with_field": v[1]}
+            for (s, f), v in stats.items()
+            if s == sid
+        }
+        tables = {}
+        if hasattr(storage, "segment_dir"):
+            tables = {t: storage.segment_dir(epoch, t, sid)
+                      for t in ("docs", "postings", "doclens", "termdict")}
+        metas.append(
+            {"segment_id": sid, "max_doc": max_doc, "field_stats": field_stats,
+             "tables": tables, "epoch": epoch}
+        )
+        metrics.append(
+            {"segment_id": sid, "num_docs": max_doc, "epoch": epoch,
+             "build_wall_s": round(wall, 3),
+             "docs_per_sec_batch": round(n / wall, 1)}
+        )
+    storage.append_segments(metas)
+    storage.log_metrics(metrics)
+    return metas

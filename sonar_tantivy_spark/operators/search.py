@@ -1,0 +1,363 @@
+"""Query execution — compile the AST to DataFrame programs.
+
+The reference executes queries through one ``searcher.search`` pass with a
+MultiCollector (top-k + optional sorted-top-k + facets,
+/root/reference/src-rust/search.rs:10-103; string entry index.rs:246-284).
+Here every query compiles to a declarative Spark plan:
+
+  Term      → postings scan filtered (field, term)  [predicate pushdown +
+              row-group skip on the term-sorted parquet] → BM25 column math
+  Boolean   → must = inner joins on (segment, docid); must_not = left_anti;
+              should = union + groupBy-sum (score = Σ per-clause scores
+              ⟨tantivy BooleanWeight⟩, optional shoulds added to must rows)
+  Phrase    → per-term postings joined on (segment, docid), adjacency via
+              chained array_intersect(transform(prev, p → p+1), next);
+              tf = phrase frequency, idf = Σ term idfs ⟨tantivy PhraseWeight⟩
+  Fuzzy     → termdict expansion with levenshtein(term, q) <= d, union of
+              per-term scored postings (the FST automaton analog)
+  Regex     → termdict rlike expansion, constant score 1.0 ⟨tantivy⟩
+  Range     → docs-table fast-field filter, constant score 1.0 ⟨tantivy⟩
+  All       → every doc, score 1.0 ⟨tantivy AllQuery⟩
+  top-k     → orderBy(score desc, global docid asc).limit(k) — Spark's
+              TakeOrderedAndProject is a distributed early-exit top-k
+
+Global BM25 stats (N, df, avgdl) aggregate over ALL manifest segments
+(SURVEY.md §2.9); per-term idf is resolved driver-side with one tiny
+termdict lookup job and folded into the score expression as a literal.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sonar_tantivy_spark.functions import bm25
+from sonar_tantivy_spark.plans import ast as A
+from sonar_tantivy_spark.plans.schema import IndexSchema
+
+_CAND_SCHEMA = "segment_id string, docid long, score double"
+
+
+class Searcher:
+    """One index snapshot: manifest segments + lazily loaded tables."""
+
+    def __init__(self, spark: SparkSession, schema: IndexSchema, storage):
+        self.spark = spark
+        self.schema = schema
+        self.storage = storage
+        self.manifest = storage.manifest()
+        self.segments = self.manifest["segments"]
+        # docid bases follow manifest order — tantivy's (segment_ord, docid)
+        self.bases: dict[str, int] = {}
+        acc = 0
+        for s in self.segments:
+            self.bases[s["segment_id"]] = acc
+            acc += s["max_doc"]
+        self.num_docs = acc
+
+    # ---------------------------------------------------------------- stats
+    def avgdl(self, field: str) -> float:
+        total = sum(
+            s["field_stats"].get(field, {}).get("total_tokens", 0) for s in self.segments
+        )
+        return (total / self.num_docs) if self.num_docs else 1.0
+
+    def _table(self, name: str) -> DataFrame | None:
+        if not self.segments:
+            return None
+        return self.storage.load_table(self.spark, name, self.segments)
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], _CAND_SCHEMA)
+
+    def term_dfs(self, pairs: set[tuple[str, str]]) -> dict[tuple[str, str], int]:
+        """Global doc-freq per (field, term): one pushdown-filtered termdict
+        scan summed across segments."""
+        if not pairs or not self.segments:
+            return {}
+        td = self._table("termdict")
+        fields = sorted({f for f, _ in pairs})
+        terms = sorted({t for _, t in pairs})
+        rows = (
+            td.filter(F.col("field").isin(fields) & F.col("term").isin(terms))
+            .groupBy("field", "term")
+            .agg(F.sum("df").alias("df"))
+            .collect()
+        )
+        out = {(r["field"], r["term"]): int(r["df"]) for r in rows}
+        return {p: out.get(p, 0) for p in pairs}
+
+    # ------------------------------------------------------------- scoring
+    def _score_col(self, field: str, idf: float, tf_col: Column) -> Column:
+        avgdl = self.avgdl(field)
+        dl = F.element_at(_norm_array(), F.col("norm_id") + 1).cast("double")
+        tf = tf_col.cast("double")
+        denom = tf + F.lit(bm25.K1) * (F.lit(1.0 - bm25.B) + F.lit(bm25.B / avgdl) * dl)
+        return (F.lit(idf * (bm25.K1 + 1.0)) * tf / denom).alias("score")
+
+    # -------------------------------------------------------- candidate sets
+    def candidates(self, node: A.Node, dfs: dict | None = None) -> DataFrame:
+        """Compile to DF(segment_id, docid, score) with unique (seg, docid)."""
+        if dfs is None:
+            dfs = self.term_dfs(collect_terms(node))
+        if isinstance(node, A.TermQ):
+            return self._cand_term(node, dfs)
+        if isinstance(node, A.PhraseQ):
+            return self._cand_phrase(node, dfs)
+        if isinstance(node, A.BoolQ):
+            return self._cand_bool(node, dfs)
+        if isinstance(node, A.FuzzyQ):
+            return self._cand_fuzzy(node)
+        if isinstance(node, A.RegexQ):
+            return self._cand_regex(node)
+        if isinstance(node, A.RangeQ):
+            return self._cand_range(node)
+        if isinstance(node, A.AllQ):
+            return self._cand_all()
+        raise A.QueryError(f"cannot compile {type(node).__name__}")
+
+    def _postings_for(self, field: str, term: str) -> DataFrame | None:
+        p = self._table("postings")
+        if p is None:
+            return None
+        return p.filter((F.col("field") == field) & (F.col("term") == term))
+
+    def _cand_term(self, node: A.TermQ, dfs: dict) -> DataFrame:
+        df_t = dfs.get((node.field, node.term), 0)
+        if df_t == 0:
+            return self._empty()
+        idf = bm25.idf(df_t, self.num_docs)
+        p = self._postings_for(node.field, node.term)
+        return p.select(
+            "segment_id", "docid", self._score_col(node.field, idf, F.col("tf"))
+        )
+
+    def _cand_phrase(self, node: A.PhraseQ, dfs: dict) -> DataFrame:
+        terms = node.terms
+        if not terms:
+            return self._empty()
+        if len(terms) == 1:
+            return self._cand_term(A.TermQ(node.field, terms[0]), dfs)
+        if any(dfs.get((node.field, t), 0) == 0 for t in terms):
+            return self._empty()
+        parts = []
+        for i, t in enumerate(terms):
+            cols = ["segment_id", "docid", F.col("positions").alias(f"p{i}")]
+            if i == 0:
+                cols.append("norm_id")
+            parts.append(self._postings_for(node.field, t).select(*cols))
+        joined = parts[0]
+        for i in range(1, len(terms)):
+            joined = joined.join(parts[i], on=["segment_id", "docid"], how="inner")
+        # adjacency chain: positions of term_i must equal p0+i
+        match = F.col("p0")
+        for i in range(1, len(terms)):
+            match = F.array_intersect(
+                F.transform(match, lambda x: x + 1), F.col(f"p{i}")
+            )
+        joined = joined.withColumn("__m", match).filter(F.size("__m") > 0)
+        idf_sum = sum(bm25.idf(dfs[(node.field, t)], self.num_docs) for t in terms)
+        return joined.select(
+            "segment_id", "docid",
+            self._score_col(node.field, idf_sum, F.size("__m")),
+        )
+
+    def _cand_fuzzy(self, node: A.FuzzyQ) -> DataFrame:
+        """Levenshtein termdict expansion — the FST-automaton analog.
+        Like tantivy's AutomatonWeight, matches are constant-score 1.0."""
+        td = self._table("termdict")
+        if td is None:
+            return self._empty()
+        terms_df = (
+            td.filter(F.col("field") == node.field)
+            .filter(F.levenshtein(F.col("term"), F.lit(node.term)) <= node.distance)
+            .select("term").distinct()
+        )
+        p = self._table("postings").filter(F.col("field") == node.field)
+        cand = p.join(F.broadcast(terms_df), on="term", how="left_semi")
+        return (
+            cand.select("segment_id", "docid").distinct()
+            .withColumn("score", F.lit(1.0))
+        )
+
+    def _cand_regex(self, node: A.RegexQ) -> DataFrame:
+        td = self._table("termdict")
+        if td is None:
+            return self._empty()
+        p = self._table("postings")
+        terms_df = (
+            td.filter((F.col("field") == node.field)
+                      & F.col("term").rlike("^(?:" + node.pattern + ")$"))
+            .select("term").distinct()
+        )
+        cand = p.filter(F.col("field") == node.field).join(
+            F.broadcast(terms_df), on="term", how="left_semi"
+        )
+        return (
+            cand.select("segment_id", "docid").distinct()
+            .withColumn("score", F.lit(1.0))
+        )
+
+    def _cand_range(self, node: A.RangeQ) -> DataFrame:
+        docs = self._table("docs")
+        if docs is None:
+            return self._empty()
+        fdef = self.schema.field(node.field)
+        col = F.col(node.field)
+        if fdef is not None and fdef.type == "date":
+            def cv(v: Any) -> Column:
+                return F.lit(v).cast(T.TimestampType())
+        else:
+            def cv(v: Any) -> Column:
+                return F.lit(v)
+        cond = F.lit(True)
+        if node.gte is not None:
+            cond = cond & (col >= cv(node.gte))
+        if node.gt is not None:
+            cond = cond & (col > cv(node.gt))
+        if node.lte is not None:
+            cond = cond & (col <= cv(node.lte))
+        if node.lt is not None:
+            cond = cond & (col < cv(node.lt))
+        return docs.filter(cond).select(
+            "segment_id", "docid", F.lit(1.0).alias("score")
+        )
+
+    def _cand_all(self) -> DataFrame:
+        docs = self._table("docs")
+        if docs is None:
+            return self._empty()
+        return docs.select("segment_id", "docid", F.lit(1.0).alias("score"))
+
+    def _cand_bool(self, node: A.BoolQ, dfs: dict) -> DataFrame:
+        musts = [self.candidates(c, dfs) for c in node.must]
+        shoulds = [self.candidates(c, dfs) for c in node.should]
+        mnots = [self.candidates(c, dfs) for c in node.must_not]
+
+        if musts:
+            out = musts[0]
+            for i, m in enumerate(musts[1:], 1):
+                m = m.withColumnRenamed("score", f"__s{i}")
+                out = out.join(m, on=["segment_id", "docid"], how="inner")
+                out = out.withColumn(
+                    "score", F.col("score") + F.col(f"__s{i}")
+                ).drop(f"__s{i}")
+            # optional shoulds contribute score to docs already matching musts
+            for i, s in enumerate(shoulds):
+                s = s.withColumnRenamed("score", f"__o{i}")
+                out = out.join(s, on=["segment_id", "docid"], how="left")
+                out = out.withColumn(
+                    "score", F.col("score") + F.coalesce(F.col(f"__o{i}"), F.lit(0.0))
+                ).drop(f"__o{i}")
+        elif shoulds:
+            out = shoulds[0]
+            for s in shoulds[1:]:
+                out = out.unionByName(s)
+            out = out.groupBy("segment_id", "docid").agg(F.sum("score").alias("score"))
+        else:
+            return self._empty()  # only-must_not matches nothing ⟨tantivy⟩
+
+        for mn in mnots:
+            out = out.join(
+                mn.select("segment_id", "docid"),
+                on=["segment_id", "docid"], how="left_anti",
+            )
+        return out
+
+    # ------------------------------------------------------------ execution
+    def _bases_df(self) -> DataFrame:
+        rows = [(sid, base) for sid, base in self.bases.items()]
+        return self.spark.createDataFrame(rows, "segment_id string, base long")
+
+    def with_global_docid(self, cands: DataFrame) -> DataFrame:
+        return cands.join(F.broadcast(self._bases_df()), on="segment_id").withColumn(
+            "docid_g", F.col("base") + F.col("docid")
+        ).drop("base")
+
+    def top_k(
+        self,
+        node: A.Node,
+        limit: int = 10,
+        sort_by: str | None = None,
+    ) -> DataFrame:
+        """DF(segment_id, docid, docid_g, score) of the top ``limit`` hits.
+
+        ``sort_by`` mirrors TopDocs::order_by_u64_field: honored only for a
+        fast+stored field, silently falling back to score otherwise
+        (search.rs:19-29)."""
+        cands = self.with_global_docid(self.candidates(node))
+        fdef = self.schema.field(sort_by) if sort_by else None
+        if fdef is not None and (fdef.fast or fdef.type == "date") and fdef.stored:
+            docs = self._table("docs").select("segment_id", "docid", sort_by)
+            cands = cands.join(docs, on=["segment_id", "docid"])
+            return cands.orderBy(
+                F.desc(sort_by), F.asc("docid_g")
+            ).limit(limit).drop(sort_by)
+        return cands.orderBy(F.desc("score"), F.asc("docid_g")).limit(limit)
+
+    def facet_counts(self, node: A.Node, facet_field: str) -> DataFrame:
+        cands = self.candidates(node)
+        docs = self._table("docs").select("segment_id", "docid", facet_field)
+        return (
+            cands.join(docs, on=["segment_id", "docid"])
+            .groupBy(facet_field).agg(F.count("*").alias("count"))
+        )
+
+    def retrieve(self, hits: DataFrame) -> list[dict]:
+        """Fetch stored fields for top-k rows (k ≤ 100: collect the keys,
+        pushdown-filter the docs scan — index.rs:274-281 analog)."""
+        rows = hits.collect()
+        if not rows:
+            return []
+        docs = self._table("docs")
+        by_seg: dict[str, list[int]] = {}
+        for r in rows:
+            by_seg.setdefault(r["segment_id"], []).append(r["docid"])
+        cond = None
+        for sid, ids in by_seg.items():
+            c = (F.col("segment_id") == sid) & F.col("docid").isin(ids)
+            cond = c if cond is None else (cond | c)
+        stored = {f.name for f in self.schema.fields if f.stored}
+        fetched = {
+            (d["segment_id"], d["docid"]): d.asDict()
+            for d in docs.filter(cond).collect()
+        }
+        out = []
+        for r in rows:
+            drow = fetched.get((r["segment_id"], r["docid"]), {})
+            doc = {
+                k: [v] if not isinstance(v, list) else v
+                for k, v in drow.items()
+                if k in stored and v is not None
+            }
+            out.append(
+                {"score": float(r["score"]), "doc": doc,
+                 "docid": int(r["docid_g"]), "snippet": None}
+            )
+        return out
+
+
+def collect_terms(node: A.Node) -> set[tuple[str, str]]:
+    """All (field, term) pairs needing idf stats — resolved in one job."""
+    out: set[tuple[str, str]] = set()
+    if isinstance(node, A.TermQ):
+        out.add((node.field, node.term))
+    elif isinstance(node, A.PhraseQ):
+        out.update((node.field, t) for t in node.terms)
+    elif isinstance(node, A.BoolQ):
+        for c in node.must + node.must_not + node.should:
+            out.update(collect_terms(c))
+    return out
+
+
+_NORM_ARRAY_CACHE: Column | None = None
+
+
+def _norm_array() -> Column:
+    global _NORM_ARRAY_CACHE
+    if _NORM_ARRAY_CACHE is None:
+        _NORM_ARRAY_CACHE = F.array(*[F.lit(v) for v in bm25.FIELDNORM_TABLE])
+    return _NORM_ARRAY_CACHE

@@ -1,0 +1,90 @@
+"""Snippet generation — driver-side post-processing of ≤k hit rows.
+
+Parity target: tantivy's SnippetGenerator as exercised by the reference
+(/root/reference/src-rust/index.rs:262-271, 276-279): per-hit HTML
+fragment of the chosen field with matched terms wrapped in ``<b>…</b>``,
+fragments ≈150 chars; e2e expectation
+``'hi first tell me <b>more</b>'`` (test/basic.js:45-49).
+
+Matching is on the analyzed form: the stored text is re-tokenized with
+the field's analyzer and a token highlights when its analyzed term is in
+the query term set.  The fragment is the best window of ≤``max_chars``
+chars maximizing the number of matched tokens (ties → earliest window),
+covering whole tokens.
+"""
+
+from __future__ import annotations
+
+import re
+
+from sonar_tantivy_spark.analyzer import _TOKEN_RE, MAX_TOKEN_BYTES
+from sonar_tantivy_spark.functions.porter2 import stem
+
+DEFAULT_MAX_CHARS = 150
+
+
+def generate_snippet(
+    text: str | None,
+    query_terms: set[str],
+    tokenizer: str = "en_stem",
+    max_chars: int = DEFAULT_MAX_CHARS,
+) -> str | None:
+    if not text or not query_terms:
+        return None
+    spans: list[tuple[int, int, bool]] = []  # (start, end, matched)
+    for m in _TOKEN_RE.finditer(text):
+        tok = m.group(0)
+        if len(tok.encode("utf-8")) >= MAX_TOKEN_BYTES:
+            continue
+        analyzed = tok.lower()
+        if tokenizer == "en_stem":
+            analyzed = stem(analyzed)
+        spans.append((m.start(), m.end(), analyzed in query_terms))
+    if not any(matched for _, _, matched in spans):
+        return None
+    # best window of whole tokens within max_chars, maximizing matches
+    best = (0, 0, -1)  # (i, j, n_matched) token index range [i, j)
+    for i in range(len(spans)):
+        n = 0
+        for j in range(i, len(spans)):
+            if spans[j][1] - spans[i][0] > max_chars:
+                break
+            if spans[j][2]:
+                n += 1
+            if n > best[2]:
+                best = (i, j + 1, n)
+    i, j, _ = best
+    frag_start, frag_end = spans[i][0], spans[j - 1][1]
+    # extend fragment to natural bounds (whole field if it fits)
+    if len(text) <= max_chars:
+        frag_start, frag_end = 0, len(text)
+    out = []
+    cursor = frag_start
+    for s, e, matched in spans[i:j]:
+        out.append(text[cursor:s])
+        tok = text[s:e]
+        out.append(f"<b>{tok}</b>" if matched else tok)
+        cursor = e
+    out.append(text[cursor:frag_end])
+    return "".join(out)
+
+
+def collect_positive_terms(node) -> dict[str, set[str]]:
+    """field → analyzed terms that should highlight (must/should clauses
+    only; must_not terms never highlight)."""
+    from sonar_tantivy_spark.plans import ast as A
+
+    out: dict[str, set[str]] = {}
+
+    def walk(n, positive=True):
+        if isinstance(n, A.TermQ) and positive:
+            out.setdefault(n.field, set()).add(n.term)
+        elif isinstance(n, A.PhraseQ) and positive:
+            out.setdefault(n.field, set()).update(n.terms)
+        elif isinstance(n, A.BoolQ):
+            for c in n.must + n.should:
+                walk(c, positive)
+            # must_not: skip
+
+    walk(node)
+    return out
