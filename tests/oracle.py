@@ -1,0 +1,185 @@
+"""Pure-Python BM25 oracle — an independent reimplementation of the
+scoring contract (SURVEY.md §2.9) used to verify the Spark engine
+rank-for-rank and score-for-score.
+
+Deliberately shares NO code path with the Spark engine except the
+analyzer and the bm25 constants module (which both sides must agree on
+by definition): postings are plain dicts, scoring is plain loops.
+It stands in for tantivy golden files, which cannot be produced in this
+sandbox (no network, no Rust toolchain); the formulas mirror public
+tantivy 0.18 behavior as documented in SURVEY.md §2.9.
+"""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+from sonar_tantivy_spark.analyzer import tokenize
+from sonar_tantivy_spark.functions import bm25
+from sonar_tantivy_spark.plans import ast as A
+
+
+class OracleIndex:
+    def __init__(self, docs: list[dict], field_tokenizers: dict[str, str]):
+        """docs: stored rows in docid order (docid = list position)."""
+        self.docs = docs
+        self.N = len(docs)
+        self.field_tokenizers = field_tokenizers
+        # postings[(field, term)] = {docid: [positions]}
+        self.postings: dict[tuple[str, str], dict[int, list[int]]] = defaultdict(dict)
+        self.doclen: dict[tuple[str, int], int] = {}
+        self.total_tokens: Counter = Counter()
+        for docid, doc in enumerate(docs):
+            for field, tok in field_tokenizers.items():
+                val = doc.get(field)
+                if val is None:
+                    continue
+                pairs = tokenize(str(val), tok)
+                self.doclen[(field, docid)] = len(pairs)
+                self.total_tokens[field] += len(pairs)
+                for term, pos in pairs:
+                    self.postings[(field, term)].setdefault(docid, []).append(pos)
+
+    def avgdl(self, field: str) -> float:
+        return self.total_tokens[field] / self.N if self.N else 1.0
+
+    def idf(self, field: str, term: str) -> float:
+        return bm25.idf(len(self.postings.get((field, term), {})), self.N)
+
+    def _dl(self, field: str, docid: int) -> float:
+        raw = self.doclen.get((field, docid), 0)
+        return float(bm25.decode_fieldnorm(bm25.fieldnorm_id(raw)))
+
+    def _score_term(self, field: str, term: str) -> dict[int, float]:
+        plist = self.postings.get((field, term), {})
+        idf = self.idf(field, term)
+        avgdl = self.avgdl(field)
+        return {
+            d: bm25.score(len(pp), self._dl(field, d), avgdl, idf)
+            for d, pp in plist.items()
+        }
+
+    def score(self, node: A.Node) -> dict[int, float]:
+        """docid → score for every matching doc."""
+        if isinstance(node, A.TermQ):
+            return self._score_term(node.field, node.term)
+        if isinstance(node, A.PhraseQ):
+            return self._score_phrase(node)
+        if isinstance(node, A.BoolQ):
+            return self._score_bool(node)
+        if isinstance(node, A.FuzzyQ):
+            return self._score_fuzzy(node)
+        if isinstance(node, A.RegexQ):
+            return self._score_regex(node)
+        if isinstance(node, A.RangeQ):
+            return self._score_range(node)
+        if isinstance(node, A.AllQ):
+            return {d: 1.0 for d in range(self.N)}
+        raise NotImplementedError(type(node).__name__)
+
+    def _score_phrase(self, node: A.PhraseQ) -> dict[int, float]:
+        terms = node.terms
+        if not terms:
+            return {}
+        if len(terms) == 1:
+            return self._score_term(node.field, terms[0])
+        plists = [self.postings.get((node.field, t), {}) for t in terms]
+        common = set(plists[0])
+        for pl in plists[1:]:
+            common &= set(pl)
+        idf_sum = sum(self.idf(node.field, t) for t in terms)
+        avgdl = self.avgdl(node.field)
+        out = {}
+        for d in common:
+            match = set(plists[0][d])
+            for i in range(1, len(terms)):
+                match = {p + 1 for p in match} & set(plists[i][d])
+            if match:
+                out[d] = bm25.score(len(match), self._dl(node.field, d), avgdl, idf_sum)
+        return out
+
+    def _score_bool(self, node: A.BoolQ) -> dict[int, float]:
+        musts = [self.score(c) for c in node.must]
+        shoulds = [self.score(c) for c in node.should]
+        mnots = [self.score(c) for c in node.must_not]
+        if musts:
+            keys = set(musts[0])
+            for m in musts[1:]:
+                keys &= set(m)
+            out = {d: sum(m[d] for m in musts) for d in keys}
+            for s in shoulds:
+                for d in list(out):
+                    if d in s:
+                        out[d] += s[d]
+        elif shoulds:
+            out = defaultdict(float)
+            for s in shoulds:
+                for d, v in s.items():
+                    out[d] += v
+            out = dict(out)
+        else:
+            return {}
+        for mn in mnots:
+            for d in mn:
+                out.pop(d, None)
+        return out
+
+    def _lev(self, a: str, b: str) -> int:
+        if abs(len(a) - len(b)) > 3:
+            return 99
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def _score_fuzzy(self, node: A.FuzzyQ) -> dict[int, float]:
+        out: dict[int, float] = {}
+        for (field, term), plist in self.postings.items():
+            if field == node.field and self._lev(term, node.term) <= node.distance:
+                for d in plist:
+                    out[d] = 1.0
+        return out
+
+    def _score_regex(self, node: A.RegexQ) -> dict[int, float]:
+        import re
+
+        pat = re.compile(node.pattern)
+        out: dict[int, float] = {}
+        for (field, term), plist in self.postings.items():
+            if field == node.field and pat.fullmatch(term):
+                for d in plist:
+                    out[d] = 1.0
+        return out
+
+    def _score_range(self, node: A.RangeQ) -> dict[int, float]:
+        out = {}
+        for d, doc in enumerate(self.docs):
+            v = doc.get(node.field)
+            if v is None:
+                continue
+            if node.gte is not None and not (v >= node.gte):
+                continue
+            if node.gt is not None and not (v > node.gt):
+                continue
+            if node.lte is not None and not (v <= node.lte):
+                continue
+            if node.lt is not None and not (v < node.lt):
+                continue
+            out[d] = 1.0
+        return out
+
+    def top_k(self, node: A.Node, k: int = 10,
+              sort_by: str | None = None) -> list[tuple[int, float]]:
+        scores = self.score(node)
+        if sort_by:
+            items = sorted(
+                scores.items(),
+                key=lambda kv: (self.docs[kv[0]].get(sort_by), -kv[0]),
+                reverse=True,
+            )
+        else:
+            items = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return items[:k]
