@@ -1,0 +1,625 @@
+"""Driver-contract queries: each operator from SURVEY.md §2 (plus the
+training-data-pipeline operators) expressed twice —
+
+  * a Spark DataFrame program over the driver's parquet tables
+    (documents / embeddings / events), using the engine's real analyzer
+    and BM25 math, and
+  * an equivalent ANSI-SQL oracle string for DuckDB.
+
+Both sides quantize doc lengths through the SAME fieldnorm table and
+order top-k by (round(score, 7) DESC, id ASC) so the top-k boundary is
+deterministic across engines; emitted scores are rounded to 4 decimals.
+
+The ``documents`` corpus is lowercase single-space ASCII (31-word
+vocabulary), so the SQL oracle tokenizes with string_split and applies
+the Porter2 stem map as an inline VALUES table computed from the same
+stemmer the engine uses.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sonar_tantivy_spark.functions import bm25
+from sonar_tantivy_spark.functions.porter2 import stem
+from sonar_tantivy_spark.operators.build import make_tokenize_udf
+
+K1, B = bm25.K1, bm25.B
+
+# Porter2 stems for the documents vocabulary (only non-fixed-points).
+_DOC_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window",
+]
+STEM_MAP = {w: stem(w) for w in _DOC_VOCAB if stem(w) != w}
+
+_CACHE: dict[str, dict] = {}
+
+
+# ---------------------------------------------------------------- Spark side
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _ft(spark: SparkSession, sf_dir: str) -> dict:
+    """Shared full-text intermediates (postings / doclens / stats),
+    persisted once per sf_dir within the session."""
+    key = f"{sf_dir}::{id(spark)}"
+    if key in _CACHE:
+        return _CACHE[key]
+    docs = _docs(spark, sf_dir)
+    udf = make_tokenize_udf("en_stem")
+    toks = (
+        docs.select("doc_id", udf(F.col("text")).alias("tk"))
+        .select("doc_id",
+                F.explode(F.arrays_zip(F.col("tk.terms"), F.col("tk.poss"))).alias("e"))
+        .select("doc_id", F.col("e.terms").alias("term"), F.col("e.poss").alias("pos"))
+    )
+    postings = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("int").alias("tf"),
+             F.sort_array(F.collect_list("pos")).alias("positions"))
+        .persist()
+    )
+    norm_rows = [
+        (nid, lo, bm25.FIELDNORM_TABLE[nid + 1] if nid < 255 else (1 << 62))
+        for nid, lo in enumerate(bm25.FIELDNORM_TABLE)
+    ]
+    norm_df = spark.createDataFrame(norm_rows, "norm_id int, lo long, hi long")
+    doclen = (
+        postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("len"))
+        .join(F.broadcast(norm_df),
+              on=(F.col("len") >= F.col("lo")) & (F.col("len") < F.col("hi")))
+        .select("doc_id", "len", F.col("lo").alias("dl"))
+        .persist()
+    )
+    n_docs = docs.count()
+    total_tokens = doclen.agg(F.sum("len")).collect()[0][0]
+    avgdl = float(total_tokens) / n_docs
+    termdf = postings.groupBy("term").agg(F.count("*").cast("long").alias("df")).persist()
+    out = {"docs": docs, "postings": postings, "doclen": doclen,
+           "termdf": termdf, "N": n_docs, "avgdl": avgdl}
+    _CACHE[key] = out
+    return out
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, term, score) — per-term BM25 with quantized doc length."""
+    t = _ft(spark, sf_dir)
+    n, avgdl = float(t["N"]), t["avgdl"]
+    idf = F.log(F.lit(1.0) + (F.lit(n) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    p = t["postings"].join(t["termdf"], on="term").join(t["doclen"], on="doc_id")
+    tf = F.col("tf").cast("double")
+    denom = tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B / avgdl) * F.col("dl").cast("double"))
+    return p.select("doc_id", "term", (idf * F.lit(K1 + 1.0) * tf / denom).alias("score"))
+
+
+def _topk(df: DataFrame, score_col: str = "score", id_col: str = "doc_id",
+          k: int = 10) -> DataFrame:
+    return (
+        df.orderBy(F.desc(F.round(F.col(score_col), 7)), F.asc(id_col)).limit(k)
+        .withColumn(score_col, F.round(F.col(score_col), 4))
+    )
+
+
+# full-text ---------------------------------------------------------------
+def q_ft_term_bm25(spark, sf_dir):
+    return _topk(_scored(spark, sf_dir).filter(F.col("term") == "valu")
+                 .select("doc_id", "score"))
+
+
+def q_ft_bool_must(spark, sf_dir):
+    s = _scored(spark, sf_dir)
+    a = s.filter(F.col("term") == "tabl").select("doc_id", F.col("score").alias("sa"))
+    b = s.filter(F.col("term") == "row").select("doc_id", F.col("score").alias("sb"))
+    return _topk(a.join(b, on="doc_id").select(
+        "doc_id", (F.col("sa") + F.col("sb")).alias("score")))
+
+
+def q_ft_bool_should(spark, sf_dir):
+    s = _scored(spark, sf_dir).filter(F.col("term").isin("tabl", "row"))
+    return _topk(s.groupBy("doc_id").agg(F.sum("score").alias("score")))
+
+
+def q_ft_must_not(spark, sf_dir):
+    s = _scored(spark, sf_dir)
+    pos = s.filter(F.col("term") == "tabl").select("doc_id", "score")
+    neg = _ft(spark, sf_dir)["postings"].filter(F.col("term") == "slow").select("doc_id")
+    return _topk(pos.join(neg, on="doc_id", how="left_anti"))
+
+
+def q_ft_phrase(spark, sf_dir):
+    t = _ft(spark, sf_dir)
+    p = t["postings"]
+    a = p.filter(F.col("term") == "tabl").select("doc_id", F.col("positions").alias("pa"))
+    b = p.filter(F.col("term") == "hash").select("doc_id", F.col("positions").alias("pb"))
+    j = a.join(b, on="doc_id").withColumn(
+        "m", F.array_intersect(F.transform("pa", lambda x: x + 1), F.col("pb"))
+    ).filter(F.size("m") > 0)
+    n, avgdl = float(t["N"]), t["avgdl"]
+    dfs = {r["term"]: r["df"] for r in
+           t["termdf"].filter(F.col("term").isin("tabl", "hash")).collect()}
+    idf_sum = sum(bm25.idf(dfs[x], t["N"]) for x in ("tabl", "hash"))
+    j = j.join(t["doclen"], on="doc_id")
+    tf = F.size("m").cast("double")
+    denom = tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B / avgdl) * F.col("dl").cast("double"))
+    return _topk(j.select("doc_id", (F.lit(idf_sum * (K1 + 1.0)) * tf / denom).alias("score")))
+
+
+def q_ft_termdict(spark, sf_dir):
+    return _ft(spark, sf_dir)["termdf"].select("term", "df")
+
+
+def q_ft_stats(spark, sf_dir):
+    t = _ft(spark, sf_dir)
+    return t["doclen"].agg(
+        F.count("*").cast("long").alias("num_docs"),
+        F.sum("len").cast("long").alias("total_tokens"),
+        F.round(F.sum("len") / F.count("*"), 6).alias("avgdl"),
+    )
+
+
+def q_ft_sort_fast_field(spark, sf_dir):
+    t = _ft(spark, sf_dir)
+    cand = t["postings"].filter(F.col("term") == "queri").select("doc_id")
+    d = t["docs"].join(cand, on="doc_id").select("doc_id", "n_chars")
+    return d.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(10)
+
+
+def q_ft_range_filter_term(spark, sf_dir):
+    t = _ft(spark, sf_dir)
+    s = _scored(spark, sf_dir).filter(F.col("term") == "spark")
+    rng = t["docs"].filter(F.col("n_chars").between(150, 400)).select("doc_id")
+    # bool(must=[term, range]): range clause contributes constant 1.0
+    return _topk(s.join(rng, on="doc_id").select(
+        "doc_id", (F.col("score") + F.lit(1.0)).alias("score")))
+
+
+def q_ft_regex(spark, sf_dir):
+    p = _ft(spark, sf_dir)["postings"]
+    return (p.filter(F.col("term").rlike("^(?:ta.*)$")).select("doc_id").distinct()
+            .orderBy("doc_id"))
+
+
+def q_ft_fuzzy(spark, sf_dir):
+    p = _ft(spark, sf_dir)["postings"]
+    return (p.filter(F.levenshtein(F.col("term"), F.lit("tabel")) <= 1)
+            .select("doc_id").distinct().orderBy("doc_id"))
+
+
+def q_ft_facets(spark, sf_dir):
+    t = _ft(spark, sf_dir)
+    cand = t["postings"].filter(F.col("term") == "valu").select("doc_id")
+    return (t["docs"].join(cand, on="doc_id")
+            .groupBy("source").agg(F.count("*").cast("long").alias("cnt")))
+
+
+# dedup --------------------------------------------------------------------
+def q_dd_exact_fingerprint(spark, sf_dir):
+    """Bag-of-words fingerprint dedup: md5 over the sorted distinct term
+    set; groups with >1 member are near-dup clusters (exact hash-groupBy
+    dedup at scale)."""
+    p = _ft(spark, sf_dir)["postings"]
+    fp = p.groupBy("doc_id").agg(
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_set("term")))).alias("fingerprint"))
+    return (fp.groupBy("fingerprint").agg(F.count("*").cast("long").alias("cnt"))
+            .filter(F.col("cnt") > 1))
+
+
+def _shingles(spark, sf_dir):
+    """3-gram token shingles per doc (distinct)."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")
+        ).alias("shingle"),
+    ).distinct()
+    return sh
+
+
+def q_dd_minhash_bands(spark, sf_dir):
+    """MinHash+LSH candidate pairs: 4 band-minima over md5(shingle||band);
+    pairs colliding in ≥1 band, with the number of agreeing bands."""
+    sh = _shingles(spark, sf_dir)
+    bands = spark.range(4).select(F.col("id").cast("int").alias("band"))
+    sig = (
+        sh.crossJoin(F.broadcast(bands))
+        .groupBy("doc_id", "band")
+        .agg(F.min(F.md5(F.concat(F.col("shingle"), F.lit("|"), F.col("band"))))
+             .alias("mh"))
+    )
+    a = sig.alias("a")
+    b = sig.alias("b")
+    pairs = (
+        a.join(b, on=[F.col("a.band") == F.col("b.band"),
+                      F.col("a.mh") == F.col("b.mh"),
+                      F.col("a.doc_id") < F.col("b.doc_id")])
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").cast("long").alias("n_bands"))
+    )
+    return pairs
+
+
+def q_dd_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram Jaccard over shingles for candidate verification:
+    pairs with J >= 0.5."""
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a.shingle") == F.col("b.shingle"),
+                      F.col("a.doc_id") < F.col("b.doc_id")])
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("i"))
+    )
+    j = (
+        inter.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sza"), on="d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "szb"), on="d2")
+        .withColumn("jaccard", F.round(F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")), 4))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("d1", "d2", "jaccard")
+    )
+    return j
+
+
+def q_dd_simhash(spark, sf_dir):
+    """16-bit SimHash over tf-weighted term hashes (md5-derived bits)."""
+    p = _ft(spark, sf_dir)["postings"]
+    h = p.withColumn("hv", F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long"))
+    acc = None
+    for i in range(16):
+        bit = F.shiftright(F.col("hv"), i).bitwiseAND(F.lit(1))
+        contrib = F.sum((bit * 2 - 1) * F.col("tf"))
+        acc = [contrib.alias(f"b{i}")] if acc is None else acc + [contrib.alias(f"b{i}")]
+    g = h.groupBy("doc_id").agg(*acc)
+    sim = None
+    for i in range(16):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return g.select("doc_id", sim.cast("long").alias("simhash16"))
+
+
+# similarity search ---------------------------------------------------------
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _dot_lit(col, vec):
+    lit = F.array(*[F.lit(float(x)) for x in vec])
+    prod = F.zip_with(F.transform(col, lambda x: x.cast("double")), lit,
+                      lambda a, b: a * b)
+    return F.aggregate(prod, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 against the vec_id=0 query vector."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qn = math.sqrt(sum(float(x) * float(x) for x in q))
+    dot = _dot_lit(F.col("embedding"), q)
+    nrm = F.sqrt(F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    out = (emb.filter(F.col("vec_id") != 0)
+           .select("vec_id", (dot / (nrm * F.lit(qn))).alias("cos")))
+    return (out.orderBy(F.desc(F.round("cos", 7)), F.asc("vec_id")).limit(5)
+            .withColumn("cos", F.round("cos", 4)))
+
+
+def q_ann_lsh_bucket(spark, sf_dir):
+    """LSH-bucketed ANN: 4 random-hyperplane sign bits (planes = vectors
+    1..4 — deterministic), search within the query vector's bucket."""
+    emb = _emb(spark, sf_dir)
+    head = {r["vec_id"]: r["embedding"] for r in
+            emb.filter(F.col("vec_id").isin(0, 1, 2, 3, 4)).collect()}
+    q = head[0]
+    planes = [head[i] for i in (1, 2, 3, 4)]
+
+    def bucket_of(vec):
+        bits = ""
+        for p in planes:
+            d = sum(float(a) * float(b) for a, b in zip(vec, p))
+            bits += "1" if d >= 0 else "0"
+        return bits
+
+    qbucket = bucket_of(q)
+    bcol = F.concat(*[
+        F.when(_dot_lit(F.col("embedding"), p) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for p in planes
+    ])
+    qn = math.sqrt(sum(float(x) * float(x) for x in q))
+    dot = _dot_lit(F.col("embedding"), q)
+    nrm = F.sqrt(F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    cand = (emb.withColumn("bucket", bcol)
+            .filter((F.col("bucket") == qbucket) & (F.col("vec_id") != 0))
+            .select("vec_id", (dot / (nrm * F.lit(qn))).alias("cos")))
+    return (cand.orderBy(F.desc(F.round("cos", 7)), F.asc("vec_id")).limit(5)
+            .withColumn("cos", F.round("cos", 4)))
+
+
+# text analysis --------------------------------------------------------------
+def q_tx_token_count(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+
+
+def q_tx_quality(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
+    n = F.size("w").cast("double")
+    nd = F.size(F.array_distinct("w")).cast("double")
+    stop = F.size(F.filter("w", lambda x: (x == "the") | (x == "a"))).cast("double")
+    return d.select(
+        "doc_id", F.round((nd / n) * (F.lit(1.0) - stop / n), 4).alias("quality"))
+
+
+def q_tx_langid(spark, sf_dir):
+    """Stopword-ratio language heuristic (the corpus markers 'the'/'a')."""
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
+    stop = F.size(F.filter("w", lambda x: (x == "the") | (x == "a"))).cast("double")
+    ratio = stop / F.size("w").cast("double")
+    return d.select("doc_id", F.when(ratio >= 0.05, "en").otherwise("unk").alias("lang_pred"))
+
+
+def q_tx_fingerprint(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
+    return d.select(
+        "doc_id", F.md5(F.concat_ws(",", F.sort_array(F.array_distinct("w"))))
+        .alias("fingerprint"))
+
+
+# multimodal plumbing ---------------------------------------------------------
+def q_mm_binary_meta(spark, sf_dir):
+    """Opaque-binary column plumbing: payload bytes + deterministic stub
+    'decode' (real decoders are stubbed — see operators/multimodal.py)."""
+    d = _docs(spark, sf_dir)
+    nb = F.octet_length("text").cast("long")
+    return d.select(
+        "doc_id", nb.alias("n_bytes"), (nb % 7 + 1).cast("long").alias("n_frames"))
+
+
+# events (micro-batch analogs of the streaming ops) ---------------------------
+def _epoch_naive(col):
+    """Seconds since epoch of a naive (NTZ) timestamp, computed from local
+    components — invariant to the Spark session timezone, matching
+    DuckDB's naive epoch(ts)."""
+    return (
+        F.unix_date(F.to_date(col)) * F.lit(86400)
+        + F.hour(col) * 3600 + F.minute(col) * 60 + F.second(col)
+    ).cast("long")
+
+
+def q_ev_windowed_counts(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    win = (F.floor(_epoch_naive(F.col("ts")) / 3600) * 3600).cast("long")
+    return (ev.groupBy(win.alias("window_epoch"), "event_type")
+            .agg(F.count("*").cast("long").alias("cnt"),
+                 F.round(F.avg("value"), 4).alias("avg_value")))
+
+
+def q_ev_sessionize(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = _epoch_naive(F.col("ts"))
+    gap = e - F.lag(e).over(w)
+    marked = ev.withColumn("new_s", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    return (marked.groupBy("user_id")
+            .agg(F.sum("new_s").cast("long").alias("n_sessions"),
+                 F.count("*").cast("long").alias("n_events")))
+
+
+QUERIES = {
+    "ft_term_bm25": q_ft_term_bm25,
+    "ft_bool_must": q_ft_bool_must,
+    "ft_bool_should": q_ft_bool_should,
+    "ft_must_not": q_ft_must_not,
+    "ft_phrase": q_ft_phrase,
+    "ft_termdict": q_ft_termdict,
+    "ft_stats": q_ft_stats,
+    "ft_sort_fast_field": q_ft_sort_fast_field,
+    "ft_range_filter_term": q_ft_range_filter_term,
+    "ft_regex": q_ft_regex,
+    "ft_fuzzy": q_ft_fuzzy,
+    "ft_facets": q_ft_facets,
+    "dd_exact_fingerprint": q_dd_exact_fingerprint,
+    "dd_minhash_bands": q_dd_minhash_bands,
+    "dd_jaccard_pairs": q_dd_jaccard_pairs,
+    "dd_simhash": q_dd_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_bucket": q_ann_lsh_bucket,
+    "tx_token_count": q_tx_token_count,
+    "tx_quality": q_tx_quality,
+    "tx_langid": q_tx_langid,
+    "tx_fingerprint": q_tx_fingerprint,
+    "mm_binary_meta": q_mm_binary_meta,
+    "ev_windowed_counts": q_ev_windowed_counts,
+    "ev_sessionize": q_ev_sessionize,
+}
+
+
+# ------------------------------------------------------------- DuckDB oracle
+def _sql_prefix() -> str:
+    stem_values = ", ".join(f"('{w}', '{s}')" for w, s in sorted(STEM_MAP.items()))
+    norm_values = ", ".join(
+        f"({nid}, {lo}, {bm25.FIELDNORM_TABLE[nid + 1] if nid < 255 else (1 << 62)})"
+        for nid, lo in enumerate(bm25.FIELDNORM_TABLE)
+    )
+    return f"""WITH stem_map(raw, stemmed) AS (VALUES {stem_values}),
+splitted AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
+toks0 AS (SELECT doc_id, unnest(arr) AS raw, generate_subscripts(arr, 1) - 1 AS pos
+          FROM splitted),
+toks AS (SELECT t.doc_id, coalesce(m.stemmed, t.raw) AS term, t.pos
+         FROM toks0 t LEFT JOIN stem_map m ON t.raw = m.raw),
+postings AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+norms(norm_id, dl, dl_next) AS (VALUES {norm_values}),
+doclen AS (SELECT doc_id, count(*) AS len FROM toks GROUP BY doc_id),
+dlq AS (SELECT d.doc_id, d.len, n.dl FROM doclen d
+        JOIN norms n ON d.len >= n.dl AND d.len < n.dl_next),
+stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+                 (SELECT sum(len)::DOUBLE FROM doclen)
+                   / (SELECT count(*) FROM documents) AS avgdl),
+tdf AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+scored AS (SELECT p.doc_id, p.term,
+                  ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5)) * {K1 + 1.0} * p.tf
+                  / (p.tf + {K1} * ({1.0 - B} + {B} * q.dl / s.avgdl)) AS score
+           FROM postings p JOIN tdf t USING (term) JOIN dlq q USING (doc_id)
+           CROSS JOIN stats s),
+sh AS (SELECT DISTINCT t1.doc_id, t1.raw || ' ' || t2.raw || ' ' || t3.raw AS shingle
+       FROM toks0 t1
+       JOIN toks0 t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+       JOIN toks0 t3 ON t1.doc_id = t3.doc_id AND t3.pos = t1.pos + 2)
+"""
+
+
+def _simhash_sql() -> str:
+    bits = ", ".join(
+        f"sum((((hv >> {i}) & 1)::BIGINT * 2 - 1) * tf) AS b{i}" for i in range(16)
+    )
+    val = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+    return f"""SELECT doc_id, ({val})::BIGINT AS simhash16 FROM (
+  SELECT doc_id, {bits} FROM (
+    SELECT doc_id, tf, ('0x' || substr(md5(term), 1, 8))::UBIGINT AS hv FROM postings
+  ) GROUP BY doc_id)"""
+
+
+_ANN_PREFIX = """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+p AS (SELECT vec_id, v FROM e WHERE vec_id IN (1, 2, 3, 4)),
+c AS (SELECT e.vec_id,
+             list_dot_product(e.v, q.qv)
+               / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos,
+             e.v
+      FROM e CROSS JOIN q WHERE e.vec_id <> 0)
+"""
+
+_LSH_BUCKET = (
+    "concat("
+    + ", ".join(
+        f"CASE WHEN list_dot_product({{v}}, (SELECT v FROM p WHERE vec_id = {i})) >= 0 "
+        f"THEN '1' ELSE '0' END"
+        for i in (1, 2, 3, 4)
+    )
+    + ")"
+)
+
+
+def oracle_sql() -> dict[str, str]:
+    pre = _sql_prefix()
+    return {
+        "ft_term_bm25": pre + """SELECT doc_id, round(score, 4) AS score FROM scored
+WHERE term = 'valu' ORDER BY round(score, 7) DESC, doc_id LIMIT 10""",
+        "ft_bool_must": pre + """SELECT a.doc_id, round(a.score + b.score, 4) AS score
+FROM scored a JOIN scored b USING (doc_id)
+WHERE a.term = 'tabl' AND b.term = 'row'
+ORDER BY round(a.score + b.score, 7) DESC, a.doc_id LIMIT 10""",
+        "ft_bool_should": pre + """SELECT doc_id, round(sum(score), 4) AS score
+FROM scored WHERE term IN ('tabl', 'row') GROUP BY doc_id
+ORDER BY round(sum(score), 7) DESC, doc_id LIMIT 10""",
+        "ft_must_not": pre + """SELECT doc_id, round(score, 4) AS score FROM scored
+WHERE term = 'tabl'
+  AND doc_id NOT IN (SELECT doc_id FROM postings WHERE term = 'slow')
+ORDER BY round(score, 7) DESC, doc_id LIMIT 10""",
+        "ft_phrase": pre + """, adj AS (
+  SELECT a.doc_id, count(*) AS ptf FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'tabl' AND b.term = 'hash' GROUP BY a.doc_id),
+idfs AS (SELECT sum(ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5))) AS idf_sum
+         FROM tdf t CROSS JOIN stats s WHERE t.term IN ('tabl', 'hash'))
+SELECT j.doc_id,
+       round(i.idf_sum * 2.2 * j.ptf
+             / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 4) AS score
+FROM adj j JOIN dlq q USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
+ORDER BY round(i.idf_sum * 2.2 * j.ptf
+               / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 7) DESC, j.doc_id
+LIMIT 10""",
+        "ft_termdict": pre + "SELECT term, df FROM tdf",
+        "ft_stats": pre + """SELECT count(*)::BIGINT AS num_docs,
+sum(len)::BIGINT AS total_tokens, round(sum(len)::DOUBLE / count(*), 6) AS avgdl
+FROM doclen""",
+        "ft_sort_fast_field": pre + """SELECT d.doc_id, d.n_chars FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM postings WHERE term = 'queri')
+ORDER BY d.n_chars DESC, d.doc_id LIMIT 10""",
+        "ft_range_filter_term": pre + """SELECT s.doc_id, round(s.score + 1.0, 4) AS score
+FROM scored s JOIN documents d USING (doc_id)
+WHERE s.term = 'spark' AND d.n_chars BETWEEN 150 AND 400
+ORDER BY round(s.score + 1.0, 7) DESC, s.doc_id LIMIT 10""",
+        "ft_regex": pre + """SELECT DISTINCT doc_id FROM postings
+WHERE regexp_full_match(term, 'ta.*') ORDER BY doc_id""",
+        "ft_fuzzy": pre + """SELECT DISTINCT doc_id FROM postings
+WHERE levenshtein(term, 'tabel') <= 1 ORDER BY doc_id""",
+        "ft_facets": pre + """SELECT d.source, count(*)::BIGINT AS cnt FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')
+GROUP BY d.source""",
+        "dd_exact_fingerprint": pre + """SELECT fingerprint, count(*)::BIGINT AS cnt FROM (
+  SELECT doc_id, md5(string_agg(term, ',' ORDER BY term)) AS fingerprint
+  FROM postings GROUP BY doc_id)
+GROUP BY fingerprint HAVING count(*) > 1""",
+        "dd_minhash_bands": pre + """, sig AS (
+  SELECT doc_id, band, min(md5(shingle || '|' || band)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) GROUP BY doc_id, band)
+SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS n_bands
+FROM sig a JOIN sig b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id""",
+        "dd_jaccard_pairs": pre + """, sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id)
+SELECT d1, d2, round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5""",
+        "dd_simhash": pre + _simhash_sql(),
+        "ann_cosine_topk": _ANN_PREFIX + """SELECT vec_id, round(cos, 4) AS cos FROM c
+ORDER BY round(cos, 7) DESC, vec_id LIMIT 5""",
+        "ann_lsh_bucket": _ANN_PREFIX
+        + f""", qb AS (SELECT {_LSH_BUCKET.format(v='q.qv')} AS qbucket FROM q)
+SELECT c.vec_id, round(c.cos, 4) AS cos FROM c CROSS JOIN qb
+WHERE {_LSH_BUCKET.format(v='c.v')} = qb.qbucket
+ORDER BY round(c.cos, 7) DESC, c.vec_id LIMIT 5""",
+        "tx_token_count": """SELECT doc_id,
+len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents""",
+        "tx_quality": """SELECT doc_id,
+round((len(list_distinct(string_split(text, ' ')))::DOUBLE
+       / len(string_split(text, ' ')))
+      * (1 - len(list_filter(string_split(text, ' '),
+                             x -> x = 'the' OR x = 'a'))::DOUBLE
+             / len(string_split(text, ' '))), 4) AS quality
+FROM documents""",
+        "tx_langid": """SELECT doc_id,
+CASE WHEN len(list_filter(string_split(text, ' '),
+                          x -> x = 'the' OR x = 'a'))::DOUBLE
+          / len(string_split(text, ' ')) >= 0.05
+     THEN 'en' ELSE 'unk' END AS lang_pred
+FROM documents""",
+        "tx_fingerprint": """SELECT doc_id,
+md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ','))
+  AS fingerprint FROM documents""",
+        "mm_binary_meta": """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+(octet_length(encode(text)) % 7 + 1)::BIGINT AS n_frames FROM documents""",
+        "ev_windowed_counts": """SELECT
+(floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_epoch, event_type,
+count(*)::BIGINT AS cnt, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2""",
+        "ev_sessionize": """WITH o AS (
+  SELECT user_id, floor(epoch(ts))::BIGINT AS e,
+         lag(floor(epoch(ts))::BIGINT)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pe
+  FROM events)
+SELECT user_id,
+sum(CASE WHEN pe IS NULL OR e - pe > 1800 THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
+count(*)::BIGINT AS n_events
+FROM o GROUP BY user_id""",
+    }
