@@ -1,0 +1,137 @@
+"""Benchmark: index-build throughput + BM25 query p50 latencies.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total wall sec>, "unit": "sec",
+   "queries": {name: p50_sec, ...}, "sf": ...,
+   "build": {"turns": N, "wall_s": s, "turns_per_sec": r}, ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1) — sets the sf label
+  SPARK_GRAFT_CPUS     (default 32)                   — local[N]
+  BENCH_TURNS          (default 300000)  transcript corpus size
+  BENCH_REPS           (default 3)       per-query repetitions (p50)
+
+The corpus is the deterministic transcript table (FIXTURES.md §B, seed
+42), cached as parquet under .bench_cache/ so repeated runs measure the
+engine, not the generator.  The two-cluster-size scaling evidence
+(north_rule) is produced by tools/bench_scaling.py, which runs THIS
+build at two parallelism levels in separate processes and writes
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import statistics
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".bench_cache")
+
+
+def corpus_parquet(spark, n_turns: int) -> str:
+    path = os.path.join(CACHE, f"transcripts_{n_turns}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from sonar_tantivy_spark.sources.transcripts import generate_transcripts
+
+        os.makedirs(CACHE, exist_ok=True)
+        pdf = generate_transcripts(n_turns)
+        spark.createDataFrame(pdf).repartition(64).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_turns = int(os.environ.get("BENCH_TURNS", "300000"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("sonar-tantivy-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from sonar_tantivy_spark import IndexCatalog
+    from sonar_tantivy_spark.plans import ast as A
+    from sonar_tantivy_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    t_all = time.time()
+    corpus_path = corpus_parquet(spark, n_turns)
+    docs = spark.read.parquet(corpus_path)
+
+    base = tempfile.mkdtemp(prefix="stspark-bench-")
+    cat = IndexCatalog(spark, base)
+    idx = cat.create_index("bench", TRANSCRIPT_SCHEMA)
+
+    t0 = time.time()
+    idx.add_df(docs, order_cols=["conv_id", "turn_idx"],
+               seg_size=max(50_000, n_turns // (2 * max(1, cpus // 4))))
+    build_wall = time.time() - t0
+    build_tps = n_turns / build_wall
+
+    queries: dict[str, object] = {
+        "q1_term": {"term": {"text": "hello"}},
+        "q3_or": "hello world",
+        "q4_must": "+hello +world",
+        "q5_phrase": {"phrase": {"text": {"terms": ["hello", "world"]}}},
+        "q7_stem": {"term": {"text": "stems"}},
+        "q8_skew_the": {"term": {"text": "the"}},
+        "q9_role_filter": {"bool": {"must": [{"term": {"text": "needle"}},
+                                             {"term": {"role": "tool"}}]}},
+        "q11_ts_range": {"bool": {"must": [
+            {"term": {"text": "hello"}},
+            {"range": {"ts": {"gte": "2026-01-02 00:00:00",
+                              "lte": "2026-02-01 00:00:00"}}}]}},
+    }
+    q_p50: dict[str, float] = {}
+    for name, q in queries.items():
+        node = (A.parse_string(q, idx.schema) if isinstance(q, str)
+                else A.parse_json(q, idx.schema))
+        s = idx.searcher()
+        s.top_k(node, limit=10).collect()  # warmup (plan + page cache)
+        times = []
+        for _ in range(reps):
+            tq = time.time()
+            rows = s.top_k(node, limit=10).collect()
+            times.append(time.time() - tq)
+        q_p50[name] = round(statistics.median(times), 4)
+        assert rows is not None
+
+    total = time.time() - t_all
+    out = {
+        "metric": "index-build turns/sec + BM25 top-10 p50 (transcripts, seed 42)",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": q_p50,
+        "sf": sf,
+        "build": {
+            "turns": n_turns,
+            "wall_s": round(build_wall, 2),
+            "turns_per_sec": round(build_tps, 1),
+            "cpus": cpus,
+            "segments": len(idx.segment_info()),
+        },
+    }
+    print(json.dumps(out))
+    shutil.rmtree(base, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

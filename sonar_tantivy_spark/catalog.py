@@ -103,8 +103,14 @@ class Index:
 
     # -------------------------------------------------------------- query
     def searcher(self) -> Searcher:
-        # reader reloads per call ≈ ReloadPolicy::OnCommit (index.rs:219)
-        return Searcher(self.spark, self.schema, self.storage)
+        """Reused until the manifest opstamp changes — the analog of
+        ReloadPolicy::OnCommit reader caching (index.rs:214-225)."""
+        op = self.storage.manifest()["opstamp"]
+        cached = getattr(self, "_searcher", None)
+        if cached is not None and cached.manifest["opstamp"] == op:
+            return cached
+        self._searcher = Searcher(self.spark, self.schema, self.storage)
+        return self._searcher
 
     def query(
         self,

@@ -81,6 +81,25 @@ def score(tf: float, dl: float, avgdl: float, term_idf: float) -> float:
     return term_idf * (K1 + 1.0) * tf / (tf + norm)
 
 
+def fieldnorm_id_col(len_col):
+    """Closed-form Spark Column computing fieldnorm_id(len) — exact inverse
+    of FIELDNORM_TABLE without a join: ids <40 are identity; beyond, the
+    3-bit-mantissa geometric code has e = floor(log2(len/10)) and
+    m = min(len >> e, 17).  (log2 is exact at the 10·2^e octave starts, so
+    the floor never misses a boundary.)"""
+    from pyspark.sql import functions as F
+
+    ln = len_col.cast("double")
+    e = F.floor(F.log2(ln / F.lit(10.0))).cast("int")
+    m = F.least(F.floor(ln / F.pow(F.lit(2.0), e.cast("double"))).cast("int"), F.lit(17))
+    geo = F.lit(40) + (e - F.lit(2)) * F.lit(8) + (m - F.lit(10))
+    return (
+        F.when(len_col < 40, len_col.cast("int"))
+        .otherwise(F.least(geo, F.lit(255)))
+        .cast("int")
+    )
+
+
 def fieldnorm_table_sql_values() -> str:
     """The decode table as a SQL VALUES list — shared by DuckDB oracle
     queries so that engine and oracle quantize identically."""

@@ -47,13 +47,32 @@ from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
 
 from sonar_tantivy_spark.analyzer import tokenize as _tokenize_py
-from sonar_tantivy_spark.functions.bm25 import FIELDNORM_TABLE
+from sonar_tantivy_spark.functions.bm25 import fieldnorm_id_col
 from sonar_tantivy_spark.plans.schema import IndexSchema
 
 _TOKENS_TYPE = T.StructType(
     [
         T.StructField("terms", T.ArrayType(T.StringType()), False),
         T.StructField("poss", T.ArrayType(T.IntegerType()), False),
+    ]
+)
+
+_PERDOC_TYPE = T.StructType(
+    [
+        T.StructField("dl", T.IntegerType(), False),
+        T.StructField(
+            "postings",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("term", T.StringType(), False),
+                        T.StructField("tf", T.IntegerType(), False),
+                        T.StructField("positions", T.ArrayType(T.IntegerType()), False),
+                    ]
+                )
+            ),
+            False,
+        ),
     ]
 )
 
@@ -69,6 +88,36 @@ def make_tokenize_udf(tokenizer: str):
             terms_out.append([t for t, _ in pairs])
             poss_out.append([p for _, p in pairs])
         return pd.DataFrame({"terms": terms_out, "poss": poss_out})
+
+    return _udf
+
+
+def make_perdoc_postings_udf(tokenizer: str):
+    """Arrow-vectorized analyzer + per-doc inverted grouping.
+
+    All tokens of a document arrive in one value, so (term → tf, positions)
+    is grouped INSIDE the Arrow batch — the engine never shuffles the raw
+    token stream.  This mirrors tantivy's in-memory per-segment postings
+    builder and removes the groupBy(term, docid) shuffle entirely.
+    Output: struct(dl, postings: array<struct(term, tf, positions)>).
+    """
+
+    @F.pandas_udf(_PERDOC_TYPE)
+    def _udf(texts: pd.Series) -> pd.DataFrame:
+        dls, plists = [], []
+        for text in texts:
+            pairs = _tokenize_py(text, tokenizer) if text is not None else []
+            groups: dict[str, list[int]] = {}
+            for term, pos in pairs:
+                groups.setdefault(term, []).append(pos)
+            dls.append(len(pairs))
+            plists.append(
+                [
+                    {"term": t, "tf": len(pp), "positions": pp}
+                    for t, pp in groups.items()
+                ]
+            )
+        return pd.DataFrame({"dl": dls, "postings": plists})
 
     return _udf
 
@@ -94,20 +143,16 @@ def _assign_docids(df: DataFrame, order_cols: list[str], parallelism: int) -> Da
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    schema = T.StructType(ranked.schema.fields + [T.StructField("docid_g", T.LongType(), False)])
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        seen = 0
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            base = offsets[int(pdf["__pid"].iloc[0])]
-            pdf = pdf.copy()
-            pdf["docid_g"] = range(base + seen, base + seen + len(pdf))
-            seen += len(pdf)
-            yield pdf
-
-    out = ranked.mapInPandas(assign, schema=schema).drop("__pid")
+    # JVM-only rank: monotonically_increasing_id is consecutive-from-zero
+    # within each partition (pid << 33 | row#), and the rows are already in
+    # sorted order within range-ordered partitions, so
+    # global rank = offset[pid] + (mid & (2^33 - 1)) — no Arrow roundtrip.
+    pairs: list = []
+    for pid, off in offsets.items():
+        pairs.extend([F.lit(pid), F.lit(off)])
+    offset_col = F.element_at(F.create_map(*pairs), F.col("__pid"))
+    local = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    out = ranked.withColumn("docid_g", (offset_col + local).cast("long")).drop("__pid")
     return out, ranked, acc
 
 
@@ -166,105 +211,95 @@ def build_segments(
     sid_expr = F.concat(F.lit(f"{epoch}-"), F.lpad(seg_expr.cast("string"), 5, "0"))
     docs_tbl = with_id.withColumn("segment_id", sid_expr).withColumn(
         "docid", (F.col("docid_g") % F.lit(seg_size)).cast("long")
-    ).drop("docid_g")
+    ).drop("docid_g").persist(StorageLevel.MEMORY_AND_DISK)
 
-    # ---- token stream: one UDF pass per analyzed field, zero Python for raw
-    token_parts: list[DataFrame] = []
+    # ---- per-doc postings: one Arrow pass per analyzed field; the
+    # (term → tf, positions) grouping happens inside the UDF batch, so the
+    # raw token stream is NEVER shuffled.  Raw-tokenizer fields need no
+    # Python at all.  `perdoc` (one nested row per doc × field) is the only
+    # corpus-sized intermediate we persist.
+    perdoc_parts: list[DataFrame] = []
     for f in schema.indexed_fields:
         if f.name not in docs_tbl.columns:
             continue
         if schema.tokenizer_for(f.name) == "raw":
-            token_parts.append(
+            perdoc_parts.append(
                 docs_tbl.where(F.col(f.name).isNotNull()).select(
                     "segment_id",
                     "docid",
                     F.lit(f.name).alias("field"),
-                    F.col(f.name).cast("string").alias("term"),
-                    F.lit(0).alias("pos"),
+                    F.lit(1).alias("dl"),
+                    F.array(
+                        F.struct(
+                            F.col(f.name).cast("string").alias("term"),
+                            F.lit(1).alias("tf"),
+                            F.array(F.lit(0)).alias("positions"),
+                        )
+                    ).alias("postings"),
                 )
             )
         else:
-            udf = make_tokenize_udf(schema.tokenizer_for(f.name))
-            tok = docs_tbl.select(
-                "segment_id", "docid", udf(F.col(f.name).cast("string")).alias("tk")
-            ).select(
-                "segment_id",
-                "docid",
-                F.explode(F.arrays_zip(F.col("tk.terms"), F.col("tk.poss"))).alias("e"),
-            )
-            token_parts.append(
-                tok.select(
+            udf = make_perdoc_postings_udf(schema.tokenizer_for(f.name))
+            perdoc_parts.append(
+                docs_tbl.select(
+                    "segment_id", "docid", udf(F.col(f.name).cast("string")).alias("tk")
+                ).select(
                     "segment_id",
                     "docid",
                     F.lit(f.name).alias("field"),
-                    F.col("e.terms").alias("term"),
-                    F.col("e.poss").alias("pos"),
+                    F.col("tk.dl").alias("dl"),
+                    F.col("tk.postings").alias("postings"),
                 )
             )
-    if not token_parts:
+    if not perdoc_parts:
         raise ValueError("schema has no indexed fields")
-    tokens = token_parts[0]
-    for p in token_parts[1:]:
-        tokens = tokens.unionByName(p)
+    perdoc = perdoc_parts[0]
+    for p in perdoc_parts[1:]:
+        perdoc = perdoc.unionByName(p)
+    perdoc = perdoc.withColumn(
+        "norm_id", fieldnorm_id_col(F.col("dl"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
-    postings = (
-        tokens.groupBy("segment_id", "field", "term", "docid")
-        .agg(
-            F.count("*").cast("int").alias("tf"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    postings = perdoc.select(
+        "segment_id", "field", "docid", "norm_id",
+        F.explode("postings").alias("p"),
+    ).select(
+        "segment_id", "field",
+        F.col("p.term").alias("term"),
+        F.col("docid"),
+        F.col("p.tf").alias("tf"),
+        F.col("p.positions").alias("positions"),
+        "norm_id",
     )
 
-    # ---- doc lengths + fieldnorm quantization (broadcast range join)
-    norm_rows = []
-    for nid, lo in enumerate(FIELDNORM_TABLE):
-        hi = FIELDNORM_TABLE[nid + 1] if nid < 255 else (1 << 62)
-        norm_rows.append((nid, lo, hi))
-    norm_df = spark.createDataFrame(norm_rows, "norm_id int, lo long, hi long")
-    doclens = (
-        postings.groupBy("segment_id", "field", "docid")
-        .agg(F.sum("tf").cast("long").alias("len"))
-        .join(F.broadcast(norm_df),
-              on=(F.col("len") >= F.col("lo")) & (F.col("len") < F.col("hi")))
-        .select("segment_id", "field", "docid", "len", "norm_id")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    doclens = perdoc.select(
+        "segment_id", "field", "docid", F.col("dl").cast("long").alias("len"), "norm_id"
     )
 
-    postings_n = postings.join(
-        doclens.select("segment_id", "field", "docid", "norm_id"),
-        on=["segment_id", "field", "docid"],
-    )
-
+    # one map-side-combining hash aggregation (the only corpus-wide shuffle
+    # besides the docid range partition)
     termdict = postings.groupBy("segment_id", "field", "term").agg(
         F.count("*").cast("long").alias("df"),
         F.max("tf").alias("max_tf"),
         F.sum("tf").cast("long").alias("total_tf"),
     )
 
-    # ---- writes (sorted within segments for row-group pruning on term)
-    shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # ---- writes.  Inputs are already partitioned by the groupBy keys; we
+    # only sort within partitions (term-clustered row groups → min/max
+    # pruning for pushed `term = X` predicates) — no extra shuffle.
     storage.write_table(
-        docs_tbl.repartitionByRange(
-            max(num_segments, min(shuffle_parts, num_segments * 4)),
-            "segment_id", "docid",
-        ).sortWithinPartitions("segment_id", "docid"),
-        epoch, "docs",
+        docs_tbl.sortWithinPartitions("segment_id", "docid"), epoch, "docs"
     )
     storage.write_table(
-        postings_n.repartitionByRange(shuffle_parts, "segment_id", "field", "term")
-        .sortWithinPartitions("segment_id", "field", "term", "docid"),
+        postings.sortWithinPartitions("segment_id", "field", "term", "docid"),
         epoch, "postings",
     )
     storage.write_table(
-        doclens.repartitionByRange(
-            max(num_segments, 1), "segment_id", "field", "docid"
-        ).sortWithinPartitions("segment_id", "field", "docid"),
+        doclens.sortWithinPartitions("segment_id", "field", "docid"),
         epoch, "doclens",
     )
     storage.write_table(
-        termdict.repartitionByRange(max(num_segments, 1), "segment_id", "field", "term")
-        .sortWithinPartitions("segment_id", "field", "term"),
+        termdict.sortWithinPartitions("segment_id", "field", "term"),
         epoch, "termdict",
     )
 
@@ -275,8 +310,8 @@ def build_segments(
         .agg(F.sum("len").alias("total_tokens"), F.count("*").alias("docs_with_field"))
         .collect()
     }
-    postings.unpersist()
-    doclens.unpersist()
+    perdoc.unpersist()
+    docs_tbl.unpersist()
     ranked_cache.unpersist()
 
     wall = time.time() - t0

@@ -57,6 +57,7 @@ class Searcher:
             self.bases[s["segment_id"]] = acc
             acc += s["max_doc"]
         self.num_docs = acc
+        self._tables: dict[str, DataFrame | None] = {}
 
     # ---------------------------------------------------------------- stats
     def avgdl(self, field: str) -> float:
@@ -68,16 +69,25 @@ class Searcher:
     def _table(self, name: str) -> DataFrame | None:
         if not self.segments:
             return None
-        return self.storage.load_table(self.spark, name, self.segments)
+        if name not in self._tables:
+            self._tables[name] = self.storage.load_table(self.spark, name, self.segments)
+        return self._tables[name]
 
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame([], _CAND_SCHEMA)
 
     def term_dfs(self, pairs: set[tuple[str, str]]) -> dict[tuple[str, str], int]:
         """Global doc-freq per (field, term): one pushdown-filtered termdict
-        scan summed across segments."""
+        scan summed across segments; memoized per searcher snapshot."""
         if not pairs or not self.segments:
             return {}
+        cache = getattr(self, "_df_cache", None)
+        if cache is None:
+            cache = self._df_cache = {}
+        missing = {p for p in pairs if p not in cache}
+        if not missing:
+            return {p: cache[p] for p in pairs}
+        pairs = missing
         td = self._table("termdict")
         fields = sorted({f for f, _ in pairs})
         terms = sorted({t for _, t in pairs})
@@ -88,7 +98,9 @@ class Searcher:
             .collect()
         )
         out = {(r["field"], r["term"]): int(r["df"]) for r in rows}
-        return {p: out.get(p, 0) for p in pairs}
+        for p in pairs:
+            cache[p] = out.get(p, 0)
+        return dict(cache)
 
     # ------------------------------------------------------------- scoring
     def _score_col(self, field: str, idf: float, tf_col: Column) -> Column:
@@ -268,12 +280,19 @@ class Searcher:
         return out
 
     # ------------------------------------------------------------ execution
-    def _bases_df(self) -> DataFrame:
-        rows = [(sid, base) for sid, base in self.bases.items()]
-        return self.spark.createDataFrame(rows, "segment_id string, base long")
-
     def with_global_docid(self, cands: DataFrame) -> DataFrame:
-        return cands.join(F.broadcast(self._bases_df()), on="segment_id").withColumn(
+        """Global docid = manifest base + local docid.  For moderate segment
+        counts this is a pure literal map expression — no join, no Python-
+        backed DataFrame to broadcast, no dynamic-pruning subquery."""
+        if len(self.bases) <= 4096:
+            pairs: list[Column] = []
+            for sid, base in self.bases.items():
+                pairs.extend([F.lit(sid), F.lit(base)])
+            base_col = F.element_at(F.create_map(*pairs), F.col("segment_id"))
+            return cands.withColumn("docid_g", base_col + F.col("docid"))
+        rows = [(sid, base) for sid, base in self.bases.items()]
+        bases_df = self.spark.createDataFrame(rows, "segment_id string, base long")
+        return cands.join(F.broadcast(bases_df), on="segment_id").withColumn(
             "docid_g", F.col("base") + F.col("docid")
         ).drop("base")
 

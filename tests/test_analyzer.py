@@ -85,3 +85,13 @@ def test_fieldnorm_roundtrip():
         dec = bm25.decode_fieldnorm(nid)
         assert dec <= n < bm25.decode_fieldnorm(min(nid + 1, 255)) or nid == 255
         assert (n - dec) / n < 0.15
+
+
+def test_fieldnorm_expr_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100_000).select(
+        F.col("id").alias("len"), bm25.fieldnorm_id_col(F.col("id")).alias("nid"))
+    rows = df.collect()
+    for r in rows:
+        assert r["nid"] == bm25.fieldnorm_id(r["len"]), r
