@@ -1,0 +1,116 @@
+"""Segment compaction — the engine's merge policy.
+
+tantivy merges segments in the background (LogMergePolicy, implied by the
+commit path /root/reference/src-rust/index.rs:186-191); at 10^12-turn
+scale explicit compaction is required (SURVEY.md §2.8.3).  Here a merge
+is an explicit Spark job: read the postings/docs/doclens/termdict
+partitions of a contiguous run of manifest segments, re-base the local
+docids into one merged docid space, sort-merge on (field, term, docid),
+write one new segment, and swap the manifest atomically.
+
+Because the run is contiguous in manifest order, every document keeps its
+GLOBAL docid (base + local is unchanged), so query results — including
+score tie-breaks — are bit-identical before and after compaction; the
+test suite asserts this.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def compact(index, segment_ids: list[str] | None = None) -> dict:
+    """Merge a contiguous run of segments (default: all) into one.
+
+    Returns the new segment meta.  Raises if ``segment_ids`` is not a
+    contiguous prefix-run in manifest order.
+    """
+    storage = index.storage
+    manifest = storage.manifest()
+    segs = manifest["segments"]
+    if len(segs) < 2 and segment_ids is None:
+        raise ValueError("nothing to compact")
+    if segment_ids is None:
+        run = segs
+        start = 0
+    else:
+        order = [s["segment_id"] for s in segs]
+        idxs = sorted(order.index(sid) for sid in segment_ids)
+        if idxs != list(range(idxs[0], idxs[-1] + 1)):
+            raise ValueError("can only compact a contiguous manifest run")
+        start = idxs[0]
+        run = segs[idxs[0]: idxs[-1] + 1]
+
+    # docid re-base: offset of each old segment inside the merged segment
+    offsets: dict[str, int] = {}
+    acc = 0
+    for s in run:
+        offsets[s["segment_id"]] = acc
+        acc += s["max_doc"]
+    max_doc = acc
+    epoch = storage.new_epoch()
+    new_sid = f"{epoch}-merged"
+
+    spark = index.spark
+    pairs = []
+    for sid, off in offsets.items():
+        pairs.extend([F.lit(sid), F.lit(off)])
+    off_col = F.element_at(F.create_map(*pairs), F.col("segment_id"))
+
+    def rebased(table: str):
+        df = storage.load_table(spark, table, run)
+        return (
+            df.withColumn("docid", (off_col + F.col("docid")).cast("long"))
+            .withColumn("segment_id", F.lit(new_sid))
+        )
+
+    storage.write_table(
+        rebased("docs").sortWithinPartitions("docid"), epoch, "docs"
+    )
+    storage.write_table(
+        rebased("postings").repartitionByRange(
+            max(1, spark.sparkContext.defaultParallelism), "field", "term"
+        ).sortWithinPartitions("field", "term", "docid"),
+        epoch, "postings",
+    )
+    storage.write_table(
+        rebased("doclens").sortWithinPartitions("field", "docid"), epoch, "doclens"
+    )
+    # termdict re-aggregates across the merged segments (sort-merge on term)
+    td = storage.load_table(spark, "termdict", run)
+    merged_td = (
+        td.groupBy("field", "term")
+        .agg(F.sum("df").cast("long").alias("df"),
+             F.max("max_tf").alias("max_tf"),
+             F.sum("total_tf").cast("long").alias("total_tf"))
+        .withColumn("segment_id", F.lit(new_sid))
+    )
+    storage.write_table(
+        merged_td.repartitionByRange(
+            max(1, spark.sparkContext.defaultParallelism), "field", "term"
+        ).sortWithinPartitions("field", "term"),
+        epoch, "termdict",
+    )
+
+    field_stats: dict[str, dict] = {}
+    for s in run:
+        for fld, st in s["field_stats"].items():
+            agg = field_stats.setdefault(fld, {"total_tokens": 0, "docs_with_field": 0})
+            agg["total_tokens"] += st["total_tokens"]
+            agg["docs_with_field"] += st["docs_with_field"]
+
+    tables = {}
+    if hasattr(storage, "segment_dir"):
+        tables = {t: storage.segment_dir(epoch, t, new_sid)
+                  for t in ("docs", "postings", "doclens", "termdict")}
+    meta = {"segment_id": new_sid, "max_doc": max_doc,
+            "field_stats": field_stats, "tables": tables, "epoch": epoch}
+
+    # atomic manifest swap: replace the run with the merged segment in place
+    new_segs = segs[:start] + [meta] + segs[start + len(run):]
+    manifest["segments"] = new_segs
+    if hasattr(storage, "_write_json"):
+        storage._write_json("manifest.json", manifest)
+    else:
+        storage._manifest = manifest
+    return meta

@@ -317,6 +317,80 @@ class Searcher:
             ).limit(limit).drop(sort_by)
         return cands.orderBy(F.desc("score"), F.asc("docid_g")).limit(limit)
 
+    # ------------------------------------------------- block-max pruning
+    def term_upper_bound(self, field: str, term: str, seg_max_tf: int,
+                         idf: float) -> float:
+        """Max possible BM25 contribution of ``term`` for any doc in a
+        segment with the given max term frequency (dl → 0 minimizes the
+        norm denominator) — the block-max value of WAND, kept per
+        (segment, term) in the termdict (SURVEY.md §4)."""
+        denom = seg_max_tf + bm25.K1 * (1.0 - bm25.B)
+        return idf * (bm25.K1 + 1.0) * seg_max_tf / denom
+
+    def top_k_pruned(self, node: A.Node, limit: int = 10) -> DataFrame:
+        """Block-max-WAND-style top-k for scored OR queries.
+
+        Two passes: (1) fully score the highest-idf term → its k-th score
+        is a valid LOWER bound θ of the final k-th score (OR-sum scores
+        dominate any single clause); (2) skip every segment whose summed
+        per-term upper bounds cannot reach θ, then score exactly.  Results
+        are identical to the unpruned plan (asserted in tests); the win is
+        segment-level scan pruning, the batch analog of WAND block skips.
+        Falls back to the exact plan for query shapes it doesn't cover.
+        """
+        terms: list[A.TermQ] = []
+        if isinstance(node, A.TermQ):
+            terms = [node]
+        elif isinstance(node, A.BoolQ) and node.should and not node.must \
+                and not node.must_not \
+                and all(isinstance(c, A.TermQ) for c in node.should):
+            terms = list(node.should)
+        if len(terms) < 2 or not self.segments:
+            return self.top_k(node, limit=limit)
+
+        pairs = {(t.field, t.term) for t in terms}
+        dfs = self.term_dfs(pairs)
+        idfs = {p: bm25.idf(d, self.num_docs) for p, d in dfs.items() if d > 0}
+        if not idfs:
+            return self.top_k(node, limit=limit)
+
+        # per-(segment, term) max_tf from termdict — one tiny pruned scan
+        td = self._table("termdict")
+        rows = (
+            td.filter(F.col("field").isin(sorted({f for f, _ in idfs}))
+                      & F.col("term").isin(sorted({t for _, t in idfs})))
+            .select("segment_id", "field", "term", "max_tf").collect()
+        )
+        seg_ub: dict[str, float] = {}
+        for r in rows:
+            p = (r["field"], r["term"])
+            if p in idfs:
+                seg_ub[r["segment_id"]] = seg_ub.get(r["segment_id"], 0.0) + \
+                    self.term_upper_bound(*p, r["max_tf"], idfs[p])
+
+        # pass 1: θ = k-th score of the most selective term, scored exactly
+        probe = max(idfs, key=lambda p: idfs[p])
+        probe_hits = self.top_k(A.TermQ(*probe), limit=limit).collect()
+        theta = min((h["score"] for h in probe_hits), default=0.0) \
+            if len(probe_hits) >= limit else 0.0
+
+        keep = [sid for sid, ub in seg_ub.items() if ub >= theta]
+        if len(keep) == len(seg_ub):
+            return self.top_k(node, limit=limit)
+        pruned = Searcher(self.spark, self.schema, self.storage)
+        pruned.segments = [s for s in self.segments if s["segment_id"] in keep]
+        pruned.bases = {sid: b for sid, b in self.bases.items() if sid in keep}
+        pruned.num_docs = self.num_docs  # global stats stay global
+        pruned._df_cache = dict(getattr(self, "_df_cache", {}))
+        # keep global avgdl/stats: borrow full manifest for stats math
+        pruned.manifest = self.manifest
+        full_segments = self.segments
+        pruned.avgdl = lambda field, _s=full_segments, _n=self.num_docs: (
+            sum(x["field_stats"].get(field, {}).get("total_tokens", 0) for x in _s)
+            / _n if _n else 1.0
+        )
+        return pruned.top_k(node, limit=limit)
+
     def facet_counts(self, node: A.Node, facet_field: str) -> DataFrame:
         cands = self.candidates(node)
         docs = self._table("docs").select("segment_id", "docid", facet_field)

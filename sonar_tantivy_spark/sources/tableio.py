@@ -115,9 +115,11 @@ class FsStorage:
     def write_table(self, df: DataFrame, epoch: str, table: str) -> None:
         """One Spark job writes all segments of this epoch, hive-partitioned
         by segment_id (partition pruning at read)."""
-        df.write.mode("overwrite").partitionBy("segment_id").parquet(
-            self.epoch_dir(epoch, table)
-        )
+        # dynamic overwrite: a resumed build rewrites only the segment
+        # partitions it produced, never clobbering committed siblings
+        df.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("segment_id").parquet(self.epoch_dir(epoch, table))
 
     def load_table(
         self, spark: SparkSession, table: str, segments: list[dict]

@@ -1,0 +1,123 @@
+"""Segment lifecycle: compaction parity, WAND pruning parity,
+resume-from-checkpoint idempotence, string-grammar extras."""
+
+import pytest
+
+from sonar_tantivy_spark import IndexCatalog
+from sonar_tantivy_spark.operators.merge import compact
+from sonar_tantivy_spark.plans import ast as A
+from sonar_tantivy_spark.sources.transcripts import (
+    TRANSCRIPT_SCHEMA,
+    generate_transcripts,
+)
+
+N = 900
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_transcripts(N)
+
+
+def _build(spark, tmp, corpus, name, **kw):
+    cat = IndexCatalog(spark, str(tmp))
+    idx = cat.create_index(name, TRANSCRIPT_SCHEMA)
+    idx.add_df(spark.createDataFrame(corpus),
+               order_cols=["conv_id", "turn_idx"], **kw)
+    return idx
+
+
+def _topk(idx, q, k=10, pruned=False):
+    node = A.parse_json(q, idx.schema) if isinstance(q, dict) else \
+        A.parse_string(q, idx.schema)
+    s = idx.searcher()
+    df = s.top_k_pruned(node, limit=k) if pruned else s.top_k(node, limit=k)
+    return [(r["docid_g"], round(r["score"], 9)) for r in df.collect()]
+
+
+def test_compaction_preserves_results(spark, tmp_path, corpus):
+    idx = _build(spark, tmp_path, corpus, "c1", num_segments=3)
+    q = {"bool": {"should": [{"term": {"text": "hello"}},
+                             {"term": {"text": "the"}}]}}
+    before = _topk(idx, q)
+    assert len(idx.segment_info()) == 3
+    compact(idx)
+    assert len(idx.segment_info()) == 1
+    after = _topk(idx, q)
+    assert before == after
+    # global stats unchanged
+    s = idx.searcher()
+    assert s.num_docs == N
+
+
+def test_wand_pruning_parity(spark, tmp_path, corpus):
+    idx = _build(spark, tmp_path, corpus, "w1", num_segments=4)
+    for q in ({"bool": {"should": [{"term": {"text": "hello"}},
+                                   {"term": {"text": "mundo"}}]}},
+              {"bool": {"should": [{"term": {"text": "hello"}},
+                                   {"term": {"text": "world"}},
+                                   {"term": {"text": "the"}}]}}):
+        exact = _topk(idx, q)
+        pruned = _topk(idx, q, pruned=True)
+        assert exact == pruned
+
+
+def test_resume_idempotence(spark, tmp_path, corpus):
+    # reference build, one shot
+    ref = _build(spark, tmp_path, corpus, "full", num_segments=3)
+    want = _topk(ref, {"term": {"text": "hello"}})
+
+    # crashed build: commit then surgically drop the last two segments from
+    # the manifest (simulates dying after a partial per-segment commit)
+    cat = IndexCatalog(spark, str(tmp_path))
+    idx = cat.create_index("crash", TRANSCRIPT_SCHEMA)
+    idx.add_df(spark.createDataFrame(corpus),
+               order_cols=["conv_id", "turn_idx"], num_segments=3, epoch="fix")
+    m = idx.storage.manifest()
+    assert len(m["segments"]) == 3
+    dropped = m["segments"][1:]
+    m["segments"] = m["segments"][:1]
+    m["opstamp"] -= sum(s["max_doc"] for s in dropped)
+    idx.storage._write_json("manifest.json", m)
+
+    # re-run the same epoch: only the missing segments are rebuilt
+    metas = idx.add_df(spark.createDataFrame(corpus),
+                       order_cols=["conv_id", "turn_idx"],
+                       num_segments=3, epoch="fix")
+    assert sorted(x["segment_id"] for x in metas) == \
+        sorted(s["segment_id"] for s in dropped)
+    assert len(idx.segment_info()) == 3
+
+    got = _topk(idx, {"term": {"text": "hello"}})
+    assert got == want
+
+    # a third run is a no-op (duplicate segments are never re-committed)
+    assert idx.add_df(spark.createDataFrame(corpus),
+                      order_cols=["conv_id", "turn_idx"],
+                      num_segments=3, epoch="fix") == []
+
+
+def test_string_grammar_range_and_field(spark, tmp_path, corpus):
+    idx = _build(spark, tmp_path, corpus, "g1", num_segments=2)
+    # field-scoped term
+    got = _topk(idx, "role:tool")
+    assert got, "role:tool should match tool turns"
+    # must/must_not via +/-
+    plus = _topk(idx, "+hello -world")
+    json_q = {"bool": {"must": [{"term": {"text": "hello"}}],
+                       "must_not": [{"term": {"text": "world"}}]}}
+    assert plus == _topk(idx, json_q)
+    # range clause on a fast field
+    node = A.parse_string('hello +turn_idx:[0 TO 1]', idx.schema)
+    assert isinstance(node, A.BoolQ) and node.must
+
+
+def test_build_metrics_lineage(spark, tmp_path, corpus):
+    idx = _build(spark, tmp_path, corpus, "m1", num_segments=2)
+    import os
+    path = os.path.join(idx.storage.root, "metrics.jsonl")
+    assert os.path.exists(path)
+    import json
+    rows = [json.loads(x) for x in open(path)]
+    assert len(rows) == 2
+    assert all(r["docs_per_sec_batch"] > 0 and r["segment_id"] for r in rows)

@@ -1,0 +1,76 @@
+"""Two-cluster-size scaling evidence (north_rule / BASELINE.md protocol).
+
+A real N vs 4N executor cluster is unavailable in this sandbox, so per
+the driver instruction we run the SAME build job on the SAME input at two
+parallelism levels — local[8] and local[32] — in separate processes, and
+report throughput at both plus
+
+    efficiency = (T_8 / T_32) / 4        (fixed work, ideal = 1.0)
+
+Writes BENCH/BASELINE.md.  Usage: python tools/bench_scaling.py [turns]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cpus: int, turns: int) -> dict:
+    env = dict(os.environ)
+    env.update(
+        {
+            "SPARK_GRAFT_CPUS": str(cpus),
+            "BENCH_TURNS": str(turns),
+            "BENCH_REPS": "3",
+        }
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, capture_output=True, text=True, check=True,
+    )
+    line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    turns = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
+    r8 = run(8, turns)
+    r32 = run(32, turns)
+    t8, t32 = r8["build"]["wall_s"], r32["build"]["wall_s"]
+    tps8, tps32 = r8["build"]["turns_per_sec"], r32["build"]["turns_per_sec"]
+    eff = (t8 / t32) / 4.0
+    md = f"""# BENCH/BASELINE — scaling evidence (local[8] vs local[32])
+
+Protocol per BASELINE.md: same index-build job, same {turns:,}-turn
+deterministic transcript input (seed 42), two parallelism levels as the
+sandbox substitute for N vs 4N executors.
+
+| parallelism | build wall (s) | throughput (turns/s) |
+| --- | --- | --- |
+| local[8]  (N)  | {t8:.2f} | {tps8:,.1f} |
+| local[32] (4N) | {t32:.2f} | {tps32:,.1f} |
+
+**Scaling efficiency = (T_N / T_4N) / 4 = {eff:.3f}**  (target ≥ 0.8)
+
+Query p50 latencies (s) at local[32]: `{json.dumps(r32["queries"])}`
+
+Raw bench lines:
+
+```json
+{json.dumps(r8)}
+{json.dumps(r32)}
+```
+"""
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write(md)
+    print(md)
+
+
+if __name__ == "__main__":
+    main()
