@@ -79,9 +79,11 @@ def main() -> None:
     cat = IndexCatalog(spark, base)
     idx = cat.create_index("bench", TRANSCRIPT_SCHEMA)
 
+    # seg_size must NOT depend on parallelism: the scaling comparison is
+    # fixed work at two cluster sizes (north_rule)
+    seg_size = int(os.environ.get("BENCH_SEG_SIZE", "100000"))
     t0 = time.time()
-    idx.add_df(docs, order_cols=["conv_id", "turn_idx"],
-               seg_size=max(50_000, n_turns // (2 * max(1, cpus // 4))))
+    idx.add_df(docs, order_cols=["conv_id", "turn_idx"], seg_size=seg_size)
     build_wall = time.time() - t0
     build_tps = n_turns / build_wall
 

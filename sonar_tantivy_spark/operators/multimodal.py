@@ -1,0 +1,133 @@
+"""Multimodal column plumbing — image/audio/video as opaque binary.
+
+The reference has no multimodal surface; this module adds the plumbing a
+large-scale training-data pipeline needs on top of the same tables:
+typed metadata around ``binary`` payload columns, Arrow-batched decode /
+feature-extract / frame-sample operators via ``mapInPandas``.
+
+The actual codecs (PIL/ffmpeg/librosa) are NOT available in this
+container, so the decode step is STUBBED: ``decode_stub=True`` (default)
+derives deterministic fake features from the payload bytes so the
+Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
+is real and tested; ``decode_stub=False`` raises NotImplementedError at
+the point a real decoder would plug in.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("n_bytes", T.LongType(), False),
+        T.StructField("sha1", T.StringType(), False),
+        T.StructField("n_frames", T.IntegerType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def media_from_docs(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a media table from a text corpus (payload = utf-8 bytes)
+    — a deterministic stand-in for real blob columns in tests/benches."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+
+
+def _stub_feature(payload: bytes, dim: int) -> np.ndarray:
+    """Deterministic fake embedding: sha1-seeded uniform vector."""
+    seed = int.from_bytes(hashlib.sha1(payload).digest()[:8], "big") % (2**32)
+    rng = np.random.default_rng(seed)
+    return rng.random(dim, dtype=np.float32)
+
+
+def extract_features(
+    media: DataFrame,
+    *,
+    dim: int = 16,
+    frame_stride: int = 1024,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Decode + featurize binary payloads, Arrow-batched via mapInPandas.
+
+    Real pipeline shape: batches arrive as Arrow buffers (zero-copy for
+    binary), per-batch decode, fixed-dim float feature out.  ``n_frames``
+    models frame sampling (1 frame per ``frame_stride`` payload bytes).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not decode_stub:
+                raise NotImplementedError(
+                    "real media decoders (PIL/ffmpeg) are not available in "
+                    "this environment; plug the decoder in here"
+                )
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": pdf["payload"].map(lambda b: len(b) if b is not None else 0),
+                "sha1": pdf["payload"].map(
+                    lambda b: hashlib.sha1(b or b"").hexdigest()),
+                "n_frames": pdf["payload"].map(
+                    lambda b: max(1, (len(b) if b is not None else 0) // frame_stride)),
+                "feature": pdf["payload"].map(
+                    lambda b: _stub_feature(b or b"", dim).tolist()),
+            }
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def near_dup_by_feature(features: DataFrame, threshold: float = 0.99) -> DataFrame:
+    """Embedding-cosine near-dup over extracted features: exact pairwise
+    within sha1-prefix buckets (LSH-style blocking keeps it scale-sane)."""
+    f = features.withColumn("bucket", F.substring("sha1", 1, 2))
+    a, b = f.alias("a"), f.alias("b")
+    dot = F.aggregate(
+        F.zip_with(F.col("a.feature"), F.col("b.feature"), lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    na = F.sqrt(F.aggregate(F.transform(F.col("a.feature"), lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(F.col("b.feature"), lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return (
+        a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"),
+                      F.col("a.media_id") < F.col("b.media_id")])
+        .select(F.col("a.media_id").alias("m1"), F.col("b.media_id").alias("m2"),
+                (dot / (na * nb)).alias("cos"))
+        .filter(F.col("cos") >= threshold)
+    )

@@ -1,0 +1,62 @@
+"""Incremental index maintenance via Structured Streaming.
+
+The reference is fully batch, but its visibility model — readers see new
+docs after each ``add_documents`` commit (ReloadPolicy::OnCommit,
+/root/reference/src-rust/index.rs:186-191, 214-225) — maps naturally to
+``foreachBatch``: every micro-batch runs the ordinary segment build and
+lands as an atomic manifest commit, so queries always see a consistent
+snapshot and a crashed stream resumes from Spark's checkpoint without
+double-committing (epoch = f(batch_id) → duplicate segment_ids are
+rejected, the same idempotence that guards batch resume).
+
+Usage:
+    q = start_incremental_indexing(stream_df, index, order_cols=[...])
+    q.processAllAvailable(); q.stop()
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from sonar_tantivy_spark.catalog import Index
+from sonar_tantivy_spark.sources.tableio import SegmentExistsError
+
+
+def start_incremental_indexing(
+    stream_df: DataFrame,
+    index: Index,
+    *,
+    order_cols: list[str],
+    seg_size: int | None = None,
+    checkpoint_dir: str,
+    trigger_once: bool = False,
+):
+    """Attach the index build as a foreachBatch sink of ``stream_df``.
+
+    Each micro-batch becomes >=1 new segment(s) under epoch ``b<batch_id>``;
+    replayed batches (after a crash between sink success and checkpoint
+    write) are absorbed by duplicate-segment rejection.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        try:
+            index.add_df(
+                batch_df,
+                order_cols=order_cols,
+                seg_size=seg_size,
+                num_segments=None if seg_size else 1,
+                epoch=f"b{batch_id}",
+            )
+        except SegmentExistsError:
+            pass  # batch replay after a crash — already committed
+
+    writer = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
