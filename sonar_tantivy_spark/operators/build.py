@@ -57,22 +57,14 @@ _TOKENS_TYPE = T.StructType(
     ]
 )
 
+# Per-doc postings as flat parallel arrays: ~2.5× cheaper to convert to
+# Arrow than an array<struct<...>> of per-term dicts.
 _PERDOC_TYPE = T.StructType(
     [
         T.StructField("dl", T.IntegerType(), False),
-        T.StructField(
-            "postings",
-            T.ArrayType(
-                T.StructType(
-                    [
-                        T.StructField("term", T.StringType(), False),
-                        T.StructField("tf", T.IntegerType(), False),
-                        T.StructField("positions", T.ArrayType(T.IntegerType()), False),
-                    ]
-                )
-            ),
-            False,
-        ),
+        T.StructField("terms", T.ArrayType(T.StringType()), False),
+        T.StructField("tfs", T.ArrayType(T.IntegerType()), False),
+        T.StructField("poss", T.ArrayType(T.ArrayType(T.IntegerType())), False),
     ]
 )
 
@@ -102,22 +94,49 @@ def make_perdoc_postings_udf(tokenizer: str):
     Output: struct(dl, postings: array<struct(term, tf, positions)>).
     """
 
+    from sonar_tantivy_spark.analyzer import _TOKEN_RE, MAX_TOKEN_BYTES
+    from sonar_tantivy_spark.functions.porter2 import stem as _stem
+
+    findall = _TOKEN_RE.findall
+    do_stem = tokenizer == "en_stem"
+    # memo: original token → analyzed term (None = dropped by RemoveLong).
+    # Keyed pre-lowercase so the whole analyze chain is one dict hit for
+    # repeated tokens — cost scales with distinct tokens, not occurrences.
+    memo: dict[str, str | None] = {}
+
+    def analyze(tok: str) -> str | None:
+        if len(tok) >= 10 and len(tok.encode("utf-8")) >= MAX_TOKEN_BYTES:
+            return None  # tokens under 10 chars are always < 40 bytes
+        low = tok.lower()
+        return _stem(low) if do_stem else low
+
     @F.pandas_udf(_PERDOC_TYPE)
     def _udf(texts: pd.Series) -> pd.DataFrame:
-        dls, plists = [], []
+        dls, terms_o, tfs_o, poss_o = [], [], [], []
+        memo_get = memo.get
         for text in texts:
-            pairs = _tokenize_py(text, tokenizer) if text is not None else []
             groups: dict[str, list[int]] = {}
-            for term, pos in pairs:
-                groups.setdefault(term, []).append(pos)
-            dls.append(len(pairs))
-            plists.append(
-                [
-                    {"term": t, "tf": len(pp), "positions": pp}
-                    for t, pp in groups.items()
-                ]
-            )
-        return pd.DataFrame({"dl": dls, "postings": plists})
+            dl = 0
+            if text is not None:
+                for pos, tok in enumerate(findall(text)):
+                    a = memo_get(tok, "\x00")
+                    if a == "\x00":
+                        a = memo[tok] = analyze(tok)
+                    if a is None:
+                        continue
+                    dl += 1
+                    g = groups.get(a)
+                    if g is None:
+                        groups[a] = [pos]
+                    else:
+                        g.append(pos)
+            dls.append(dl)
+            terms_o.append(list(groups.keys()))
+            pvals = list(groups.values())
+            tfs_o.append([len(v) for v in pvals])
+            poss_o.append(pvals)
+        return pd.DataFrame(
+            {"dl": dls, "terms": terms_o, "tfs": tfs_o, "poss": poss_o})
 
     return _udf
 
@@ -216,8 +235,10 @@ def build_segments(
     # ---- per-doc postings: one Arrow pass per analyzed field; the
     # (term → tf, positions) grouping happens inside the UDF batch, so the
     # raw token stream is NEVER shuffled.  Raw-tokenizer fields need no
-    # Python at all.  `perdoc` (one nested row per doc × field) is the only
-    # corpus-sized intermediate we persist.
+    # Python at all.  Nothing array-heavy is ever persisted to the columnar
+    # cache (that anti-scales badly); the postings parquet write IS the
+    # materialization, and doclens/termdict aggregate from the written
+    # files — pure JVM scans, no second UDF pass.
     perdoc_parts: list[DataFrame] = []
     for f in schema.indexed_fields:
         if f.name not in docs_tbl.columns:
@@ -229,13 +250,9 @@ def build_segments(
                     "docid",
                     F.lit(f.name).alias("field"),
                     F.lit(1).alias("dl"),
-                    F.array(
-                        F.struct(
-                            F.col(f.name).cast("string").alias("term"),
-                            F.lit(1).alias("tf"),
-                            F.array(F.lit(0)).alias("positions"),
-                        )
-                    ).alias("postings"),
+                    F.array(F.col(f.name).cast("string")).alias("terms"),
+                    F.array(F.lit(1)).alias("tfs"),
+                    F.array(F.array(F.lit(0))).alias("poss"),
                 )
             )
         else:
@@ -248,7 +265,9 @@ def build_segments(
                     "docid",
                     F.lit(f.name).alias("field"),
                     F.col("tk.dl").alias("dl"),
-                    F.col("tk.postings").alias("postings"),
+                    F.col("tk.terms").alias("terms"),
+                    F.col("tk.tfs").alias("tfs"),
+                    F.col("tk.poss").alias("poss"),
                 )
             )
     if not perdoc_parts:
@@ -256,61 +275,58 @@ def build_segments(
     perdoc = perdoc_parts[0]
     for p in perdoc_parts[1:]:
         perdoc = perdoc.unionByName(p)
-    perdoc = perdoc.withColumn(
-        "norm_id", fieldnorm_id_col(F.col("dl"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    perdoc = perdoc.withColumn("norm_id", fieldnorm_id_col(F.col("dl")))
 
     postings = perdoc.select(
         "segment_id", "field", "docid", "norm_id",
-        F.explode("postings").alias("p"),
+        F.explode(F.arrays_zip("terms", "tfs", "poss")).alias("e"),
     ).select(
         "segment_id", "field",
-        F.col("p.term").alias("term"),
+        F.col("e.terms").alias("term"),
         F.col("docid"),
-        F.col("p.tf").alias("tf"),
-        F.col("p.positions").alias("positions"),
+        F.col("e.tfs").alias("tf"),
+        F.col("e.poss").alias("positions"),
         "norm_id",
     )
 
-    doclens = perdoc.select(
-        "segment_id", "field", "docid", F.col("dl").cast("long").alias("len"), "norm_id"
-    )
-
-    # one map-side-combining hash aggregation (the only corpus-wide shuffle
-    # besides the docid range partition)
-    termdict = postings.groupBy("segment_id", "field", "term").agg(
-        F.count("*").cast("long").alias("df"),
-        F.max("tf").alias("max_tf"),
-        F.sum("tf").cast("long").alias("total_tf"),
-    )
-
-    # ---- writes.  Inputs are already partitioned by the groupBy keys; we
-    # only sort within partitions (term-clustered row groups → min/max
-    # pruning for pushed `term = X` predicates) — no extra shuffle.
-    storage.write_table(
-        docs_tbl.sortWithinPartitions("segment_id", "docid"), epoch, "docs"
-    )
+    # ---- writes.  One UDF pass total: postings lands first, then
+    # doclens/termdict aggregate from the WRITTEN parquet (columnar scans
+    # with only the needed columns — cheaper than caching nested arrays).
     storage.write_table(
         postings.sortWithinPartitions("segment_id", "field", "term", "docid"),
         epoch, "postings",
+    )
+    postings_r = storage.read_epoch_table(spark, epoch, "postings")
+
+    doclens = postings_r.groupBy("segment_id", "field", "docid").agg(
+        F.sum("tf").cast("long").alias("len"),
+        F.min("norm_id").alias("norm_id"),
     )
     storage.write_table(
         doclens.sortWithinPartitions("segment_id", "field", "docid"),
         epoch, "doclens",
     )
+    termdict = postings_r.groupBy("segment_id", "field", "term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.max("tf").alias("max_tf"),
+        F.sum("tf").cast("long").alias("total_tf"),
+    )
     storage.write_table(
         termdict.sortWithinPartitions("segment_id", "field", "term"),
         epoch, "termdict",
     )
+    storage.write_table(
+        docs_tbl.sortWithinPartitions("segment_id", "docid"), epoch, "docs"
+    )
+    doclens_r = storage.read_epoch_table(spark, epoch, "doclens")
 
     # ---- per-segment stats → manifest metas (tiny collect: segs × fields)
     stats = {
         (r["segment_id"], r["field"]): (r["total_tokens"], r["docs_with_field"])
-        for r in doclens.groupBy("segment_id", "field")
+        for r in doclens_r.groupBy("segment_id", "field")
         .agg(F.sum("len").alias("total_tokens"), F.count("*").alias("docs_with_field"))
         .collect()
     }
-    perdoc.unpersist()
     docs_tbl.unpersist()
     ranked_cache.unpersist()
 

@@ -121,6 +121,11 @@ class FsStorage:
             "partitionOverwriteMode", "dynamic"
         ).partitionBy("segment_id").parquet(self.epoch_dir(epoch, table))
 
+    def read_epoch_table(self, spark: SparkSession, epoch: str, table: str) -> DataFrame:
+        """Read back a just-written epoch table (pre-commit, build-internal)."""
+        base = self.epoch_dir(epoch, table)
+        return spark.read.option("basePath", base).parquet(base)
+
     def load_table(
         self, spark: SparkSession, table: str, segments: list[dict]
     ) -> DataFrame | None:
@@ -200,6 +205,9 @@ class MemStorage:
 
     def new_epoch(self) -> str:
         return f"m{len(self._tables)}-{time.monotonic_ns():x}"
+
+    def read_epoch_table(self, spark: SparkSession, epoch: str, table: str) -> DataFrame:
+        return self._tables[(epoch, table)]
 
     def load_table(
         self, spark: SparkSession, table: str, segments: list[dict]
