@@ -103,13 +103,17 @@ class Index:
 
     # -------------------------------------------------------------- query
     def searcher(self) -> Searcher:
-        """Reused until the manifest opstamp changes — the analog of
-        ReloadPolicy::OnCommit reader caching (index.rs:214-225)."""
-        op = self.storage.manifest()["opstamp"]
+        """Reused until the manifest changes — the analog of
+        ReloadPolicy::OnCommit reader caching (index.rs:214-225).  The
+        cache key is the full segment list (not just the opstamp):
+        compaction swaps segments without moving the opstamp."""
+        m = self.storage.manifest()
+        key = (m["opstamp"], tuple(s["segment_id"] for s in m["segments"]))
         cached = getattr(self, "_searcher", None)
-        if cached is not None and cached.manifest["opstamp"] == op:
+        if cached is not None and getattr(cached, "_cache_key", None) == key:
             return cached
         self._searcher = Searcher(self.spark, self.schema, self.storage)
+        self._searcher._cache_key = key
         return self._searcher
 
     def query(

@@ -226,11 +226,14 @@ def build_segments(
             cond = c if cond is None else (cond | c)
         with_id = with_id.filter(cond)
 
+    # docs_tbl is a map-only projection over the already-persisted ranked
+    # cache — persisting it again would double-materialize the corpus
+    # (memory + one extra pass), which measurably hurts build scaling.
     seg_expr = (F.col("docid_g") / F.lit(seg_size)).cast("int")
     sid_expr = F.concat(F.lit(f"{epoch}-"), F.lpad(seg_expr.cast("string"), 5, "0"))
     docs_tbl = with_id.withColumn("segment_id", sid_expr).withColumn(
         "docid", (F.col("docid_g") % F.lit(seg_size)).cast("long")
-    ).drop("docid_g").persist(StorageLevel.MEMORY_AND_DISK)
+    ).drop("docid_g")
 
     # ---- per-doc postings: one Arrow pass per analyzed field; the
     # (term → tf, positions) grouping happens inside the UDF batch, so the
@@ -327,7 +330,6 @@ def build_segments(
         .agg(F.sum("len").alias("total_tokens"), F.count("*").alias("docs_with_field"))
         .collect()
     }
-    docs_tbl.unpersist()
     ranked_cache.unpersist()
 
     wall = time.time() - t0

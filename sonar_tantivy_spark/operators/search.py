@@ -74,7 +74,14 @@ class Searcher:
         return self._tables[name]
 
     def _empty(self) -> DataFrame:
-        return self.spark.createDataFrame([], _CAND_SCHEMA)
+        # JVM-side empty relation (spark.range(0)), NOT createDataFrame([]):
+        # the latter is a Python-RDD scan that defeats whole-stage codegen
+        # and empty-relation propagation when it ends up inside a plan.
+        return self.spark.range(0).select(
+            F.lit("").alias("segment_id"),
+            F.col("id").alias("docid"),
+            F.lit(0.0).alias("score"),
+        )
 
     def term_dfs(self, pairs: set[tuple[str, str]]) -> dict[tuple[str, str], int]:
         """Global doc-freq per (field, term): one pushdown-filtered termdict
@@ -113,6 +120,15 @@ class Searcher:
     # -------------------------------------------------------- candidate sets
     def candidates(self, node: A.Node, dfs: dict | None = None) -> DataFrame:
         """Compile to DF(segment_id, docid, score) with unique (seg, docid)."""
+        out = self._cand_opt(node, dfs)
+        return self._empty() if out is None else out
+
+    def _cand_opt(self, node: A.Node, dfs: dict | None = None) -> DataFrame | None:
+        """Like ``candidates`` but returns None for a provably-empty clause
+        (zero-df term), so boolean compilation can drop the clause instead
+        of unioning/joining an empty relation — a zero-df should-clause
+        costs nothing, and a zero-df must-clause short-circuits the whole
+        query, exactly like tantivy's EmptyScorer."""
         if dfs is None:
             dfs = self.term_dfs(collect_terms(node))
         if isinstance(node, A.TermQ):
@@ -137,24 +153,26 @@ class Searcher:
             return None
         return p.filter((F.col("field") == field) & (F.col("term") == term))
 
-    def _cand_term(self, node: A.TermQ, dfs: dict) -> DataFrame:
+    def _cand_term(self, node: A.TermQ, dfs: dict) -> DataFrame | None:
         df_t = dfs.get((node.field, node.term), 0)
         if df_t == 0:
-            return self._empty()
+            return None
         idf = bm25.idf(df_t, self.num_docs)
         p = self._postings_for(node.field, node.term)
+        if p is None:
+            return None
         return p.select(
             "segment_id", "docid", self._score_col(node.field, idf, F.col("tf"))
         )
 
-    def _cand_phrase(self, node: A.PhraseQ, dfs: dict) -> DataFrame:
+    def _cand_phrase(self, node: A.PhraseQ, dfs: dict) -> DataFrame | None:
         terms = node.terms
         if not terms:
-            return self._empty()
+            return None
         if len(terms) == 1:
             return self._cand_term(A.TermQ(node.field, terms[0]), dfs)
         if any(dfs.get((node.field, t), 0) == 0 for t in terms):
-            return self._empty()
+            return None
         parts = []
         for i, t in enumerate(terms):
             cols = ["segment_id", "docid", F.col("positions").alias(f"p{i}")]
@@ -177,12 +195,12 @@ class Searcher:
             self._score_col(node.field, idf_sum, F.size("__m")),
         )
 
-    def _cand_fuzzy(self, node: A.FuzzyQ) -> DataFrame:
+    def _cand_fuzzy(self, node: A.FuzzyQ) -> DataFrame | None:
         """Levenshtein termdict expansion — the FST-automaton analog.
         Like tantivy's AutomatonWeight, matches are constant-score 1.0."""
         td = self._table("termdict")
         if td is None:
-            return self._empty()
+            return None
         terms_df = (
             td.filter(F.col("field") == node.field)
             .filter(F.levenshtein(F.col("term"), F.lit(node.term)) <= node.distance)
@@ -195,10 +213,10 @@ class Searcher:
             .withColumn("score", F.lit(1.0))
         )
 
-    def _cand_regex(self, node: A.RegexQ) -> DataFrame:
+    def _cand_regex(self, node: A.RegexQ) -> DataFrame | None:
         td = self._table("termdict")
         if td is None:
-            return self._empty()
+            return None
         p = self._table("postings")
         terms_df = (
             td.filter((F.col("field") == node.field)
@@ -213,10 +231,10 @@ class Searcher:
             .withColumn("score", F.lit(1.0))
         )
 
-    def _cand_range(self, node: A.RangeQ) -> DataFrame:
+    def _cand_range(self, node: A.RangeQ) -> DataFrame | None:
         docs = self._table("docs")
         if docs is None:
-            return self._empty()
+            return None
         fdef = self.schema.field(node.field)
         col = F.col(node.field)
         if fdef is not None and fdef.type == "date":
@@ -238,16 +256,22 @@ class Searcher:
             "segment_id", "docid", F.lit(1.0).alias("score")
         )
 
-    def _cand_all(self) -> DataFrame:
+    def _cand_all(self) -> DataFrame | None:
         docs = self._table("docs")
         if docs is None:
-            return self._empty()
+            return None
         return docs.select("segment_id", "docid", F.lit(1.0).alias("score"))
 
-    def _cand_bool(self, node: A.BoolQ, dfs: dict) -> DataFrame:
-        musts = [self.candidates(c, dfs) for c in node.must]
-        shoulds = [self.candidates(c, dfs) for c in node.should]
-        mnots = [self.candidates(c, dfs) for c in node.must_not]
+    def _cand_bool(self, node: A.BoolQ, dfs: dict) -> DataFrame | None:
+        # a zero-df must-clause empties the whole conjunction; zero-df
+        # should/must_not clauses are simply dropped from the plan
+        musts = [self._cand_opt(c, dfs) for c in node.must]
+        if node.must and any(m is None for m in musts):
+            return None
+        shoulds = [s for s in (self._cand_opt(c, dfs) for c in node.should)
+                   if s is not None]
+        mnots = [m for m in (self._cand_opt(c, dfs) for c in node.must_not)
+                 if m is not None]
 
         if musts:
             out = musts[0]
@@ -266,11 +290,13 @@ class Searcher:
                 ).drop(f"__o{i}")
         elif shoulds:
             out = shoulds[0]
-            for s in shoulds[1:]:
-                out = out.unionByName(s)
-            out = out.groupBy("segment_id", "docid").agg(F.sum("score").alias("score"))
+            if len(shoulds) > 1:  # single clause is already (seg, docid)-unique
+                for s in shoulds[1:]:
+                    out = out.unionByName(s)
+                out = out.groupBy("segment_id", "docid").agg(
+                    F.sum("score").alias("score"))
         else:
-            return self._empty()  # only-must_not matches nothing ⟨tantivy⟩
+            return None  # only-must_not (or all-empty) matches nothing ⟨tantivy⟩
 
         for mn in mnots:
             out = out.join(
