@@ -149,7 +149,11 @@ def _assign_docids(df: DataFrame, order_cols: list[str], parallelism: int) -> Da
     The global rank is invariant to the sampled range boundaries, so
     docids are stable across parallelism levels and re-runs.
     """
-    parts = max(1, parallelism)
+    # over-partition 4x the core count: build tasks (tokenize UDF + sort +
+    # parquet encode) have skewed durations, and one straggler task at
+    # parts==cores idles the whole cluster for its tail — measured as
+    # long 1-4-busy-core stretches.  ~4 waves of smaller tasks amortize it.
+    parts = max(1, 4 * parallelism)
     ranked = (
         df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
@@ -166,12 +170,25 @@ def _assign_docids(df: DataFrame, order_cols: list[str], parallelism: int) -> Da
     # within each partition (pid << 33 | row#), and the rows are already in
     # sorted order within range-ordered partitions, so
     # global rank = offset[pid] + (mid & (2^33 - 1)) — no Arrow roundtrip.
-    pairs: list = []
-    for pid, off in offsets.items():
-        pairs.extend([F.lit(pid), F.lit(off)])
-    offset_col = F.element_at(F.create_map(*pairs), F.col("__pid"))
     local = F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
-    out = ranked.withColumn("docid_g", (offset_col + local).cast("long")).drop("__pid")
+    if len(offsets) <= 4096:
+        pairs: list = []
+        for pid, off in offsets.items():
+            pairs.extend([F.lit(pid), F.lit(off)])
+        offset_col = F.element_at(F.create_map(*pairs), F.col("__pid"))
+        out = ranked.withColumn(
+            "docid_g", (offset_col + local).cast("long")).drop("__pid")
+    else:
+        # cluster scale: tens of thousands of partitions would make the
+        # literal map unlintable for codegen — broadcast-join the offsets
+        off_df = ranked.sparkSession.createDataFrame(
+            list(offsets.items()), "__pid int, __off long")
+        out = (
+            ranked.withColumn("__local", local)
+            .join(F.broadcast(off_df), on="__pid")
+            .withColumn("docid_g", (F.col("__off") + F.col("__local")).cast("long"))
+            .drop("__pid", "__off", "__local")
+        )
     return out, ranked, acc
 
 
@@ -194,6 +211,14 @@ def build_segments(
     by construction, mirroring index.rs:314-316.
     """
     t0 = time.time()
+    phase_walls: dict[str, float] = {}
+    _tp = [t0]
+
+    def _phase(name: str) -> None:
+        now = time.time()
+        phase_walls[name] = round(now - _tp[0], 2)
+        _tp[0] = now
+
     if epoch is None:
         epoch = storage.new_epoch() if hasattr(storage, "new_epoch") else "e0"
     parallelism = spark.sparkContext.defaultParallelism
@@ -204,6 +229,7 @@ def build_segments(
     docs_df = docs_df.select(*keep)
 
     with_id, ranked_cache, n = _assign_docids(docs_df, order_cols, parallelism)
+    _phase("docid_assign")
     if n == 0:
         ranked_cache.unpersist()
         return []
@@ -295,32 +321,47 @@ def build_segments(
     # ---- writes.  One UDF pass total: postings lands first, then
     # doclens/termdict aggregate from the WRITTEN parquet (columnar scans
     # with only the needed columns — cheaper than caching nested arrays).
-    storage.write_table(
-        postings.sortWithinPartitions("segment_id", "field", "term", "docid"),
-        epoch, "postings",
-    )
-    postings_r = storage.read_epoch_table(spark, epoch, "postings")
+    # Independent writes run as CONCURRENT Spark jobs (thread pool): the
+    # docs write overlaps the postings job, and doclens/termdict overlap
+    # each other — their small shuffles would otherwise serialize 3 job
+    # barriers while most executor cores idle.
+    from concurrent.futures import ThreadPoolExecutor
 
-    doclens = postings_r.groupBy("segment_id", "field", "docid").agg(
-        F.sum("tf").cast("long").alias("len"),
-        F.min("norm_id").alias("norm_id"),
-    )
-    storage.write_table(
-        doclens.sortWithinPartitions("segment_id", "field", "docid"),
-        epoch, "doclens",
-    )
-    termdict = postings_r.groupBy("segment_id", "field", "term").agg(
-        F.count("*").cast("long").alias("df"),
-        F.max("tf").alias("max_tf"),
-        F.sum("tf").cast("long").alias("total_tf"),
-    )
-    storage.write_table(
-        termdict.sortWithinPartitions("segment_id", "field", "term"),
-        epoch, "termdict",
-    )
-    storage.write_table(
-        docs_tbl.sortWithinPartitions("segment_id", "docid"), epoch, "docs"
-    )
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_docs = pool.submit(
+            storage.write_table,
+            docs_tbl.sortWithinPartitions("segment_id", "docid"), epoch, "docs",
+        )
+        storage.write_table(
+            postings.sortWithinPartitions("segment_id", "field", "term", "docid"),
+            epoch, "postings",
+        )
+        _phase("postings_write")
+        postings_r = storage.read_epoch_table(spark, epoch, "postings")
+
+        doclens = postings_r.groupBy("segment_id", "field", "docid").agg(
+            F.sum("tf").cast("long").alias("len"),
+            F.min("norm_id").alias("norm_id"),
+        )
+        fut_doclens = pool.submit(
+            storage.write_table,
+            doclens.sortWithinPartitions("segment_id", "field", "docid"),
+            epoch, "doclens",
+        )
+        termdict = postings_r.groupBy("segment_id", "field", "term").agg(
+            F.count("*").cast("long").alias("df"),
+            F.max("tf").alias("max_tf"),
+            F.sum("tf").cast("long").alias("total_tf"),
+        )
+        storage.write_table(
+            termdict.sortWithinPartitions("segment_id", "field", "term"),
+            epoch, "termdict",
+        )
+        _phase("termdict_write")
+        fut_doclens.result()
+        _phase("doclens_write")
+        fut_docs.result()
+        _phase("docs_write")
     doclens_r = storage.read_epoch_table(spark, epoch, "doclens")
 
     # ---- per-segment stats → manifest metas (tiny collect: segs × fields)
@@ -333,6 +374,7 @@ def build_segments(
     ranked_cache.unpersist()
 
     wall = time.time() - t0
+    _phase("stats_collect")
     metas, metrics = [], []
     for i in todo:
         sid = seg_ids[i]
@@ -353,7 +395,8 @@ def build_segments(
         metrics.append(
             {"segment_id": sid, "num_docs": max_doc, "epoch": epoch,
              "build_wall_s": round(wall, 3),
-             "docs_per_sec_batch": round(n / wall, 1)}
+             "docs_per_sec_batch": round(n / wall, 1),
+             "phase_walls_s": phase_walls}
         )
     storage.append_segments(metas)
     storage.log_metrics(metrics)

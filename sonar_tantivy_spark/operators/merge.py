@@ -16,7 +16,37 @@ test suite asserts this.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import functions as F
+
+
+def compact_to(index, target_segments: int = 1) -> list[dict]:
+    """Merge the manifest down to ~``target_segments`` segments.
+
+    tantivy's LogMergePolicy never collapses a big index to ONE segment;
+    at 10^12 turns neither should we — several large segments keep query
+    scans partition-parallel and give the WAND-style segment pruning
+    (search.py) something to skip.  Chunks are contiguous in manifest
+    order and balanced by doc count, so global docids are preserved.
+    """
+    segs = index.storage.manifest()["segments"]
+    if len(segs) <= target_segments:
+        return []
+    total = sum(s["max_doc"] for s in segs)
+    per = math.ceil(total / max(1, target_segments))
+    chunks: list[list[str]] = []
+    cur: list[str] = []
+    acc = 0
+    for s in segs:
+        cur.append(s["segment_id"])
+        acc += s["max_doc"]
+        if acc >= per:
+            chunks.append(cur)
+            cur, acc = [], 0
+    if cur:
+        chunks.append(cur)
+    return [compact(index, chunk) for chunk in chunks if len(chunk) > 1]
 
 
 def compact(index, segment_ids: list[str] | None = None) -> dict:
@@ -67,9 +97,16 @@ def compact(index, segment_ids: list[str] | None = None) -> dict:
     storage.write_table(
         rebased("docs").sortWithinPartitions("docid"), epoch, "docs"
     )
+    # docid in the range key is the skew guard: RangePartitioner may then
+    # place boundaries INSIDE a hot term (stop words have df ~ num_docs),
+    # splitting its postings across tasks instead of melting one executor
+    # — the salted-repartition analog, without a synthetic salt column.
+    # Term-level file pruning survives: adjacent files just share one
+    # boundary term in their min/max range.
     storage.write_table(
         rebased("postings").repartitionByRange(
-            max(1, spark.sparkContext.defaultParallelism), "field", "term"
+            max(1, 2 * spark.sparkContext.defaultParallelism),
+            "field", "term", "docid",
         ).sortWithinPartitions("field", "term", "docid"),
         epoch, "postings",
     )

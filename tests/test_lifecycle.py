@@ -4,7 +4,7 @@ resume-from-checkpoint idempotence, string-grammar extras."""
 import pytest
 
 from sonar_tantivy_spark import IndexCatalog
-from sonar_tantivy_spark.operators.merge import compact
+from sonar_tantivy_spark.operators.merge import compact, compact_to
 from sonar_tantivy_spark.plans import ast as A
 from sonar_tantivy_spark.sources.transcripts import (
     TRANSCRIPT_SCHEMA,
@@ -48,6 +48,19 @@ def test_compaction_preserves_results(spark, tmp_path, corpus):
     # global stats unchanged
     s = idx.searcher()
     assert s.num_docs == N
+
+
+def test_compact_to_preserves_results(spark, tmp_path, corpus):
+    idx = _build(spark, tmp_path, corpus, "c2", num_segments=4)
+    q = {"bool": {"should": [{"term": {"text": "hello"}},
+                             {"term": {"text": "the"}}]}}
+    before = _topk(idx, q)
+    compact_to(idx, target_segments=2)
+    assert len(idx.segment_info()) == 2
+    assert _topk(idx, q) == before
+    # idempotent at target: nothing left to merge
+    assert compact_to(idx, target_segments=2) == []
+    assert _topk(idx, q) == before
 
 
 def test_wand_pruning_parity(spark, tmp_path, corpus):

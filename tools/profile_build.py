@@ -23,7 +23,7 @@ spark = (
     .appName("profile-build")
     .config("spark.sql.shuffle.partitions", str(2 * cpus))
     .config("spark.sql.adaptive.enabled", "true")
-    .config("spark.driver.memory", "16g")
+    .config("spark.driver.memory", f"{max(8, 2*cpus)}g")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.session.timeZone", "UTC")
     .getOrCreate()
