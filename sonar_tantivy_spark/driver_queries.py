@@ -151,6 +151,42 @@ def q_ft_phrase(spark, sf_dir):
     return _topk(j.select("doc_id", (F.lit(idf_sum * (K1 + 1.0)) * tf / denom).alias("score")))
 
 
+def q_ft_all(spark, sf_dir):
+    """AllQuery: every document, constant score 1.0, docid tie-break
+    (tantivy AllQuery semantics, search.rs:60)."""
+    return (_docs(spark, sf_dir)
+            .select("doc_id", F.lit(1.0).alias("score"))
+            .orderBy("doc_id").limit(10))
+
+
+def q_ft_phrase3(spark, sf_dir):
+    """3-term phrase — generalized adjacency chain (positions p, p+1, p+2),
+    phrase-frequency BM25 like q_ft_phrase."""
+    t = _ft(spark, sf_dir)
+    terms = ("slow", "hash", "batch")
+    docs_toks = _docs(spark, sf_dir)
+    udf = make_tokenize_udf("en_stem")
+    toks = (
+        docs_toks.select("doc_id", udf(F.col("text")).alias("tk"))
+        .select("doc_id",
+                F.explode(F.arrays_zip(F.col("tk.terms"), F.col("tk.poss"))).alias("e"))
+        .select("doc_id", F.col("e.terms").alias("term"), F.col("e.poss").alias("pos"))
+    )
+    a = toks.filter(F.col("term") == terms[0]).select("doc_id", F.col("pos").alias("p0"))
+    b = toks.filter(F.col("term") == terms[1]).select("doc_id", (F.col("pos") - 1).alias("p0"))
+    c = toks.filter(F.col("term") == terms[2]).select("doc_id", (F.col("pos") - 2).alias("p0"))
+    adj = (a.join(b, on=["doc_id", "p0"]).join(c, on=["doc_id", "p0"])
+           .groupBy("doc_id").agg(F.count("*").cast("int").alias("ptf")))
+    n, avgdl = float(t["N"]), t["avgdl"]
+    dfs = {r["term"]: r["df"] for r in
+           t["termdf"].filter(F.col("term").isin(*terms)).collect()}
+    idf_sum = sum(bm25.idf(dfs[x], t["N"]) for x in terms)
+    j = adj.join(t["doclen"], on="doc_id")
+    tf = F.col("ptf").cast("double")
+    denom = tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B / avgdl) * F.col("dl").cast("double"))
+    return _topk(j.select("doc_id", (F.lit(idf_sum * (K1 + 1.0)) * tf / denom).alias("score")))
+
+
 def q_ft_termdict(spark, sf_dir):
     return _ft(spark, sf_dir)["termdf"].select("term", "df")
 
@@ -347,6 +383,28 @@ def q_ann_lsh_bucket(spark, sf_dir):
             .withColumn("cos", F.round("cos", 4)))
 
 
+def q_dd_embed_cosine_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: brute-force all-pairs cosine with
+    a threshold (the exact baseline; the LSH-bucketed variant above is the
+    scale path — bucket first, then pair only within buckets)."""
+    emb = _emb(spark, sf_dir)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    e = emb.select("vec_id", v.alias("v"),
+                   F.sqrt(F.aggregate(F.transform("embedding",
+                          lambda x: x.cast("double") * x.cast("double")),
+                          F.lit(0.0), lambda acc, x: acc + x)).alias("nrm"))
+    a = e.select(F.col("vec_id").alias("v1"), F.col("v").alias("va"),
+                 F.col("nrm").alias("na"))
+    b = e.select(F.col("vec_id").alias("v2"), F.col("v").alias("vb"),
+                 F.col("nrm").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    pairs = (a.join(b, F.col("v1") < F.col("v2"))
+             .select("v1", "v2", (dot / (F.col("na") * F.col("nb"))).alias("cos")))
+    return (pairs.filter(F.round("cos", 4) >= 0.45)
+            .select("v1", "v2", F.round("cos", 4).alias("cos")))
+
+
 # text analysis --------------------------------------------------------------
 def q_tx_token_count(spark, sf_dir):
     return _docs(spark, sf_dir).select(
@@ -425,6 +483,8 @@ QUERIES = {
     "ft_bool_should": q_ft_bool_should,
     "ft_must_not": q_ft_must_not,
     "ft_phrase": q_ft_phrase,
+    "ft_all": q_ft_all,
+    "ft_phrase3": q_ft_phrase3,
     "ft_termdict": q_ft_termdict,
     "ft_stats": q_ft_stats,
     "ft_sort_fast_field": q_ft_sort_fast_field,
@@ -436,6 +496,7 @@ QUERIES = {
     "dd_minhash_bands": q_dd_minhash_bands,
     "dd_jaccard_pairs": q_dd_jaccard_pairs,
     "dd_simhash": q_dd_simhash,
+    "dd_embed_cosine_pairs": q_dd_embed_cosine_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "tx_token_count": q_tx_token_count,
@@ -545,6 +606,23 @@ FROM adj j JOIN dlq q USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
 ORDER BY round(i.idf_sum * 2.2 * j.ptf
                / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 7) DESC, j.doc_id
 LIMIT 10""",
+        "ft_all": """SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents
+ORDER BY doc_id LIMIT 10""",
+        "ft_phrase3": pre + """, adj3 AS (
+  SELECT a.doc_id, count(*) AS ptf FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+  WHERE a.term = 'slow' AND b.term = 'hash' AND c.term = 'batch'
+  GROUP BY a.doc_id),
+idfs3 AS (SELECT sum(ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5))) AS idf_sum
+          FROM tdf t CROSS JOIN stats s WHERE t.term IN ('slow', 'hash', 'batch'))
+SELECT j.doc_id,
+       round(i.idf_sum * 2.2 * j.ptf
+             / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 4) AS score
+FROM adj3 j JOIN dlq q USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs3 i
+ORDER BY round(i.idf_sum * 2.2 * j.ptf
+               / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 7) DESC, j.doc_id
+LIMIT 10""",
         "ft_termdict": pre + "SELECT term, df FROM tdf",
         "ft_stats": pre + """SELECT count(*)::BIGINT AS num_docs,
 sum(len)::BIGINT AS total_tokens, round(sum(len)::DOUBLE / count(*), 6) AS avgdl
@@ -582,6 +660,15 @@ SELECT d1, d2, round(i / (sa.sz + sb.sz - i), 4) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
 WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5""",
         "dd_simhash": pre + _simhash_sql(),
+        "dd_embed_cosine_pairs": """WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS v1, b.vec_id AS v2,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT v1, v2, round(cos, 4) AS cos FROM pairs WHERE round(cos, 4) >= 0.45""",
         "ann_cosine_topk": _ANN_PREFIX + """SELECT vec_id, round(cos, 4) AS cos FROM c
 ORDER BY round(cos, 7) DESC, vec_id LIMIT 5""",
         "ann_lsh_bucket": _ANN_PREFIX
