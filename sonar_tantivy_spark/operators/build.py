@@ -38,7 +38,6 @@ from __future__ import annotations
 
 import math
 import time
-from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession

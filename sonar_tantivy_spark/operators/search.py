@@ -38,9 +38,6 @@ from sonar_tantivy_spark.functions import bm25
 from sonar_tantivy_spark.plans import ast as A
 from sonar_tantivy_spark.plans.schema import IndexSchema
 
-_CAND_SCHEMA = "segment_id string, docid long, score double"
-
-
 class Searcher:
     """One index snapshot: manifest segments + lazily loaded tables."""
 
