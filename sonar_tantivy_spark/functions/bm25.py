@@ -19,6 +19,20 @@ same table (SURVEY.md §2.9).
 
 Global statistics: ``N`` (docs in the searcher), ``df`` and ``avgdl``
 aggregate over ALL segments of the index snapshot, never per segment.
+
+ASSUMPTION (unverifiable in this sandbox): ``FIELDNORM_TABLE`` below is
+our reconstruction of tantivy 0.18's fieldnorm code (exact below 40,
+then a 3-bit-mantissa geometric code with mantissa 10..17 so the first
+geometric entry continues exactly at 40 and the table stays monotone).
+The reference does not vendor tantivy and this sandbox has no network
+or crates access, so the table cannot be diffed against tantivy's
+``src/fieldnorm/code.rs`` ``FIELD_NORMS_TABLE``.  The engine, the
+pure-Python test oracle, and every DuckDB oracle SQL decode through
+THIS table, so all correctness gates are internally consistent; if the
+real tantivy table differs, BM25 scores for docs with >= 40 tokens
+would deviate from a real tantivy build while every in-repo check still
+passes.  Before claiming bit-parity against a live tantivy deployment,
+regenerate golden fixtures from tantivy 0.18 and re-derive this table.
 """
 
 from __future__ import annotations
