@@ -142,6 +142,12 @@ class Searcher:
             return self._cand_range(node)
         if isinstance(node, A.AllQ):
             return self._cand_all()
+        if isinstance(node, A.BoostQ):
+            child = self._cand_opt(node.child, dfs)
+            if child is None:
+                return None
+            return child.withColumn(
+                "score", F.col("score") * F.lit(float(node.boost)))
         raise A.QueryError(f"cannot compile {type(node).__name__}")
 
     def _postings_for(self, field: str, term: str) -> DataFrame | None:
@@ -328,16 +334,21 @@ class Searcher:
         """DF(segment_id, docid, docid_g, score) of the top ``limit`` hits.
 
         ``sort_by`` mirrors TopDocs::order_by_u64_field: honored only for a
-        fast+stored field, silently falling back to score otherwise
-        (search.rs:19-29)."""
+        fast AND stored field (search.rs:23-25), silently falling back to
+        BM25 score otherwise.  When the sorted collector is used, the hit
+        *score* is the fast-field value itself, not BM25 — search.rs:67-77
+        maps ``(score, doc)`` with ``score as f32`` straight off the u64
+        collector."""
         cands = self.with_global_docid(self.candidates(node))
         fdef = self.schema.field(sort_by) if sort_by else None
-        if fdef is not None and (fdef.fast or fdef.type == "date") and fdef.stored:
+        if fdef is not None and fdef.fast and fdef.stored:
             docs = self._table("docs").select("segment_id", "docid", sort_by)
             cands = cands.join(docs, on=["segment_id", "docid"])
-            return cands.orderBy(
-                F.desc(sort_by), F.asc("docid_g")
-            ).limit(limit).drop(sort_by)
+            return (
+                cands.orderBy(F.desc(sort_by), F.asc("docid_g")).limit(limit)
+                .withColumn("score", F.col(sort_by).cast("double"))
+                .drop(sort_by)
+            )
         return cands.orderBy(F.desc("score"), F.asc("docid_g")).limit(limit)
 
     # ------------------------------------------------- block-max pruning
@@ -466,6 +477,8 @@ def collect_terms(node: A.Node) -> set[tuple[str, str]]:
     elif isinstance(node, A.BoolQ):
         for c in node.must + node.must_not + node.should:
             out.update(collect_terms(c))
+    elif isinstance(node, A.BoostQ):
+        out.update(collect_terms(node.child))
     return out
 
 

@@ -85,6 +85,8 @@ def collect_positive_terms(node) -> dict[str, set[str]]:
             for c in n.must + n.should:
                 walk(c, positive)
             # must_not: skip
+        elif isinstance(n, A.BoostQ):
+            walk(n.child, positive)
 
     walk(node)
     return out

@@ -14,7 +14,6 @@ operators/search.py.
 
 from __future__ import annotations
 
-import re
 from dataclasses import dataclass, field as dc_field
 from typing import Any
 
@@ -78,6 +77,15 @@ class BoolQ(Node):
     should: list[Node] = dc_field(default_factory=list)
 
 
+@dataclass
+class BoostQ(Node):
+    """``child^boost`` — multiplies the child's score (tantivy BoostQuery,
+    produced by the QueryParser's ``^N`` suffix)."""
+
+    child: Node
+    boost: float = 1.0
+
+
 def _analyze_one(schema: IndexSchema, field: str, value: str) -> list[str]:
     return analyze_terms(str(value), schema.tokenizer_for(field))
 
@@ -139,98 +147,263 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
     if kind == "all":
         return AllQ()
     if kind == "raw":
-        return parse_string(body if isinstance(body, str) else body["query"], schema)
+        # Query::Raw builds its parser over ALL schema fields
+        # (search.rs:52-59), unlike the string-RPC path which stops at the
+        # first non-indexed field (index.rs:230-239).  Non-indexed fields
+        # can never match postings, so "all indexed fields regardless of
+        # position" is the observable equivalent.
+        return parse_string(
+            body if isinstance(body, str) else body["query"], schema,
+            default_fields=[f.name for f in schema.indexed_fields],
+        )
     raise QueryError(f"unknown query variant {kind!r}")
 
 
 # ------------------------------------------------------------ string grammar
+#
+# Recursive-descent parser for the tantivy QueryParser grammar (the
+# reference inherits it wholesale at index.rs:259).  Covered shapes:
+#
+#     bare terms (OR'd across default fields)     hello world
+#     occur prefixes                              +must -not NOT x
+#     field scoping                               title:foo
+#     phrases                                     "a b"  title:"a b"
+#     ranges                                      ts:[a TO b]  n:{a TO b}
+#     grouping                                    (a OR b) AND c
+#     boost                                       foo^2  "a b"^0.5  (x y)^3
+#     escaping                                    foo\:bar  \+term
+#     connectors                                  a AND b / a OR b / AND NOT
+#
+# Connector semantics match the engine's prior rewrite (and tantivy's
+# clause-occur model): ``AND`` upgrades both neighbors to must; ``OR``
+# leaves neighbors as should; explicit +/-/NOT win over connectors.
 
-_TOKEN_SPLIT_RE = re.compile(
-    r"""
-    \s*(?:
-        (?P<occur>[+-])?
-        (?:(?P<field>[\w.]+):)?
-        (?:
-            "(?P<phrase>[^"]*)"
-          | \[(?P<range_lo>\S+)\s+TO\s+(?P<range_hi>\S+)\]
-          | (?P<term>[^\s]+)
-        )
-    )
-    """,
-    re.VERBOSE,
-)
+
+_WORD_BREAK = set('()^"[{')
+
+
+def _lex_query(q: str) -> list[tuple]:
+    """Scan a query string into tokens.
+
+    Token shapes: ('lparen',) ('rparen',) ('plus',) ('minus',)
+    ('and',) ('or',) ('not',) ('boost', float) ('field', name)
+    ('phrase', text) ('range', lo, hi, lo_incl, hi_incl) ('term', text)
+    """
+    toks: list[tuple] = []
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c.isspace():
+            i += 1
+            continue
+        if c == "(":
+            toks.append(("lparen",))
+            i += 1
+            continue
+        if c == ")":
+            toks.append(("rparen",))
+            i += 1
+            continue
+        if c == "+" :
+            toks.append(("plus",))
+            i += 1
+            continue
+        if c == "-":
+            toks.append(("minus",))
+            i += 1
+            continue
+        if c == "^":
+            j = i + 1
+            while j < n and (q[j].isdigit() or q[j] == "."):
+                j += 1
+            if j == i + 1:
+                raise QueryError(f"expected number after '^' at {i}")
+            toks.append(("boost", float(q[i + 1:j])))
+            i = j
+            continue
+        if c == '"':
+            j = i + 1
+            buf: list[str] = []
+            while j < n and q[j] != '"':
+                if q[j] == "\\" and j + 1 < n:
+                    j += 1
+                buf.append(q[j])
+                j += 1
+            if j >= n:
+                raise QueryError("unterminated phrase quote")
+            toks.append(("phrase", "".join(buf)))
+            i = j + 1
+            continue
+        if c in "[{":
+            close = "]" if c == "[" else "}"
+            # exclusive at either end: tantivy allows mixed [a TO b}
+            j = i + 1
+            while j < n and q[j] not in "]}":
+                j += 1
+            if j >= n:
+                raise QueryError("unterminated range")
+            body = q[i + 1:j].split()
+            if len(body) != 3 or body[1] != "TO":
+                raise QueryError(f"malformed range {q[i:j + 1]!r}")
+            toks.append(("range", body[0], body[2], c == "[", q[j] == "]"))
+            i = j + 1
+            continue
+        # bare word: term / field-prefix / AND / OR / NOT, with \ escapes
+        buf = []
+        saw_escape = False
+        j = i
+        while j < n and not q[j].isspace() and q[j] not in _WORD_BREAK:
+            if q[j] == "\\" and j + 1 < n:
+                saw_escape = True
+                j += 1
+                buf.append(q[j])
+                j += 1
+                continue
+            if q[j] == ":":
+                toks.append(("field", "".join(buf)))
+                buf = []
+                j += 1
+                # the value may be a phrase/range → restart outer loop
+                if j < n and (q[j] in '"[{' or q[j].isspace()):
+                    break
+                continue
+            buf.append(q[j])
+            j += 1
+        word = "".join(buf)
+        i = j
+        if not word:
+            continue
+        if not saw_escape and word in ("AND", "OR", "NOT"):
+            toks.append((word.lower(),))
+        else:
+            toks.append(("term", word))
+    return toks
+
+
+def _clause_node(schema: IndexSchema, fields: list[str], tok: tuple) -> Node | None:
+    """One primary (term / phrase / range) over one-or-more fields."""
+    kind = tok[0]
+    if kind == "phrase":
+        parts: list[Node] = []
+        for f in fields:
+            terms = _analyze_one(schema, f, tok[1])
+            if len(terms) >= 2:
+                parts.append(PhraseQ(f, terms))
+            elif len(terms) == 1:
+                parts.append(TermQ(f, terms[0]))
+        if not parts:
+            return None
+        return parts[0] if len(parts) == 1 else BoolQ(should=parts)
+    if kind == "range":
+        lo, hi, lo_incl, hi_incl = tok[1], tok[2], tok[3], tok[4]
+        kw: dict = {}
+        if lo != "*":
+            kw["gte" if lo_incl else "gt"] = lo
+        if hi != "*":
+            kw["lte" if hi_incl else "lt"] = hi
+        return RangeQ(fields[0], **kw)
+    # term
+    parts = [_term_or_bool(schema, f, tok[1]) for f in fields]
+    parts = [p for p in parts
+             if not (isinstance(p, BoolQ) and not p.should
+                     and not p.must and not p.must_not)]
+    if not parts:
+        return None
+    return parts[0] if len(parts) == 1 else BoolQ(should=parts)
+
+
+def _parse_clauses(toks: list[tuple], pos: int, schema: IndexSchema,
+                   default_fields: list[str], depth: int) -> tuple[Node, int]:
+    """Parse a clause sequence until end-of-input or a closing paren.
+
+    Returns (node, next_pos); ``next_pos`` is AFTER the consumed ')'.
+    """
+    clauses: list[list] = []  # [occur:str|None, node:Node]
+    pending_occur: str | None = None
+    conj_next = False  # an AND upgrades the following unmarked clause
+
+    def push(node: Node | None) -> None:
+        nonlocal pending_occur, conj_next
+        occur = pending_occur
+        if occur is None and conj_next:
+            occur = "+"
+        if node is not None:
+            clauses.append([occur, node])
+        pending_occur = None
+        conj_next = False
+
+    i = pos
+    closed = False
+    while i < len(toks):
+        t = toks[i]
+        kind = t[0]
+        if kind == "rparen":
+            if depth == 0:
+                raise QueryError("unbalanced ')'")
+            i += 1
+            closed = True
+            break
+        if kind == "plus":
+            pending_occur = "+"
+            i += 1
+            continue
+        if kind in ("minus", "not"):
+            pending_occur = "-"
+            i += 1
+            continue
+        if kind == "and":
+            if clauses and clauses[-1][0] is None:
+                clauses[-1][0] = "+"
+            conj_next = True
+            i += 1
+            continue
+        if kind == "or":
+            i += 1
+            continue
+        if kind == "boost":
+            if not clauses:
+                raise QueryError("dangling '^boost'")
+            clauses[-1][1] = BoostQ(clauses[-1][1], t[1])
+            i += 1
+            continue
+        if kind == "lparen":
+            sub, i = _parse_clauses(toks, i + 1, schema, default_fields,
+                                    depth + 1)
+            push(sub)
+            continue
+        if kind == "field":
+            fname = t[1]
+            if i + 1 >= len(toks) or toks[i + 1][0] not in (
+                    "term", "phrase", "range"):
+                raise QueryError(f"field {fname!r} has no value")
+            push(_clause_node(schema, [fname], toks[i + 1]))
+            i += 2
+            continue
+        # term / phrase / range on the default fields
+        push(_clause_node(schema, default_fields, t))
+        i += 1
+
+    if depth > 0 and not closed:
+        raise QueryError("unbalanced '('")
+    node = BoolQ()
+    for occur, sub in clauses:
+        (node.must if occur == "+" else
+         node.must_not if occur == "-" else node.should).append(sub)
+    if len(node.should) == 1 and not node.must and not node.must_not:
+        return node.should[0], i
+    return node, i
 
 
 def parse_string(query: str, schema: IndexSchema,
                  default_fields: list[str] | None = None) -> Node:
-    """tantivy string grammar (subset the reference exercises).
-
-    Bare clauses are OR'd (``should``) across the default fields;
-    ``+``/``-`` mark must/must_not; ``field:term`` targets one field;
-    quoted strings are phrases; ``[a TO b]`` is an inclusive range.
-    ``AND``/``OR`` connectors are honored by rewriting: ``a AND b`` →
-    ``+a +b`` (tantivy parses conjunctions the same way).
-    """
+    """tantivy string grammar → AST (see the grammar block above)."""
     if default_fields is None:
         default_fields = schema.default_search_fields()
-    # Rewrite infix AND: mark both neighbors as must.
-    toks = query.split()
-    rewritten: list[str] = []
-    i = 0
-    while i < len(toks):
-        t = toks[i]
-        if t == "AND" and rewritten and i + 1 < len(toks):
-            prev = rewritten.pop()
-            if not prev.startswith(("+", "-")):
-                prev = "+" + prev
-            nxt = toks[i + 1]
-            if not nxt.startswith(("+", "-")):
-                nxt = "+" + nxt
-            rewritten.extend([prev, nxt])
-            i += 2
-        elif t == "OR":
-            i += 1
-        else:
-            rewritten.append(t)
-            i += 1
-    query = " ".join(rewritten)
-
-    node = BoolQ()
-    for m in _TOKEN_SPLIT_RE.finditer(query):
-        if not m.group(0).strip():
-            continue
-        occur = m.group("occur")
-        fields = [m.group("field")] if m.group("field") else default_fields
-        sub: Node
-        if m.group("phrase") is not None:
-            parts = []
-            for f in fields:
-                terms = _analyze_one(schema, f, m.group("phrase"))
-                if len(terms) >= 2:
-                    parts.append(PhraseQ(f, terms))
-                elif len(terms) == 1:
-                    parts.append(TermQ(f, terms[0]))
-            sub = parts[0] if len(parts) == 1 else BoolQ(should=parts)
-        elif m.group("range_lo") is not None:
-            lo, hi = m.group("range_lo"), m.group("range_hi")
-            sub = RangeQ(fields[0], gte=None if lo == "*" else lo,
-                         lte=None if hi == "*" else hi)
-        else:
-            parts = [_term_or_bool(schema, f, m.group("term")) for f in fields]
-            parts = [p for p in parts if not (isinstance(p, BoolQ) and not p.should
-                                              and not p.must and not p.must_not)]
-            if not parts:
-                continue
-            sub = parts[0] if len(parts) == 1 else BoolQ(should=parts)
-        if occur == "+":
-            node.must.append(sub)
-        elif occur == "-":
-            node.must_not.append(sub)
-        else:
-            node.should.append(sub)
-    if not node.must and not node.must_not and not node.should:
+    toks = _lex_query(query)
+    node, pos = _parse_clauses(toks, 0, schema, default_fields, depth=0)
+    if pos < len(toks):
+        raise QueryError("unbalanced ')'")
+    if isinstance(node, BoolQ) and not node.must and not node.must_not \
+            and not node.should:
         raise QueryError("Empty Query Provided")
-    # Simplify single-should bool.
-    if len(node.should) == 1 and not node.must and not node.must_not:
-        return node.should[0]
     return node

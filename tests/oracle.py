@@ -75,6 +75,8 @@ class OracleIndex:
             return self._score_range(node)
         if isinstance(node, A.AllQ):
             return {d: 1.0 for d in range(self.N)}
+        if isinstance(node, A.BoostQ):
+            return {d: s * node.boost for d, s in self.score(node.child).items()}
         raise NotImplementedError(type(node).__name__)
 
     def _score_phrase(self, node: A.PhraseQ) -> dict[int, float]:
@@ -179,7 +181,14 @@ class OracleIndex:
                 scores.items(),
                 key=lambda kv: (self.docs[kv[0]].get(sort_by), -kv[0]),
                 reverse=True,
-            )
-        else:
-            items = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+            )[:k]
+            # sorted collector emits the fast-field value as the score
+            # (search.rs:67-77: `score as f32` off the u64 collector)
+            out = []
+            for d, _ in items:
+                v = self.docs[d].get(sort_by)
+                out.append((d, float(v.timestamp()) if hasattr(v, "timestamp")
+                            else float(v)))
+            return out
+        items = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
         return items[:k]
