@@ -151,10 +151,13 @@ class Index:
         out: dict[str, Any] = {"docs": docs, "facets": {}}
         facets = search.get("facets") or {}
         if facets:
-            # reference quirk: only the first requested root's counts return
+            # reference quirks (search.rs:32-42, 89-98): one facet field,
+            # and only the FIRST requested root's child counts return
             field = next(iter(facets))
-            counts = s.facet_counts(node, field).collect()
-            out["facets"] = {field: {r[field]: r["count"] for r in counts}}
+            roots = list(facets[field] or [])
+            counts = s.facet_counts(node, field, roots=roots).collect()
+            key = "facet" if roots else field
+            out["facets"] = {field: {r[key]: r["count"] for r in counts}}
         return out
 
     def query_df(self, query: str | dict, limit: int = DEFAULT_QUERY_LIMIT) -> DataFrame:

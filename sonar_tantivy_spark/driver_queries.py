@@ -228,11 +228,41 @@ def q_ft_fuzzy(spark, sf_dir):
             .select("doc_id").distinct().orderBy("doc_id"))
 
 
+def q_ft_fuzzy_transposition(spark, sf_dir):
+    """Fuzzy with transposition=true (swap = 1 edit, search.rs:48):
+    'tbal' matches the stem 'tabl' at distance 1 only under Damerau —
+    plain Levenshtein distance is 2, so transposition=false returns
+    nothing here.  Same shape as the engine path: JVM prefilter over
+    distinct terms, exact Arrow-batched OSA on the survivors."""
+    from sonar_tantivy_spark.functions.strdist import jvm_prefilter, make_osa_udf
+
+    t = _ft(spark, sf_dir)
+    terms = (t["termdf"].select("term")
+             .filter(jvm_prefilter(F.col("term"), "tbal", 1))
+             .filter(make_osa_udf("tbal")(F.col("term")) <= 1))
+    return (t["postings"].join(F.broadcast(terms), on="term", how="left_semi")
+            .select("doc_id").distinct().orderBy("doc_id"))
+
+
 def q_ft_facets(spark, sf_dir):
     t = _ft(spark, sf_dir)
     cand = t["postings"].filter(F.col("term") == "valu").select("doc_id")
     return (t["docs"].join(cand, on="doc_id")
             .groupBy("source").agg(F.count("*").cast("long").alias("cnt")))
+
+
+def q_ft_facet_hierarchical(spark, sf_dir):
+    """Hierarchical FacetCollector semantics (search.rs:32-42, 89-98):
+    facet paths '/<lang>/<source>', requested root '/en' → counts of the
+    immediate children '/en/<source>' among docs matching term 'valu'."""
+    t = _ft(spark, sf_dir)
+    cand = t["postings"].filter(F.col("term") == "valu").select("doc_id")
+    path = F.concat(F.lit("/"), F.col("lang"), F.lit("/"), F.col("source"))
+    d = t["docs"].join(cand, on="doc_id").withColumn("fpath", path)
+    child = F.concat(F.lit("/en/"), F.element_at(F.split("fpath", "/"), 3))
+    return (d.filter(F.col("fpath").startswith("/en/"))
+            .groupBy(child.alias("facet"))
+            .agg(F.count("*").cast("long").alias("cnt")))
 
 
 # dedup --------------------------------------------------------------------
@@ -491,7 +521,9 @@ QUERIES = {
     "ft_range_filter_term": q_ft_range_filter_term,
     "ft_regex": q_ft_regex,
     "ft_fuzzy": q_ft_fuzzy,
+    "ft_fuzzy_transposition": q_ft_fuzzy_transposition,
     "ft_facets": q_ft_facets,
+    "ft_facet_hierarchical": q_ft_facet_hierarchical,
     "dd_exact_fingerprint": q_dd_exact_fingerprint,
     "dd_minhash_bands": q_dd_minhash_bands,
     "dd_jaccard_pairs": q_dd_jaccard_pairs,
@@ -638,9 +670,18 @@ ORDER BY round(s.score + 1.0, 7) DESC, s.doc_id LIMIT 10""",
 WHERE regexp_full_match(term, 'ta.*') ORDER BY doc_id""",
         "ft_fuzzy": pre + """SELECT DISTINCT doc_id FROM postings
 WHERE levenshtein(term, 'tabel') <= 1 ORDER BY doc_id""",
+        "ft_fuzzy_transposition": pre + """SELECT DISTINCT doc_id FROM postings
+WHERE damerau_levenshtein(term, 'tbal') <= 1 ORDER BY doc_id""",
         "ft_facets": pre + """SELECT d.source, count(*)::BIGINT AS cnt FROM documents d
 WHERE d.doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')
 GROUP BY d.source""",
+        "ft_facet_hierarchical": pre + """SELECT
+'/en/' || string_split('/' || d.lang || '/' || d.source, '/')[3] AS facet,
+count(*)::BIGINT AS cnt
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')
+  AND ('/' || d.lang || '/' || d.source) LIKE '/en/%'
+GROUP BY 1""",
         "dd_exact_fingerprint": pre + """SELECT fingerprint, count(*)::BIGINT AS cnt FROM (
   SELECT doc_id, md5(string_agg(term, ',' ORDER BY term)) AS fingerprint
   FROM postings GROUP BY doc_id)

@@ -199,16 +199,34 @@ class Searcher:
         )
 
     def _cand_fuzzy(self, node: A.FuzzyQ) -> DataFrame | None:
-        """Levenshtein termdict expansion — the FST-automaton analog.
-        Like tantivy's AutomatonWeight, matches are constant-score 1.0."""
+        """Termdict expansion — the FST-automaton analog.  Like tantivy's
+        AutomatonWeight, matches are constant-score 1.0.
+
+        ``transposition=false`` → plain JVM ``levenshtein``;
+        ``transposition=true``  → Damerau semantics (swap = 1 edit,
+        search.rs:48): JVM prefilter (lev <= 2d, |len diff| <= d) then an
+        exact Arrow-batched OSA pass over the few surviving dictionary
+        terms (functions/strdist.py)."""
         td = self._table("termdict")
         if td is None:
             return None
-        terms_df = (
-            td.filter(F.col("field") == node.field)
-            .filter(F.levenshtein(F.col("term"), F.lit(node.term)) <= node.distance)
-            .select("term").distinct()
-        )
+        terms_df = td.filter(F.col("field") == node.field)
+        if node.transposition:
+            from sonar_tantivy_spark.functions.strdist import (
+                jvm_prefilter,
+                make_osa_udf,
+            )
+
+            osa_udf = make_osa_udf(node.term)
+            terms_df = (
+                terms_df.filter(
+                    jvm_prefilter(F.col("term"), node.term, node.distance))
+                .filter(osa_udf(F.col("term")) <= node.distance)
+            )
+        else:
+            terms_df = terms_df.filter(
+                F.levenshtein(F.col("term"), F.lit(node.term)) <= node.distance)
+        terms_df = terms_df.select("term").distinct()
         p = self._table("postings").filter(F.col("field") == node.field)
         cand = p.join(F.broadcast(terms_df), on="term", how="left_semi")
         return (
@@ -425,12 +443,31 @@ class Searcher:
         )
         return pruned.top_k(node, limit=limit)
 
-    def facet_counts(self, node: A.Node, facet_field: str) -> DataFrame:
+    def facet_counts(self, node: A.Node, facet_field: str,
+                     roots: list[str] | None = None) -> DataFrame:
+        """Facet counts for the matching docs.
+
+        With ``roots`` (the requested facet values, search.rs:34-37 →
+        ``col.add_facet(&term)``): hierarchical semantics — facet values
+        are ``/a/b`` paths, and the result counts the IMMEDIATE children
+        of ``roots[0]`` (the reference returns only the first requested
+        root's counts, search.rs:89-98).  A doc counts toward child
+        ``/a/b`` when its facet value is ``/a/b`` or any deeper
+        descendant.  Without roots: flat value counts (legacy shape).
+        """
         cands = self.candidates(node)
         docs = self._table("docs").select("segment_id", "docid", facet_field)
+        matched = cands.join(docs, on=["segment_id", "docid"])
+        if not roots:
+            return matched.groupBy(facet_field).agg(F.count("*").alias("count"))
+        root = roots[0].rstrip("/")
+        depth = len(root.split("/"))  # '/en' → 2: next component index
+        col = F.col(facet_field)
+        child = F.concat(F.lit(root + "/"),
+                         F.element_at(F.split(col, "/"), depth + 1))
         return (
-            cands.join(docs, on=["segment_id", "docid"])
-            .groupBy(facet_field).agg(F.count("*").alias("count"))
+            matched.filter(col.startswith(root + "/"))
+            .groupBy(child.alias("facet")).agg(F.count("*").alias("count"))
         )
 
     def retrieve(self, hits: DataFrame) -> list[dict]:

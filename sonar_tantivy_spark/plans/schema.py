@@ -133,6 +133,8 @@ class IndexSchema:
         f = self.field(field_name)
         if f is None or not f.indexed:
             return "raw"
+        if f.type == "facet":
+            return "raw"  # a facet path is always one exact term
         return f.tokenizer or "default"
 
     def docs_spark_schema(self) -> T.StructType:

@@ -126,21 +126,32 @@ class OracleIndex:
                 out.pop(d, None)
         return out
 
-    def _lev(self, a: str, b: str) -> int:
+    def _lev(self, a: str, b: str, transposition: bool = False) -> int:
+        """Levenshtein; with ``transposition`` an adjacent swap costs 1
+        (OSA / restricted Damerau).  Independent of the engine's
+        functions/strdist.py on purpose — different loop structure."""
         if abs(len(a) - len(b)) > 3:
             return 99
-        prev = list(range(len(b) + 1))
+        rows = [list(range(len(b) + 1))]
         for i, ca in enumerate(a, 1):
             cur = [i]
             for j, cb in enumerate(b, 1):
-                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
-            prev = cur
-        return prev[-1]
+                v = min(rows[-1][j] + 1, cur[j - 1] + 1,
+                        rows[-1][j - 1] + (ca != cb))
+                if (transposition and i > 1 and j > 1
+                        and ca == b[j - 2] and a[i - 2] == cb):
+                    v = min(v, rows[-2][j - 2] + 1)
+                cur.append(v)
+            rows.append(cur)
+            if len(rows) > 3:
+                rows.pop(0)
+        return rows[-1][-1]
 
     def _score_fuzzy(self, node: A.FuzzyQ) -> dict[int, float]:
         out: dict[int, float] = {}
         for (field, term), plist in self.postings.items():
-            if field == node.field and self._lev(term, node.term) <= node.distance:
+            if field == node.field and \
+                    self._lev(term, node.term, node.transposition) <= node.distance:
                 for d in plist:
                     out[d] = 1.0
         return out

@@ -60,6 +60,8 @@ QUERIES = {
     "q10_tool": {"bool": {"must": [{"term": {"text": "hello"}},
                                    {"term": {"tool": "python"}}]}},
     "q12_fuzzy": {"fuzzy": {"text": {"value": "helo", "distance": 1}}},
+    "q12b_fuzzy_transpose": {"fuzzy": {"text": {"value": "hlelo", "distance": 1,
+                                                "transposition": True}}},
     "q13_regex": {"regex": {"text": "stem.*"}},
 }
 
@@ -79,6 +81,21 @@ def test_query_parity(index, oracle, name):
     assert [d for d, _ in got] == [d for d, _ in want], (name, got, want)
     for (_, gs), (_, ws) in zip(got, want):
         assert gs == pytest.approx(ws, rel=1e-9), (name, got, want)
+
+
+def test_fuzzy_transposition_differs(index, oracle):
+    """'hlelo' needs a transposition to reach 'hello': distance-1 fuzzy
+    matches WITH the flag and not without (search.rs:48 semantics)."""
+    with_t = A.parse_json(
+        {"fuzzy": {"text": {"value": "hlelo", "distance": 1,
+                            "transposition": True}}}, index.schema)
+    without = A.parse_json(
+        {"fuzzy": {"text": {"value": "hlelo", "distance": 1}}}, index.schema)
+    got_t = _engine_topk(index, with_t)
+    got_p = _engine_topk(index, without)
+    assert got_t, "transposition fuzzy should match 'hello' turns"
+    assert got_t != got_p
+    assert got_p == oracle.top_k(without, 10)
 
 
 def test_q11_ts_range(index, oracle):
