@@ -80,8 +80,10 @@ def main() -> None:
     docs = spark.read.parquet(corpus_path)
 
     # seg_size must NOT depend on parallelism: the scaling comparison is
-    # fixed work at two cluster sizes (north_rule)
-    seg_size = int(os.environ.get("BENCH_SEG_SIZE", "100000"))
+    # fixed work at two cluster sizes (north_rule).  25k turns/segment →
+    # 12 build segments at the default 300k corpus, compacted to ~6-8 so
+    # the query bench exercises the real multi-segment path.
+    seg_size = int(os.environ.get("BENCH_SEG_SIZE", "25000"))
 
     if warmup:
         # untimed warm-cluster pass: JIT the JVM hot paths and fork+import
@@ -113,12 +115,25 @@ def main() -> None:
     # background-merge analog (tantivy LogMergePolicy): compact to the
     # term-range-clustered layout queries are served from.  Timed
     # separately — merge runs in the background in a live system.
-    from sonar_tantivy_spark.operators.merge import compact
+    # NEVER down to one segment (merge.py:28-31): several segments keep
+    # query scans partition-parallel and give block-max segment pruning
+    # something to skip — the bench measures the real multi-segment path.
+    from sonar_tantivy_spark.operators.merge import compact_to
 
+    target_segments = int(os.environ.get("BENCH_TARGET_SEGMENTS", "8"))
     t0 = time.time()
-    if len(idx.segment_info()) > 1:
-        compact(idx)
+    if len(idx.segment_info()) > target_segments:
+        compact_to(idx, target_segments)
     merge_wall = time.time() - t0
+
+    # live postings footprint (manifest segments only — compaction leaves
+    # the superseded epochs on disk until a GC pass)
+    postings_bytes = 0
+    for seg in idx.storage.manifest()["segments"]:
+        for root, _dirs, files in os.walk(seg["tables"]["postings"]):
+            postings_bytes += sum(
+                os.path.getsize(os.path.join(root, f))
+                for f in files if f.endswith(".parquet"))
 
     queries: dict[str, object] = {
         "q1_term": {"term": {"text": "hello"}},
@@ -134,20 +149,26 @@ def main() -> None:
             {"range": {"ts": {"gte": "2026-01-02 00:00:00",
                               "lte": "2026-02-01 00:00:00"}}}]}},
     }
-    # query phase: modest shuffle fan-out wins for k=10 result sets
+    # query phase: modest shuffle fan-out wins for k=10 result sets.
+    # top_k_pruned IS the default path (Index.query/query_df) — bench it,
+    # and record how many segments the block-max bound let each query skip.
     spark.conf.set("spark.sql.shuffle.partitions", str(cpus))
     q_p50: dict[str, float] = {}
+    q_skips: dict[str, str] = {}
     for name, q in queries.items():
         node = (A.parse_string(q, idx.schema) if isinstance(q, str)
                 else A.parse_json(q, idx.schema))
         s = idx.searcher()
-        s.top_k(node, limit=10).collect()  # warmup (plan + page cache)
+        s.top_k_pruned(node, limit=10).collect()  # warmup (plan + page cache)
         times = []
         for _ in range(reps):
             tq = time.time()
-            rows = s.top_k(node, limit=10).collect()
+            rows = s.top_k_pruned(node, limit=10).collect()
             times.append(time.time() - tq)
         q_p50[name] = round(statistics.median(times), 4)
+        st = getattr(s, "last_prune", {})
+        q_skips[name] = (f"{st.get('segments_skipped', 0)}"
+                         f"/{st.get('segments_total', 0)}")
         assert rows is not None
 
     total = time.time() - t_all
@@ -156,6 +177,7 @@ def main() -> None:
         "value": round(total, 2),
         "unit": "sec",
         "queries": q_p50,
+        "segments_skipped": q_skips,
         "sf": sf,
         "build": {
             "turns": n_turns,
@@ -165,6 +187,7 @@ def main() -> None:
             "merge_wall_s": round(merge_wall, 2),
             "cpus": cpus,
             "segments": len(idx.segment_info()),
+            "postings_bytes": postings_bytes,
         },
     }
     print(json.dumps(out))

@@ -126,7 +126,7 @@ class Index:
         (handles.rs:139-156 → index.rs:246-284)."""
         node = A.parse_string(query, self.schema)
         s = self.searcher()
-        hits = s.top_k(node, limit=limit)
+        hits = s.top_k_pruned(node, limit=limit)  # block-max default path
         results = s.retrieve(hits)
         if snippet_field:
             terms = collect_positive_terms(node).get(snippet_field, set())
@@ -146,7 +146,10 @@ class Index:
         node = A.parse_json(body, self.schema)
         limit = int(search.get("limit", DEFAULT_QUERY_LIMIT))
         s = self.searcher()
-        hits = s.top_k(node, limit=limit, sort_by=search.get("sort_by"))
+        sort_by = search.get("sort_by")
+        # score-bound pruning is invalid under sort-by-field ordering
+        hits = (s.top_k(node, limit=limit, sort_by=sort_by) if sort_by
+                else s.top_k_pruned(node, limit=limit))
         docs = s.retrieve(hits)
         out: dict[str, Any] = {"docs": docs, "facets": {}}
         facets = search.get("facets") or {}
@@ -168,7 +171,7 @@ class Index:
             else A.parse_json(query, self.schema)
         )
         s = self.searcher()
-        return s.top_k(node, limit=limit)
+        return s.top_k_pruned(node, limit=limit)
 
 
 class IndexCatalog:

@@ -40,7 +40,7 @@ import math
 import time
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.storagelevel import StorageLevel
@@ -305,15 +305,36 @@ def build_segments(
         perdoc = perdoc.unionByName(p)
     perdoc = perdoc.withColumn("norm_id", fieldnorm_id_col(F.col("dl")))
 
+    # record-granularity degradation (fixtures.js:22 / tantivy
+    # IndexRecordOption): 'position' keeps tf+positions, 'freq' drops
+    # positions, 'basic' drops tf too (docids only).  Dropped columns are
+    # NULL for the field's rows — parquet stores an all-NULL column as a
+    # pure RLE definition-level run, i.e. effectively zero bytes, so a
+    # freq/basic field pays no positions storage or shuffle width.  The
+    # exact per-(doc, field) token count rides along as ``dl`` so doclens
+    # and fieldnorms stay exact even when tf is dropped.
+    rec = {f.name: (f.record or "position") for f in schema.indexed_fields}
+    basic_fields = sorted(n for n, r in rec.items() if r == "basic")
+    nopos_fields = sorted(n for n, r in rec.items() if r in ("basic", "freq"))
+    tf_expr: Column = F.col("e.tfs")
+    if basic_fields:
+        tf_expr = F.when(F.col("field").isin(basic_fields),
+                         F.lit(None)).otherwise(tf_expr)
+    pos_expr: Column = F.col("e.poss")
+    if nopos_fields:
+        pos_expr = F.when(F.col("field").isin(nopos_fields),
+                          F.lit(None)).otherwise(pos_expr)
+
     postings = perdoc.select(
-        "segment_id", "field", "docid", "norm_id",
+        "segment_id", "field", "docid", "dl", "norm_id",
         F.explode(F.arrays_zip("terms", "tfs", "poss")).alias("e"),
     ).select(
         "segment_id", "field",
         F.col("e.terms").alias("term"),
         F.col("docid"),
-        F.col("e.tfs").alias("tf"),
-        F.col("e.poss").alias("positions"),
+        tf_expr.cast("int").alias("tf"),
+        pos_expr.alias("positions"),
+        F.col("dl"),
         "norm_id",
     )
 
@@ -338,8 +359,10 @@ def build_segments(
         _phase("postings_write")
         postings_r = storage.read_epoch_table(spark, epoch, "postings")
 
+        # len from the carried exact dl (NOT sum(tf): tf is NULL for
+        # record='basic' fields, and dl is exact for every granularity)
         doclens = postings_r.groupBy("segment_id", "field", "docid").agg(
-            F.sum("tf").cast("long").alias("len"),
+            F.min("dl").cast("long").alias("len"),
             F.min("norm_id").alias("norm_id"),
         )
         fut_doclens = pool.submit(
@@ -349,8 +372,8 @@ def build_segments(
         )
         termdict = postings_r.groupBy("segment_id", "field", "term").agg(
             F.count("*").cast("long").alias("df"),
-            F.max("tf").alias("max_tf"),
-            F.sum("tf").cast("long").alias("total_tf"),
+            F.max(F.coalesce(F.col("tf"), F.lit(1))).alias("max_tf"),
+            F.sum(F.coalesce(F.col("tf"), F.lit(1))).cast("long").alias("total_tf"),
         )
         storage.write_table(
             termdict.sortWithinPartitions("segment_id", "field", "term"),
@@ -370,6 +393,30 @@ def build_segments(
         .agg(F.sum("len").alias("total_tokens"), F.count("*").alias("docs_with_field"))
         .collect()
     }
+
+    # zone maps: per-segment min/max of every numeric/date fast field —
+    # the segment-granular analog of Iceberg partition stats.  Range
+    # clauses whose bounds are disjoint with a segment's [min, max] prove
+    # the segment empty and the query planner skips its scan entirely
+    # (search.py _node_bound).  One tiny aggregate over the written docs.
+    zone: dict[str, dict[str, tuple]] = {}
+    zone_fields = [f for f in schema.fast_fields if f.name in docs_tbl.columns]
+    if zone_fields:
+        docs_r = storage.read_epoch_table(spark, epoch, "docs")
+        aggs = []
+        for f in zone_fields:
+            aggs.append(F.min(f.name).alias(f"__min_{f.name}"))
+            aggs.append(F.max(f.name).alias(f"__max_{f.name}"))
+        for r in docs_r.groupBy("segment_id").agg(*aggs).collect():
+            per = {}
+            for f in zone_fields:
+                lo, hi = r[f"__min_{f.name}"], r[f"__max_{f.name}"]
+                if lo is None:
+                    continue
+                if hasattr(lo, "isoformat"):
+                    lo, hi = lo.isoformat(sep=" "), hi.isoformat(sep=" ")
+                per[f.name] = (lo, hi)
+            zone[r["segment_id"]] = per
     ranked_cache.unpersist()
 
     wall = time.time() - t0
@@ -383,6 +430,9 @@ def build_segments(
             for (s, f), v in stats.items()
             if s == sid
         }
+        for fname, (lo, hi) in zone.get(sid, {}).items():
+            field_stats.setdefault(fname, {})["min"] = lo
+            field_stats.setdefault(fname, {})["max"] = hi
         tables = {}
         if hasattr(storage, "segment_dir"):
             tables = {t: storage.segment_dir(epoch, t, sid)

@@ -132,9 +132,17 @@ def compact(index, segment_ids: list[str] | None = None) -> dict:
     field_stats: dict[str, dict] = {}
     for s in run:
         for fld, st in s["field_stats"].items():
-            agg = field_stats.setdefault(fld, {"total_tokens": 0, "docs_with_field": 0})
-            agg["total_tokens"] += st["total_tokens"]
-            agg["docs_with_field"] += st["docs_with_field"]
+            agg = field_stats.setdefault(fld, {})
+            if "total_tokens" in st:
+                agg["total_tokens"] = agg.get("total_tokens", 0) + st["total_tokens"]
+                agg["docs_with_field"] = (
+                    agg.get("docs_with_field", 0) + st["docs_with_field"])
+            if "min" in st:  # zone maps: union of ranges (ISO strings
+                # compare lexicographically = chronologically)
+                agg["min"] = st["min"] if "min" not in agg \
+                    else min(agg["min"], st["min"])
+                agg["max"] = st["max"] if "max" not in agg \
+                    else max(agg["max"], st["max"])
 
     tables = {}
     if hasattr(storage, "segment_dir"):

@@ -164,8 +164,10 @@ class Searcher:
         p = self._postings_for(node.field, node.term)
         if p is None:
             return None
+        # tf is NULL for record='basic' fields (docids only) — score as 1
         return p.select(
-            "segment_id", "docid", self._score_col(node.field, idf, F.col("tf"))
+            "segment_id", "docid",
+            self._score_col(node.field, idf, F.coalesce(F.col("tf"), F.lit(1))),
         )
 
     def _cand_phrase(self, node: A.PhraseQ, dfs: dict) -> DataFrame | None:
@@ -379,69 +381,235 @@ class Searcher:
         denom = seg_max_tf + bm25.K1 * (1.0 - bm25.B)
         return idf * (bm25.K1 + 1.0) * seg_max_tf / denom
 
-    def top_k_pruned(self, node: A.Node, limit: int = 10) -> DataFrame:
-        """Block-max-WAND-style top-k for scored OR queries.
+    def _restricted(self, keep: set[str]) -> "Searcher":
+        """A searcher over a SUBSET of segments that keeps GLOBAL
+        statistics (num_docs, avgdl, and the already-resolved per-term
+        dfs), so scores match the full-index execution exactly."""
+        sub = Searcher.__new__(Searcher)
+        sub.spark = self.spark
+        sub.schema = self.schema
+        sub.storage = self.storage
+        sub.manifest = self.manifest
+        sub.segments = [s for s in self.segments if s["segment_id"] in keep]
+        sub.bases = {sid: b for sid, b in self.bases.items() if sid in keep}
+        sub.num_docs = self.num_docs
+        sub._tables = {}
+        sub._df_cache = dict(getattr(self, "_df_cache", {}))
+        full, n = self.segments, self.num_docs
+        sub.avgdl = lambda field, _s=full, _n=n: (
+            sum(x["field_stats"].get(field, {}).get("total_tokens", 0)
+                for x in _s) / _n if _n else 1.0
+        )
+        return sub
 
-        Two passes: (1) fully score the highest-idf term → its k-th score
-        is a valid LOWER bound θ of the final k-th score (OR-sum scores
-        dominate any single clause); (2) skip every segment whose summed
-        per-term upper bounds cannot reach θ, then score exactly.  Results
-        are identical to the unpruned plan (asserted in tests); the win is
-        segment-level scan pruning, the batch analog of WAND block skips.
-        Falls back to the exact plan for query shapes it doesn't cover.
-        """
-        terms: list[A.TermQ] = []
-        if isinstance(node, A.TermQ):
-            terms = [node]
-        elif isinstance(node, A.BoolQ) and node.should and not node.must \
-                and not node.must_not \
-                and all(isinstance(c, A.TermQ) for c in node.should):
-            terms = list(node.should)
-        if len(terms) < 2 or not self.segments:
-            return self.top_k(node, limit=limit)
+    def seg_max_tfs(self, pairs: set[tuple[str, str]]) -> dict:
+        """(field, term) → {segment_id: max_tf}; one pushdown-filtered
+        termdict scan for the misses, memoized per searcher snapshot (a
+        repeated query never re-reads the termdict)."""
+        cache = getattr(self, "_mtf_cache", None)
+        if cache is None:
+            cache = self._mtf_cache = {}
+        missing = {p for p in pairs if p not in cache}
+        if missing and self.segments:
+            td = self._table("termdict")
+            rows = (
+                td.filter(F.col("field").isin(sorted({f for f, _ in missing}))
+                          & F.col("term").isin(sorted({t for _, t in missing})))
+                .select("segment_id", "field", "term", "max_tf").collect()
+            )
+            for p in missing:
+                cache[p] = {}
+            for r in rows:
+                p = (r["field"], r["term"])
+                if p in missing:
+                    cache[p][r["segment_id"]] = int(r["max_tf"])
+        return {p: cache.get(p, {}) for p in pairs}
 
-        pairs = {(t.field, t.term) for t in terms}
-        dfs = self.term_dfs(pairs)
+    def _segment_bounds(self, node: A.Node) -> dict[str, float] | None:
+        """Per-segment upper bound of ``node``'s score, or None when the
+        shape can't be bounded."""
+        pairs = collect_terms(node)
+        dfs = self.term_dfs(pairs)  # also warms the cache for _restricted
         idfs = {p: bm25.idf(d, self.num_docs) for p, d in dfs.items() if d > 0}
-        if not idfs:
+        per_seg_mtf = self.seg_max_tfs(pairs)
+        mtf = {
+            (sid, f, t): v
+            for (f, t), seg_map in per_seg_mtf.items()
+            for sid, v in seg_map.items()
+        }
+        out: dict[str, float] = {}
+        for s in self.segments:
+            b = self._node_bound(node, s["segment_id"], idfs, mtf)
+            if b is None:
+                return None
+            out[s["segment_id"]] = b
+        return out
+
+    def _range_bound(self, node: A.RangeQ, sid: str) -> float:
+        """Zone-map absence proof: 0.0 when the range is provably
+        disjoint with the segment's [min, max] for the field (stats
+        written at build, build.py), else the constant-score 1.0.
+        Conservative: any parse/format doubt returns 1.0."""
+        by_id = getattr(self, "_seg_by_id", None)
+        if by_id is None:
+            by_id = self._seg_by_id = {
+                s["segment_id"]: s for s in self.segments}
+        meta = by_id.get(sid)
+        st = meta["field_stats"].get(node.field) if meta else None
+        if not st or "min" not in st:
+            return 1.0
+        fdef = self.schema.field(node.field)
+        is_date = fdef is not None and fdef.type == "date"
+
+        def conv(v: Any):
+            if v is None:
+                return None
+            if is_date:
+                from datetime import datetime
+                try:
+                    return datetime.fromisoformat(str(v).replace("T", " "))
+                except ValueError:
+                    return None
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                return None
+
+        lo, hi = conv(st["min"]), conv(st["max"])
+        if lo is None or hi is None:
+            return 1.0
+        g_incl, g_excl = conv(node.gte), conv(node.gt)
+        l_incl, l_excl = conv(node.lte), conv(node.lt)
+        if (node.gte is not None and g_incl is None) or \
+           (node.gt is not None and g_excl is None) or \
+           (node.lte is not None and l_incl is None) or \
+           (node.lt is not None and l_excl is None):
+            return 1.0  # unparseable bound → never prune
+        if g_incl is not None and hi < g_incl:
+            return 0.0
+        if g_excl is not None and hi <= g_excl:
+            return 0.0
+        if l_incl is not None and lo > l_incl:
+            return 0.0
+        if l_excl is not None and lo >= l_excl:
+            return 0.0
+        return 1.0
+
+    def _node_bound(self, node: A.Node, sid: str, idfs: dict,
+                    mtf: dict) -> float | None:
+        """Max possible score of ``node`` for any doc in segment ``sid``.
+        0.0 is a PROOF of no match (a required/only term is absent from
+        the segment); None means the shape isn't boundable."""
+        if isinstance(node, A.TermQ):
+            m = mtf.get((sid, node.field, node.term), 0)
+            idf = idfs.get((node.field, node.term), 0.0)
+            if m == 0 or idf <= 0.0:
+                return 0.0
+            return self.term_upper_bound(node.field, node.term, m, idf)
+        if isinstance(node, A.PhraseQ):
+            if not node.terms:
+                return 0.0
+            m = min(mtf.get((sid, node.field, t), 0) for t in node.terms)
+            if m == 0:
+                return 0.0  # phrase freq <= min per-term tf
+            idf_sum = sum(idfs.get((node.field, t), 0.0) for t in node.terms)
+            denom = m + bm25.K1 * (1.0 - bm25.B)
+            return idf_sum * (bm25.K1 + 1.0) * m / denom
+        if isinstance(node, A.BoolQ):
+            total = 0.0
+            for c in node.must:
+                b = self._node_bound(c, sid, idfs, mtf)
+                if b is None:
+                    return None
+                if b == 0.0:
+                    return 0.0  # a must-clause provably can't match here
+                total += b
+            should_sum = 0.0
+            for c in node.should:
+                b = self._node_bound(c, sid, idfs, mtf)
+                if b is None:
+                    return None
+                should_sum += b
+            if not node.must:
+                return should_sum  # 0.0 when every should is absent
+            return total + should_sum  # must_not only shrinks the match set
+        if isinstance(node, A.RangeQ):
+            return self._range_bound(node, sid)  # zone-map absence proof
+        if isinstance(node, (A.AllQ, A.FuzzyQ, A.RegexQ)):
+            return 1.0  # constant-score; cheap absence proof unavailable
+        if isinstance(node, A.BoostQ):
+            if node.boost < 0:
+                return None
+            b = self._node_bound(node.child, sid, idfs, mtf)
+            return None if b is None else b * node.boost
+        return None
+
+    def top_k_pruned(self, node: A.Node, limit: int = 10) -> DataFrame:
+        """Block-max-WAND-style top-k — the DEFAULT scored-query path.
+
+        1. Bound every segment's best possible score (term/phrase/bool
+           shapes; constant-score clauses bound at 1.0).  Zero-bound
+           segments are provably empty and drop immediately.
+        2. Probe: run the FULL query on the best-bounded ~quarter of the
+           remaining segments; its k-th score θ is a valid lower bound of
+           the global k-th score (a subset's top-k is dominated by the
+           global top-k under the same (score desc, docid asc) order).
+        3. Skip every other segment whose bound < θ; score the survivors;
+           merge probe rows (collected, ≤ k) with the survivor top-k and
+           re-sort.  Results are identical to the unpruned plan — parity
+           is asserted in tests; the win is that hot-term queries never
+           scan segments that cannot reach the cutoff.
+
+        ``self.last_prune`` records {segments_total, segments_skipped,
+        theta} for benchmarking.  Falls back to the exact plan for
+        unboundable shapes or single-segment indexes.
+        """
+        import math as _math
+
+        stats = {"segments_total": len(self.segments),
+                 "segments_skipped": 0, "theta": 0.0}
+        self.last_prune = stats
+        if len(self.segments) < 2:
             return self.top_k(node, limit=limit)
-
-        # per-(segment, term) max_tf from termdict — one tiny pruned scan
-        td = self._table("termdict")
-        rows = (
-            td.filter(F.col("field").isin(sorted({f for f, _ in idfs}))
-                      & F.col("term").isin(sorted({t for _, t in idfs})))
-            .select("segment_id", "field", "term", "max_tf").collect()
-        )
-        seg_ub: dict[str, float] = {}
-        for r in rows:
-            p = (r["field"], r["term"])
-            if p in idfs:
-                seg_ub[r["segment_id"]] = seg_ub.get(r["segment_id"], 0.0) + \
-                    self.term_upper_bound(*p, r["max_tf"], idfs[p])
-
-        # pass 1: θ = k-th score of the most selective term, scored exactly
-        probe = max(idfs, key=lambda p: idfs[p])
-        probe_hits = self.top_k(A.TermQ(*probe), limit=limit).collect()
-        theta = min((h["score"] for h in probe_hits), default=0.0) \
-            if len(probe_hits) >= limit else 0.0
-
-        keep = [sid for sid, ub in seg_ub.items() if ub >= theta]
-        if len(keep) == len(seg_ub):
+        bounds = self._segment_bounds(node)
+        if bounds is None:
             return self.top_k(node, limit=limit)
-        pruned = Searcher(self.spark, self.schema, self.storage)
-        pruned.segments = [s for s in self.segments if s["segment_id"] in keep]
-        pruned.bases = {sid: b for sid, b in self.bases.items() if sid in keep}
-        pruned.num_docs = self.num_docs  # global stats stay global
-        pruned._df_cache = dict(getattr(self, "_df_cache", {}))
-        # keep global avgdl/stats: borrow full manifest for stats math
-        pruned.manifest = self.manifest
-        full_segments = self.segments
-        pruned.avgdl = lambda field, _s=full_segments, _n=self.num_docs: (
-            sum(x["field_stats"].get(field, {}).get("total_tokens", 0) for x in _s)
-            / _n if _n else 1.0
-        )
-        return pruned.top_k(node, limit=limit)
+        live = [s["segment_id"] for s in self.segments
+                if bounds[s["segment_id"]] > 0.0]
+        if not live:
+            stats["segments_skipped"] = len(self.segments)
+            return self.with_global_docid(self._empty())
+        # probe gating: the θ-probe only pays off when the live bounds
+        # DISCRIMINATE (skewed term stats / zone maps).  On uniform bounds
+        # θ can never beat the minimum bound, so run the plain one-job
+        # plan over the live segments — zero overhead for uniform corpora,
+        # while zone-map zero-bound skips still apply.
+        lb_max, lb_min = max(bounds[s] for s in live), \
+            min(bounds[s] for s in live)
+        stats["segments_skipped"] = len(self.segments) - len(live)
+        if len(live) < 2 or (lb_max - lb_min) < 0.05 * lb_max:
+            if stats["segments_skipped"] == 0:
+                return self.top_k(node, limit=limit)
+            return self._restricted(set(live)).top_k(node, limit=limit)
+        order = sorted(live, key=lambda sid: -bounds[sid])
+        n_probe = max(1, _math.ceil(len(order) / 4))
+        probe = order[:n_probe]
+        probe_df = self._restricted(set(probe)).top_k(node, limit=limit)
+        probe_rows = probe_df.collect()
+        theta = min(r["score"] for r in probe_rows) \
+            if len(probe_rows) >= limit else 0.0
+        stats["theta"] = theta
+        survivors = [sid for sid in order[n_probe:] if bounds[sid] >= theta]
+        stats["segments_skipped"] = \
+            len(self.segments) - n_probe - len(survivors)
+        out = (self.spark.createDataFrame(probe_rows, probe_df.schema)
+               if probe_rows else None)
+        if survivors:
+            surv_df = self._restricted(set(survivors)).top_k(node, limit=limit)
+            out = surv_df if out is None else out.unionByName(surv_df)
+        if out is None:
+            return probe_df  # empty
+        return out.orderBy(F.desc("score"), F.asc("docid_g")).limit(limit)
 
     def facet_counts(self, node: A.Node, facet_field: str,
                      roots: list[str] | None = None) -> DataFrame:

@@ -288,6 +288,9 @@ def _clause_node(schema: IndexSchema, fields: list[str], tok: tuple) -> Node | N
         for f in fields:
             terms = _analyze_one(schema, f, tok[1])
             if len(terms) >= 2:
+                fdef = schema.field(f)
+                if fdef is None or not fdef.has_positions:
+                    raise QueryError(f"field {f!r} does not record positions")
                 parts.append(PhraseQ(f, terms))
             elif len(terms) == 1:
                 parts.append(TermQ(f, terms[0]))

@@ -1,6 +1,7 @@
 """Segment lifecycle: compaction parity, WAND pruning parity,
 resume-from-checkpoint idempotence, string-grammar extras."""
 
+import pandas as pd
 import pytest
 
 from sonar_tantivy_spark import IndexCatalog
@@ -64,15 +65,64 @@ def test_compact_to_preserves_results(spark, tmp_path, corpus):
 
 
 def test_wand_pruning_parity(spark, tmp_path, corpus):
+    """Pruned path must be bit-identical to the exact plan across every
+    boundable shape: OR, AND, phrase, mixed bool, range-filtered, boost,
+    single term, constant-score."""
     idx = _build(spark, tmp_path, corpus, "w1", num_segments=4)
     for q in ({"bool": {"should": [{"term": {"text": "hello"}},
                                    {"term": {"text": "mundo"}}]}},
               {"bool": {"should": [{"term": {"text": "hello"}},
                                    {"term": {"text": "world"}},
-                                   {"term": {"text": "the"}}]}}):
+                                   {"term": {"text": "the"}}]}},
+              {"term": {"text": "the"}},
+              {"bool": {"must": [{"term": {"text": "hello"}},
+                                 {"term": {"text": "world"}}]}},
+              {"phrase": {"text": {"terms": ["hello", "world"]}}},
+              {"bool": {"must": [{"term": {"text": "hello"}}],
+                        "should": [{"term": {"text": "the"}}],
+                        "must_not": [{"term": {"text": "stems"}}]}},
+              {"bool": {"must": [{"term": {"text": "needle"}},
+                                 {"term": {"role": "tool"}}]}},
+              {"bool": {"must": [
+                  {"term": {"text": "hello"}},
+                  {"range": {"ts": {"gte": "2026-01-01 00:00:00",
+                                    "lte": "2026-01-03 00:00:00"}}}]}},
+              "hello^2 world",
+              {"fuzzy": {"text": {"value": "helo", "distance": 1}}}):
         exact = _topk(idx, q)
         pruned = _topk(idx, q, pruned=True)
-        assert exact == pruned
+        assert exact == pruned, q
+
+
+def test_wand_actually_skips_segments(spark, tmp_path):
+    """Skew evidence: the hot term's high-tf segment sets θ above the
+    other segments' block-max bounds, so they are skipped — and the
+    result still matches the exact plan."""
+    docs = []
+    for i in range(200):
+        if i < 50:
+            text = "hot hot hot hot hot"
+        elif i % 10 == 0:
+            text = "hot " + " ".join(f"fill{j}" for j in range(20))
+        else:
+            text = " ".join(f"fill{j}" for j in range(20))
+        docs.append({"conv_id": f"c{i:04d}", "turn_idx": 0, "role": "user",
+                     "text": text, "tool": "bash",
+                     "ts": pd.Timestamp("2026-01-01")})
+
+    cat = IndexCatalog(spark, str(tmp_path))
+    idx = cat.create_index("skew", TRANSCRIPT_SCHEMA)
+    idx.add_df(spark.createDataFrame(pd.DataFrame(docs)),
+               order_cols=["conv_id", "turn_idx"], num_segments=4)
+    q = {"term": {"text": "hot"}}
+    exact = _topk(idx, q)
+    pruned = _topk(idx, q, pruned=True)
+    assert exact == pruned
+    s = idx.searcher()
+    assert s.last_prune["segments_skipped"] >= 1, s.last_prune
+    # the default query path IS the pruned path
+    assert [(r["docid_g"], round(r["score"], 9))
+            for r in idx.query_df(q).collect()] == exact
 
 
 def test_resume_idempotence(spark, tmp_path, corpus):
