@@ -487,26 +487,81 @@ def q_dd_embed_cosine_pairs(spark, sf_dir):
 
 
 # text analysis --------------------------------------------------------------
+# Stopword profiles for the langid heuristic: the top function words of 8
+# languages (public knowledge).  Prediction = argmax of per-language
+# stopword-hit ratio, 'unk' below a 5% floor; ties break in LANG_ORDER.
+LANG_STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "you", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ich", "ein", "zu",
+           "mit"],
+    "fr": ["le", "la", "les", "et", "un", "une", "est", "que", "pour", "dans"],
+    "es": ["el", "los", "las", "y", "un", "una", "es", "por", "con", "para"],
+    "it": ["il", "di", "che", "per", "non", "sono", "con", "della", "anche",
+           "come"],
+    "pt": ["o", "os", "um", "uma", "não", "para", "com", "mais", "como",
+           "mas"],
+    "nl": ["het", "een", "van", "ik", "niet", "dat", "op", "aan", "zijn",
+           "voor"],
+    "sv": ["och", "att", "det", "som", "en", "på", "är", "av", "för", "med"],
+}
+LANG_ORDER = ["en", "de", "fr", "es", "it", "pt", "nl", "sv"]
+LANGID_FLOOR = 0.05
+
+# Gopher-style quality rules (Rae et al. 2021, public): each doc scores
+# the fraction of rules passed; gopher_pass = all rules pass.
+#   R1 token count in [20, 100000]      R2 mean word length in [3, 10]
+#   R3 distinct-word ratio >= 0.2       R4 >= 2 stopword hits (en list)
+#   R5 symbol-word ratio <= 0.1 ('#'/'...' words)
+N_QUALITY_RULES = 5
+
+
 def q_tx_token_count(spark, sf_dir):
     return _docs(spark, sf_dir).select(
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
 
 
 def q_tx_quality(spark, sf_dir):
-    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
+    d = _docs(spark, sf_dir).select("doc_id", "text",
+                                    F.split("text", " ").alias("w"))
     n = F.size("w").cast("double")
     nd = F.size(F.array_distinct("w")).cast("double")
-    stop = F.size(F.filter("w", lambda x: (x == "the") | (x == "a"))).cast("double")
+    stops = LANG_STOPWORDS["en"]
+    stop = F.size(F.filter("w", lambda x: x.isin(stops))).cast("double")
+    # single-space-joined text: sum(word lengths) = len(text) - (n - 1)
+    mean_wl = (F.length("text").cast("double") - n + F.lit(1.0)) / n
+    sym = F.size(F.filter(
+        "w", lambda x: x.startswith("#") | x.startswith("..."))).cast("double")
+    rules = [
+        (n >= 20) & (n <= 100000),
+        (mean_wl >= 3.0) & (mean_wl <= 10.0),
+        (nd / n) >= 0.2,
+        stop >= 2,
+        (sym / n) <= 0.1,
+    ]
+    passed = sum(F.when(r, 1).otherwise(0) for r in rules)
     return d.select(
-        "doc_id", F.round((nd / n) * (F.lit(1.0) - stop / n), 4).alias("quality"))
+        "doc_id",
+        F.round(passed.cast("double") / N_QUALITY_RULES, 4).alias("quality"),
+        (passed == N_QUALITY_RULES).alias("gopher_pass"),
+    )
 
 
 def q_tx_langid(spark, sf_dir):
-    """Stopword-ratio language heuristic (the corpus markers 'the'/'a')."""
+    """Multi-language stopword-profile langid: per-language hit ratio,
+    argmax with a 5% floor, first-in-LANG_ORDER tie-break."""
     d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
-    stop = F.size(F.filter("w", lambda x: (x == "the") | (x == "a"))).cast("double")
-    ratio = stop / F.size("w").cast("double")
-    return d.select("doc_id", F.when(ratio >= 0.05, "en").otherwise("unk").alias("lang_pred"))
+    n = F.size("w").cast("double")
+
+    def hits(sw):  # one-arg lambda (a 2-arg lambda would get the index)
+        return F.size(F.filter("w", lambda x: x.isin(sw))).cast("double")
+
+    ratios = {lang: hits(sw) / n for lang, sw in LANG_STOPWORDS.items()}
+    best = F.greatest(*[ratios[lg] for lg in LANG_ORDER])
+    pred = F.lit("unk")
+    for lang in reversed(LANG_ORDER):  # build so earlier langs win ties
+        pred = F.when((ratios[lang] >= best) & (best >= LANGID_FLOOR),
+                      lang).otherwise(pred)
+    return d.select("doc_id", pred.alias("lang_pred"))
 
 
 def q_tx_fingerprint(spark, sf_dir):
@@ -593,6 +648,51 @@ QUERIES = {
 
 
 # ------------------------------------------------------------- DuckDB oracle
+def _sql_in_list(words: list[str]) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+
+
+def _quality_sql() -> str:
+    """Gopher-rule oracle — same 5 rules as q_tx_quality."""
+    stops = _sql_in_list(LANG_STOPWORDS["en"])
+    return f"""SELECT doc_id, round(passed / {N_QUALITY_RULES}.0, 4) AS quality,
+passed = {N_QUALITY_RULES} AS gopher_pass
+FROM (SELECT doc_id,
+   (CASE WHEN n BETWEEN 20 AND 100000 THEN 1 ELSE 0 END
+  + CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1 ELSE 0 END
+  + CASE WHEN nd / n >= 0.2 THEN 1 ELSE 0 END
+  + CASE WHEN stop >= 2 THEN 1 ELSE 0 END
+  + CASE WHEN sym / n <= 0.1 THEN 1 ELSE 0 END) AS passed
+ FROM (SELECT doc_id,
+         len(w)::DOUBLE AS n,
+         len(list_distinct(w))::DOUBLE AS nd,
+         len(list_filter(w, x -> x IN ({stops})))::DOUBLE AS stop,
+         (length(text)::DOUBLE - len(w) + 1.0) / len(w) AS mwl,
+         len(list_filter(w, x -> starts_with(x, '#')
+                                 OR starts_with(x, '...')))::DOUBLE AS sym
+       FROM (SELECT doc_id, text, string_split(text, ' ') AS w
+             FROM documents)))"""
+
+
+def _langid_sql() -> str:
+    """Stopword-profile langid oracle — same profiles, floor, and
+    tie-break order as q_tx_langid."""
+    ratio_cols = ", ".join(
+        f"len(list_filter(w, x -> x IN ({_sql_in_list(LANG_STOPWORDS[lg])})))"
+        f"::DOUBLE / len(w) AS r_{lg}"
+        for lg in LANG_ORDER)
+    gm = "greatest(" + ", ".join(f"r_{lg}" for lg in LANG_ORDER) + ")"
+    cases = "\n".join(
+        f"  WHEN r_{lg} >= gm AND gm >= {LANGID_FLOOR} THEN '{lg}'"
+        for lg in LANG_ORDER)
+    return f"""SELECT doc_id, CASE
+{cases}
+  ELSE 'unk' END AS lang_pred
+FROM (SELECT doc_id, {gm} AS gm, * FROM
+  (SELECT doc_id, {ratio_cols}
+   FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)))"""
+
+
 def _sql_prefix() -> str:
     stem_values = ", ".join(f"('{w}', '{s}')" for w, s in sorted(STEM_MAP.items()))
     norm_values = ", ".join(
@@ -809,19 +909,8 @@ WHERE {_LSH_BUCKET.format(v='c.v')} = qb.qbucket
 ORDER BY round(c.cos, 7) DESC, c.vec_id LIMIT 5""",
         "tx_token_count": """SELECT doc_id,
 len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents""",
-        "tx_quality": """SELECT doc_id,
-round((len(list_distinct(string_split(text, ' ')))::DOUBLE
-       / len(string_split(text, ' ')))
-      * (1 - len(list_filter(string_split(text, ' '),
-                             x -> x = 'the' OR x = 'a'))::DOUBLE
-             / len(string_split(text, ' '))), 4) AS quality
-FROM documents""",
-        "tx_langid": """SELECT doc_id,
-CASE WHEN len(list_filter(string_split(text, ' '),
-                          x -> x = 'the' OR x = 'a'))::DOUBLE
-          / len(string_split(text, ' ')) >= 0.05
-     THEN 'en' ELSE 'unk' END AS lang_pred
-FROM documents""",
+        "tx_quality": _quality_sql(),
+        "tx_langid": _langid_sql(),
         "tx_fingerprint": """SELECT doc_id,
 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ','))
   AS fingerprint FROM documents""",
