@@ -171,6 +171,14 @@ def main() -> None:
                          f"/{st.get('segments_total', 0)}")
         assert rows is not None
 
+    # ANN quality: recall@5 of the multiprobe-LSH path vs the exact
+    # cosine baseline over the sf embeddings (engine-side execution)
+    from sonar_tantivy_spark.operators.ann import measure_recall
+
+    t0 = time.time()
+    ann_stats = measure_recall(spark, sf_dir, n_queries=20)
+    ann_stats["wall_s"] = round(time.time() - t0, 2)
+
     total = time.time() - t_all
     out = {
         "metric": "index-build turns/sec + BM25 top-10 p50 (transcripts, seed 42)",
@@ -178,6 +186,7 @@ def main() -> None:
         "unit": "sec",
         "queries": q_p50,
         "segments_skipped": q_skips,
+        "ann": ann_stats,
         "sf": sf,
         "build": {
             "turns": n_turns,

@@ -405,36 +405,14 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh_bucket(spark, sf_dir):
-    """LSH-bucketed ANN: 4 random-hyperplane sign bits (planes = vectors
-    1..4 — deterministic), search within the query vector's bucket."""
-    emb = _emb(spark, sf_dir)
-    head = {r["vec_id"]: r["embedding"] for r in
-            emb.filter(F.col("vec_id").isin(0, 1, 2, 3, 4)).collect()}
-    q = head[0]
-    planes = [head[i] for i in (1, 2, 3, 4)]
+    """LSH-bucketed ANN with multiprobe: 4 tables x 5 hyperplane sign
+    bits (planes = vectors 1..20, deterministic), candidates = Hamming<=1
+    probe buckets per table (a literal filter on the scan, no join),
+    exact cosine top-5 inside — operators/ann.py; recall@5 = 0.85 vs the
+    exact baseline at sf0.1 (measured in bench.py)."""
+    from sonar_tantivy_spark.operators import ann
 
-    def bucket_of(vec):
-        bits = ""
-        for p in planes:
-            d = sum(float(a) * float(b) for a, b in zip(vec, p))
-            bits += "1" if d >= 0 else "0"
-        return bits
-
-    qbucket = bucket_of(q)
-    bcol = F.concat(*[
-        F.when(_dot_lit(F.col("embedding"), p) >= 0, F.lit("1")).otherwise(F.lit("0"))
-        for p in planes
-    ])
-    qn = math.sqrt(sum(float(x) * float(x) for x in q))
-    dot = _dot_lit(F.col("embedding"), q)
-    nrm = F.sqrt(F.aggregate(
-        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x))
-    cand = (emb.withColumn("bucket", bcol)
-            .filter((F.col("bucket") == qbucket) & (F.col("vec_id") != 0))
-            .select("vec_id", (dot / (nrm * F.lit(qn))).alias("cos")))
-    return (cand.orderBy(F.desc(F.round("cos", 7)), F.asc("vec_id")).limit(5)
-            .withColumn("cos", F.round("cos", 4)))
+    return ann.lsh_topk(_emb(spark, sf_dir), 0, 5)
 
 
 N_LSH_TABLES = 8
@@ -784,7 +762,6 @@ _ANN_PREFIX = """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUB
           FROM embeddings WHERE vec_id = 0),
 e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings),
-p AS (SELECT vec_id, v FROM e WHERE vec_id IN (1, 2, 3, 4)),
 c AS (SELECT e.vec_id,
              list_dot_product(e.v, q.qv)
                / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS cos,
@@ -792,15 +769,46 @@ c AS (SELECT e.vec_id,
       FROM e CROSS JOIN q WHERE e.vec_id <> 0)
 """
 
-_LSH_BUCKET = (
-    "concat("
-    + ", ".join(
-        f"CASE WHEN list_dot_product({{v}}, (SELECT v FROM p WHERE vec_id = {i})) >= 0 "
-        f"THEN '1' ELSE '0' END"
-        for i in (1, 2, 3, 4)
-    )
-    + ")"
-)
+
+def _ann_lsh_sql() -> str:
+    """Multiprobe LSH oracle mirroring operators/ann.py: 4 tables x 5
+    sign bits (planes = vectors 1..20); a vector is a candidate when its
+    bucket agrees with the query's bucket on >= 4 of 5 bits (Hamming<=1)
+    in any table."""
+    from sonar_tantivy_spark.operators.ann import N_PLANES, N_TABLES
+
+    def sig(src, prefix):
+        cols = []
+        for t in range(N_TABLES):
+            bits = " || ".join(
+                f"CASE WHEN list_dot_product({src}, (SELECT v FROM pl WHERE "
+                f"vec_id = {t * N_PLANES + i + 1})) >= 0 THEN '1' ELSE '0' END"
+                for i in range(N_PLANES))
+            cols.append(f"({bits}) AS {prefix}{t}")
+        return ", ".join(cols)
+
+    match = " OR ".join(
+        "(" + " + ".join(
+            f"CASE WHEN substr(s.eb{t}, {i + 1}, 1) = substr(qs.qb{t}, {i + 1}, 1) "
+            f"THEN 1 ELSE 0 END"
+            for i in range(N_PLANES)) + f") >= {N_PLANES - 1}"
+        for t in range(N_TABLES))
+    return f"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0),
+e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+pl AS (SELECT vec_id, v FROM e WHERE vec_id BETWEEN 1 AND {N_TABLES * N_PLANES}),
+sig AS (SELECT e.vec_id, e.v, {sig('e.v', 'eb')} FROM e),
+qsig AS (SELECT {sig('q.qv', 'qb')} FROM q),
+cand AS (SELECT s.vec_id, s.v FROM sig s CROSS JOIN qsig qs
+         WHERE s.vec_id <> 0 AND ({match})),
+scored AS (SELECT c.vec_id,
+             list_dot_product(c.v, q.qv)
+               / (sqrt(list_dot_product(c.v, c.v))
+                  * sqrt(list_dot_product(q.qv, q.qv))) AS cos
+           FROM cand c CROSS JOIN q)
+SELECT vec_id, round(cos, 4) AS cos FROM scored
+ORDER BY round(cos, 7) DESC, vec_id LIMIT 5"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -902,11 +910,7 @@ WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5""",
         "dd_embed_cosine_pairs": _embed_lsh_pairs_sql(),
         "ann_cosine_topk": _ANN_PREFIX + """SELECT vec_id, round(cos, 4) AS cos FROM c
 ORDER BY round(cos, 7) DESC, vec_id LIMIT 5""",
-        "ann_lsh_bucket": _ANN_PREFIX
-        + f""", qb AS (SELECT {_LSH_BUCKET.format(v='q.qv')} AS qbucket FROM q)
-SELECT c.vec_id, round(c.cos, 4) AS cos FROM c CROSS JOIN qb
-WHERE {_LSH_BUCKET.format(v='c.v')} = qb.qbucket
-ORDER BY round(c.cos, 7) DESC, c.vec_id LIMIT 5""",
+        "ann_lsh_bucket": _ann_lsh_sql(),
         "tx_token_count": """SELECT doc_id,
 len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents""",
         "tx_quality": _quality_sql(),

@@ -260,6 +260,23 @@ def build_segments(
         "docid", (F.col("docid_g") % F.lit(seg_size)).cast("long")
     ).drop("docid_g")
 
+    # time-partition the docs row store on the first date field (month
+    # bucket — the Iceberg ts-partitioning analog, SURVEY.md §4): range
+    # queries prune whole files instead of scanning every doc.  Month
+    # granularity keeps file counts sane at bench scale; at 10^12 turns
+    # with far larger segments, tighten via SPARK_GRAFT_TS_BUCKET=day.
+    docs_part_cols = ["segment_id"]
+    date_fields = [f.name for f in schema.fields
+                   if f.type == "date" and f.name in docs_tbl.columns]
+    if date_fields:
+        import os as _os
+        fmt = ("yyyy-MM-dd"
+               if _os.environ.get("SPARK_GRAFT_TS_BUCKET") == "day"
+               else "yyyy-MM")
+        docs_tbl = docs_tbl.withColumn(
+            "__tsbucket", F.date_format(F.col(date_fields[0]), fmt))
+        docs_part_cols.append("__tsbucket")
+
     # ---- per-doc postings: one Arrow pass per analyzed field; the
     # (term → tf, positions) grouping happens inside the UDF batch, so the
     # raw token stream is NEVER shuffled.  Raw-tokenizer fields need no
@@ -351,6 +368,7 @@ def build_segments(
         fut_docs = pool.submit(
             storage.write_table,
             docs_tbl.sortWithinPartitions("segment_id", "docid"), epoch, "docs",
+            tuple(docs_part_cols),
         )
         storage.write_table(
             postings.sortWithinPartitions("segment_id", "field", "term", "docid"),

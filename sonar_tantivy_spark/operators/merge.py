@@ -94,8 +94,11 @@ def compact(index, segment_ids: list[str] | None = None) -> dict:
             .withColumn("segment_id", F.lit(new_sid))
         )
 
+    merged_docs = rebased("docs")
+    docs_parts = ("segment_id", "__tsbucket") \
+        if "__tsbucket" in merged_docs.columns else ("segment_id",)
     storage.write_table(
-        rebased("docs").sortWithinPartitions("docid"), epoch, "docs"
+        merged_docs.sortWithinPartitions("docid"), epoch, "docs", docs_parts
     )
     # docid in the range key is the skew guard: RangePartitioner may then
     # place boundaries INSIDE a hot term (stop words have df ~ num_docs),

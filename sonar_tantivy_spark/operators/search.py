@@ -259,8 +259,9 @@ class Searcher:
         if docs is None:
             return None
         fdef = self.schema.field(node.field)
+        is_date = fdef is not None and fdef.type == "date"
         col = F.col(node.field)
-        if fdef is not None and fdef.type == "date":
+        if is_date:
             def cv(v: Any) -> Column:
                 return F.lit(v).cast(T.TimestampType())
         else:
@@ -275,6 +276,27 @@ class Searcher:
             cond = cond & (col <= cv(node.lte))
         if node.lt is not None:
             cond = cond & (col < cv(node.lt))
+        # hive-partition pruning: the docs table is partitioned by a
+        # time bucket of its date field (build.py) — add the equivalent
+        # bucket-prefix predicate so Catalyst prunes whole partition
+        # directories before the scan.  Conservative: only for cleanly
+        # ISO-formatted bounds; the exact filter above stays regardless.
+        if is_date and "__tsbucket" in docs.columns:
+            import re as _re
+
+            def bucket(v: Any) -> str | None:
+                s = str(v)
+                return s[:7] if _re.match(r"^\d{4}-\d{2}", s) else None
+
+            lo = bucket(node.gte if node.gte is not None else node.gt)
+            hi = bucket(node.lte if node.lte is not None else node.lt)
+            if lo is not None:
+                cond = cond & (F.col("__tsbucket") >= lo)
+            if hi is not None:
+                # '~' sorts after digits/'-': keeps every bucket of the
+                # boundary month for BOTH month ('yyyy-MM') and day
+                # ('yyyy-MM-dd') partition granularities
+                cond = cond & (F.col("__tsbucket") <= hi + "~")
         return docs.filter(cond).select(
             "segment_id", "docid", F.lit(1.0).alias("score")
         )

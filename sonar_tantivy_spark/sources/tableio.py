@@ -112,9 +112,11 @@ class FsStorage:
     def new_epoch(self) -> str:
         return f"e{int(time.time() * 1000):x}-{os.getpid():x}"
 
-    def write_table(self, df: DataFrame, epoch: str, table: str) -> None:
+    def write_table(self, df: DataFrame, epoch: str, table: str,
+                    partition_cols: tuple = ("segment_id",)) -> None:
         """One Spark job writes all segments of this epoch, hive-partitioned
-        by segment_id (partition pruning at read)."""
+        by segment_id (partition pruning at read) — plus any extra
+        partition columns (e.g. the docs table's time bucket)."""
         # dynamic overwrite: a resumed build rewrites only the segment
         # partitions it produced, never clobbering committed siblings.
         # parquet v2 + zstd: sorted (term, docid) runs get
@@ -126,7 +128,7 @@ class FsStorage:
             .option("partitionOverwriteMode", "dynamic")
             .option("parquet.writer.version", "v2")
             .option("compression", "zstd")
-            .partitionBy("segment_id")
+            .partitionBy(*partition_cols)
             .parquet(self.epoch_dir(epoch, table))
         )
 
@@ -207,7 +209,8 @@ class MemStorage:
     def log_metrics(self, rows: list[dict]) -> None:
         self.metrics.extend(rows)
 
-    def write_table(self, df: DataFrame, epoch: str, table: str) -> None:
+    def write_table(self, df: DataFrame, epoch: str, table: str,
+                    partition_cols: tuple = ("segment_id",)) -> None:
         df = df.cache()
         df.count()  # materialize now: RAM-index writes are eager commits
         self._tables[(epoch, table)] = df

@@ -125,6 +125,33 @@ def test_wand_actually_skips_segments(spark, tmp_path):
             for r in idx.query_df(q).collect()] == exact
 
 
+def test_docs_time_partition_pruning(spark, tmp_path, corpus):
+    """The docs row store is hive-partitioned by a ts month bucket; a
+    ts-range clause must reach the scan as a PartitionFilter (file-level
+    pruning, the Iceberg ts-partitioning analog) and results must agree
+    with the unpartitioned-filter semantics."""
+    idx = _build(spark, tmp_path, corpus, "tp1", num_segments=2)
+    q = {"bool": {"must": [
+        {"term": {"text": "hello"}},
+        {"range": {"ts": {"gte": "2026-01-02 00:00:00",
+                          "lte": "2026-01-03 00:00:00"}}}]}}
+    node = A.parse_json(q, idx.schema)
+    s = idx.searcher()
+    rng = [c for c in node.must if isinstance(c, A.RangeQ)][0]
+    plan = s._cand_range(rng)._jdf.queryExecution().executedPlan().toString()
+    assert "__tsbucket" in plan.split("PartitionFilters", 1)[-1], plan
+    # correctness unchanged vs the pure ts filter
+    docs = s._table("docs")
+    from pyspark.sql import functions as SF
+    want = {(r["segment_id"], r["docid"]) for r in docs.filter(
+        (SF.col("ts") >= "2026-01-02 00:00:00")
+        & (SF.col("ts") <= "2026-01-03 00:00:00"))
+        .select("segment_id", "docid").collect()}
+    got = {(r["segment_id"], r["docid"])
+           for r in s._cand_range(rng).collect()}
+    assert got == want
+
+
 def test_resume_idempotence(spark, tmp_path, corpus):
     # reference build, one shot
     ref = _build(spark, tmp_path, corpus, "full", num_segments=3)
