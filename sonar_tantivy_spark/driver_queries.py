@@ -187,6 +187,29 @@ def q_ft_phrase3(spark, sf_dir):
     return _topk(j.select("doc_id", (F.lit(idf_sum * (K1 + 1.0)) * tf / denom).alias("score")))
 
 
+def q_ft_boost(spark, sf_dir):
+    """Grammar `valu^2 spark`: BoostQuery multiplies the clause score
+    before the should-sum (tantivy BoostQuery via the ^ suffix)."""
+    s = _scored(spark, sf_dir).filter(F.col("term").isin("valu", "spark"))
+    boosted = F.when(F.col("term") == "valu",
+                     F.col("score") * 2).otherwise(F.col("score"))
+    return _topk(s.select("doc_id", boosted.alias("score"))
+                 .groupBy("doc_id").agg(F.sum("score").alias("score")))
+
+
+def q_ft_grammar_group(spark, sf_dir):
+    """Grammar `(tabl OR row) AND spark`: parenthesized should-group as a
+    must clause — docs need >=1 of {tabl, row} AND spark; score = group
+    sum + spark score."""
+    s = _scored(spark, sf_dir)
+    grp = (s.filter(F.col("term").isin("tabl", "row"))
+           .groupBy("doc_id").agg(F.sum("score").alias("gs")))
+    sp = s.filter(F.col("term") == "spark").select("doc_id",
+                                                   F.col("score").alias("ss"))
+    return _topk(grp.join(sp, on="doc_id")
+                 .select("doc_id", (F.col("gs") + F.col("ss")).alias("score")))
+
+
 def q_ft_termdict(spark, sf_dir):
     return _ft(spark, sf_dir)["termdf"].select("term", "df")
 
@@ -599,6 +622,8 @@ QUERIES = {
     "ft_phrase": q_ft_phrase,
     "ft_all": q_ft_all,
     "ft_phrase3": q_ft_phrase3,
+    "ft_boost": q_ft_boost,
+    "ft_grammar_group": q_ft_grammar_group,
     "ft_termdict": q_ft_termdict,
     "ft_stats": q_ft_stats,
     "ft_sort_fast_field": q_ft_sort_fast_field,
@@ -857,6 +882,17 @@ FROM adj3 j JOIN dlq q USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs3 i
 ORDER BY round(i.idf_sum * 2.2 * j.ptf
                / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 7) DESC, j.doc_id
 LIMIT 10""",
+        "ft_boost": pre + """SELECT doc_id,
+round(sum(CASE WHEN term = 'valu' THEN 2 * score ELSE score END), 4) AS score
+FROM scored WHERE term IN ('valu', 'spark') GROUP BY doc_id
+ORDER BY round(sum(CASE WHEN term = 'valu' THEN 2 * score ELSE score END), 7)
+  DESC, doc_id LIMIT 10""",
+        "ft_grammar_group": pre + """, grp AS (
+  SELECT doc_id, sum(score) AS gs FROM scored
+  WHERE term IN ('tabl', 'row') GROUP BY doc_id),
+sp AS (SELECT doc_id, score AS ss FROM scored WHERE term = 'spark')
+SELECT doc_id, round(gs + ss, 4) AS score FROM grp JOIN sp USING (doc_id)
+ORDER BY round(gs + ss, 7) DESC, doc_id LIMIT 10""",
         "ft_termdict": pre + "SELECT term, df FROM tdf",
         "ft_stats": pre + """SELECT count(*)::BIGINT AS num_docs,
 sum(len)::BIGINT AS total_tokens, round(sum(len)::DOUBLE / count(*), 6) AS avgdl

@@ -22,31 +22,131 @@ from pyspark.sql import functions as F
 
 
 def compact_to(index, target_segments: int = 1) -> list[dict]:
-    """Merge the manifest down to ~``target_segments`` segments.
+    """Merge the manifest down to ~``target_segments`` segments in ONE
+    Spark pass.
 
     tantivy's LogMergePolicy never collapses a big index to ONE segment;
     at 10^12 turns neither should we — several large segments keep query
-    scans partition-parallel and give the WAND-style segment pruning
+    scans partition-parallel and give the block-max segment pruning
     (search.py) something to skip.  Chunks are contiguous in manifest
-    order and balanced by doc count, so global docids are preserved.
+    order and balanced by doc count, so global docids are preserved and
+    results stay bit-identical (asserted in tests).
+
+    All merged segments land in ONE new epoch, hive-partitioned by the
+    new segment_id: queries then read a single parquet root per table
+    (partition-pruned) instead of a union of per-merge epochs — this is
+    both the faster merge (one pass over the data, not one per chunk)
+    and the faster query plan (one scan node).
     """
-    segs = index.storage.manifest()["segments"]
+    storage = index.storage
+    manifest = storage.manifest()
+    segs = manifest["segments"]
     if len(segs) <= target_segments:
         return []
     total = sum(s["max_doc"] for s in segs)
     per = math.ceil(total / max(1, target_segments))
-    chunks: list[list[str]] = []
-    cur: list[str] = []
+
+    # chunk the contiguous manifest run; remember each old segment's
+    # (new segment ordinal, docid offset inside it)
+    assign: dict[str, tuple[int, int]] = {}
+    chunks: list[list[dict]] = [[]]
     acc = 0
     for s in segs:
-        cur.append(s["segment_id"])
+        if acc >= per and chunks[-1]:
+            chunks.append([])
+            acc = 0
+        assign[s["segment_id"]] = (len(chunks) - 1, acc)
+        chunks[-1].append(s)
         acc += s["max_doc"]
-        if acc >= per:
-            chunks.append(cur)
-            cur, acc = [], 0
-    if cur:
-        chunks.append(cur)
-    return [compact(index, chunk) for chunk in chunks if len(chunk) > 1]
+
+    epoch = storage.new_epoch()
+    new_sids = {i: f"{epoch}-m{i:05d}" for i in range(len(chunks))}
+    spark = index.spark
+
+    sid_pairs: list = []
+    off_pairs: list = []
+    for old_sid, (ci, off) in assign.items():
+        sid_pairs.extend([F.lit(old_sid), F.lit(new_sids[ci])])
+        off_pairs.extend([F.lit(old_sid), F.lit(off)])
+    new_sid_col = F.element_at(F.create_map(*sid_pairs), F.col("segment_id"))
+    off_col = F.element_at(F.create_map(*off_pairs), F.col("segment_id"))
+
+    def rebased(table: str):
+        df = storage.load_table(spark, table, segs)
+        return (
+            df.withColumn("docid", (off_col + F.col("docid")).cast("long"))
+            .withColumn("segment_id", new_sid_col)
+        )
+
+    docs = rebased("docs")
+    docs_parts = ("segment_id", "__tsbucket") \
+        if "__tsbucket" in docs.columns else ("segment_id",)
+    storage.write_table(docs.sortWithinPartitions("docid"), epoch, "docs",
+                        docs_parts)
+    # docid in the range key is the skew guard (see compact())
+    storage.write_table(
+        rebased("postings").repartitionByRange(
+            max(1, 2 * spark.sparkContext.defaultParallelism),
+            "segment_id", "field", "term", "docid",
+        ).sortWithinPartitions("segment_id", "field", "term", "docid"),
+        epoch, "postings",
+    )
+    storage.write_table(
+        rebased("doclens").sortWithinPartitions("segment_id", "field", "docid"),
+        epoch, "doclens",
+    )
+    td = storage.load_table(spark, "termdict", segs)
+    merged_td = (
+        td.withColumn("segment_id", new_sid_col)
+        .groupBy("segment_id", "field", "term")
+        .agg(F.sum("df").cast("long").alias("df"),
+             F.max("max_tf").alias("max_tf"),
+             F.sum("total_tf").cast("long").alias("total_tf"))
+    )
+    storage.write_table(
+        merged_td.repartitionByRange(
+            max(1, spark.sparkContext.defaultParallelism),
+            "segment_id", "field", "term"
+        ).sortWithinPartitions("field", "term"),
+        epoch, "termdict",
+    )
+
+    metas = []
+    for ci, chunk in enumerate(chunks):
+        meta = {
+            "segment_id": new_sids[ci],
+            "max_doc": sum(s["max_doc"] for s in chunk),
+            "field_stats": _merge_field_stats(chunk),
+            "tables": {t: storage.segment_dir(epoch, t, new_sids[ci])
+                       for t in ("docs", "postings", "doclens", "termdict")}
+            if hasattr(storage, "segment_dir") else {},
+            "epoch": epoch,
+        }
+        metas.append(meta)
+    manifest["segments"] = metas
+    if hasattr(storage, "_write_json"):
+        storage._write_json("manifest.json", manifest)
+    else:
+        storage._manifest = manifest
+    return metas
+
+
+def _merge_field_stats(run: list[dict]) -> dict:
+    field_stats: dict[str, dict] = {}
+    for s in run:
+        for fld, st in s["field_stats"].items():
+            agg = field_stats.setdefault(fld, {})
+            if "total_tokens" in st:
+                agg["total_tokens"] = agg.get("total_tokens", 0) + st["total_tokens"]
+                agg["docs_with_field"] = (
+                    agg.get("docs_with_field", 0) + st["docs_with_field"])
+            if "min" in st:  # zone maps: union of ranges (ISO strings
+                # compare lexicographically = chronologically)
+                agg["min"] = st["min"] if "min" not in agg \
+                    else min(agg["min"], st["min"])
+                agg["max"] = st["max"] if "max" not in agg \
+                    else max(agg["max"], st["max"])
+    return field_stats
 
 
 def compact(index, segment_ids: list[str] | None = None) -> dict:
@@ -132,20 +232,7 @@ def compact(index, segment_ids: list[str] | None = None) -> dict:
         epoch, "termdict",
     )
 
-    field_stats: dict[str, dict] = {}
-    for s in run:
-        for fld, st in s["field_stats"].items():
-            agg = field_stats.setdefault(fld, {})
-            if "total_tokens" in st:
-                agg["total_tokens"] = agg.get("total_tokens", 0) + st["total_tokens"]
-                agg["docs_with_field"] = (
-                    agg.get("docs_with_field", 0) + st["docs_with_field"])
-            if "min" in st:  # zone maps: union of ranges (ISO strings
-                # compare lexicographically = chronologically)
-                agg["min"] = st["min"] if "min" not in agg \
-                    else min(agg["min"], st["min"])
-                agg["max"] = st["max"] if "max" not in agg \
-                    else max(agg["max"], st["max"])
+    field_stats = _merge_field_stats(run)
 
     tables = {}
     if hasattr(storage, "segment_dir"):
