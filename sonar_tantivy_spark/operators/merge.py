@@ -17,6 +17,7 @@ test suite asserts this.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import functions as F
 
@@ -147,6 +148,42 @@ def _merge_field_stats(run: list[dict]) -> dict:
                 agg["max"] = st["max"] if "max" not in agg \
                     else max(agg["max"], st["max"])
     return field_stats
+
+
+def vacuum(index) -> list[str]:
+    """Garbage-collect epoch data directories no longer referenced by
+    the manifest — the cleanup pass compaction deliberately defers (the
+    atomic manifest swap must land before any old file dies, so a reader
+    holding the previous snapshot never sees missing files; run vacuum
+    once those readers are gone).
+
+    Only touches THIS index's ``data/`` tree.  Caveat (documented, not
+    detected): ``add_segments`` registration shares absolute paths, so
+    if another index references this index's segments, vacuum here would
+    break it — in a shared deployment run vacuum only on indexes whose
+    segments were never cross-registered, or GC at the catalog level.
+    Returns the removed epoch directory names.
+    """
+    import shutil
+
+    storage = index.storage
+    if not hasattr(storage, "root"):
+        return []  # RAM index: nothing on disk
+    data_dir = os.path.join(storage.root, "data")
+    if not os.path.isdir(data_dir):
+        return []
+    live: set[str] = set()
+    for s in storage.manifest()["segments"]:
+        for path in s.get("tables", {}).values():
+            # <root>/data/<epoch>/<table>/segment_id=<sid>
+            rel = os.path.relpath(path, data_dir)
+            live.add(rel.split(os.sep)[0])
+    removed = []
+    for epoch_dir in sorted(os.listdir(data_dir)):
+        if epoch_dir not in live:
+            shutil.rmtree(os.path.join(data_dir, epoch_dir), ignore_errors=True)
+            removed.append(epoch_dir)
+    return removed
 
 
 def compact(index, segment_ids: list[str] | None = None) -> dict:

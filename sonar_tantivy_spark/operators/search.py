@@ -307,7 +307,82 @@ class Searcher:
             return None
         return docs.select("segment_id", "docid", F.lit(1.0).alias("score"))
 
+    def _cand_bool_terms_fast(self, node: A.BoolQ,
+                              dfs: dict) -> DataFrame | None | bool:
+        """Single-scan plan for bool-of-terms: when every positive clause
+        is a plain TermQ, ONE postings scan filtered to the term set
+        replaces k scans + (k-1) joins/unions — per-term idf folds in as
+        a literal map keyed on (field, term), must-ness is a row
+        indicator summed per doc (postings are unique per (field, term,
+        docid), so the sum IS the matched-must count).  Returns False
+        when the shape doesn't qualify (caller falls back)."""
+        if not (node.must or node.should):
+            return False
+        for c in node.must + node.should:
+            if not isinstance(c, A.TermQ):
+                return False
+        must_pairs = [(c.field, c.term) for c in node.must]
+        should_pairs = [(c.field, c.term) for c in node.should]
+        if len(set(must_pairs)) != len(must_pairs) or \
+                len(set(should_pairs)) != len(should_pairs) or \
+                set(must_pairs) & set(should_pairs):
+            return False  # duplicate clauses each score in tantivy
+        if any(dfs.get(p, 0) == 0 for p in must_pairs):
+            return None  # a zero-df must empties the conjunction
+        should_pairs = [p for p in should_pairs if dfs.get(p, 0) > 0]
+        pairs = must_pairs + should_pairs
+        if not pairs:
+            return None
+        if len(pairs) == 1 and not node.must_not:
+            return False  # single term: the plain term plan is identical
+        p = self._table("postings")
+        if p is None:
+            return None
+        cond = None
+        for f, t in pairs:
+            c = (F.col("field") == f) & (F.col("term") == t)
+            cond = c if cond is None else (cond | c)
+        key = F.concat(F.col("field"), F.lit("\x00"), F.col("term"))
+        idf_pairs: list[Column] = []
+        must_flag_pairs: list[Column] = []
+        bb_pairs: list[Column] = []
+        for f, t in pairs:
+            idf = bm25.idf(dfs[(f, t)], self.num_docs)
+            idf_pairs.extend([F.lit(f + "\x00" + t),
+                              F.lit(idf * (bm25.K1 + 1.0))])
+            must_flag_pairs.extend(
+                [F.lit(f + "\x00" + t), F.lit(1 if (f, t) in must_pairs else 0)])
+        for f in sorted({f for f, _ in pairs}):
+            bb_pairs.extend([F.lit(f), F.lit(bm25.B / self.avgdl(f))])
+        idf_k = F.element_at(F.create_map(*idf_pairs), key)
+        is_must = F.element_at(F.create_map(*must_flag_pairs), key)
+        b_over_avgdl = F.element_at(F.create_map(*bb_pairs), F.col("field"))
+        dl = F.element_at(_norm_array(), F.col("norm_id") + 1).cast("double")
+        tf = F.coalesce(F.col("tf"), F.lit(1)).cast("double")
+        denom = tf + F.lit(bm25.K1) * (F.lit(1.0 - bm25.B) + b_over_avgdl * dl)
+        scored = p.filter(cond).select(
+            "segment_id", "docid",
+            (idf_k * tf / denom).alias("score"),
+            is_must.alias("__m"),
+        )
+        out = (
+            scored.groupBy("segment_id", "docid")
+            .agg(F.sum("score").alias("score"), F.sum("__m").alias("__nm"))
+        )
+        if must_pairs:
+            out = out.filter(F.col("__nm") == len(must_pairs))
+        out = out.drop("__nm")
+        for c in node.must_not:
+            mn = self._cand_opt(c, dfs)
+            if mn is not None:
+                out = out.join(mn.select("segment_id", "docid"),
+                               on=["segment_id", "docid"], how="left_anti")
+        return out
+
     def _cand_bool(self, node: A.BoolQ, dfs: dict) -> DataFrame | None:
+        fast = self._cand_bool_terms_fast(node, dfs)
+        if fast is not False:
+            return fast
         # a zero-df must-clause empties the whole conjunction; zero-df
         # should/must_not clauses are simply dropped from the plan
         musts = [self._cand_opt(c, dfs) for c in node.must]

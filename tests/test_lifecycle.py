@@ -125,6 +125,29 @@ def test_wand_actually_skips_segments(spark, tmp_path):
             for r in idx.query_df(q).collect()] == exact
 
 
+def test_vacuum_removes_superseded_epochs(spark, tmp_path, corpus):
+    """After compaction, vacuum deletes the epochs the manifest no
+    longer references; live data and results are untouched."""
+    import os
+
+    from sonar_tantivy_spark.operators.merge import vacuum
+
+    idx = _build(spark, tmp_path, corpus, "gc1", num_segments=4)
+    q = {"bool": {"should": [{"term": {"text": "hello"}},
+                             {"term": {"text": "the"}}]}}
+    before = _topk(idx, q)
+    data_dir = os.path.join(idx.storage.root, "data")
+    pre_epochs = set(os.listdir(data_dir))
+    assert vacuum(idx) == []  # everything still referenced
+    compact_to(idx, target_segments=2)
+    removed = vacuum(idx)
+    assert removed and set(removed) <= pre_epochs
+    live = set(os.listdir(data_dir))
+    assert live.isdisjoint(removed)
+    idx._searcher = None  # drop cached tables pointing at dead paths
+    assert _topk(idx, q) == before
+
+
 def test_docs_time_partition_pruning(spark, tmp_path, corpus):
     """The docs row store is hive-partitioned by a ts month bucket; a
     ts-range clause must reach the scan as a PartitionFilter (file-level
