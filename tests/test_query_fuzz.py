@@ -1,0 +1,80 @@
+"""Randomized query fuzz: arbitrary bool/term/phrase/fuzzy/range trees
+generated from a fixed seed must score rank- and value-identically
+(1e-9) between the Spark engine (default pruned path included) and the
+independent pure-Python oracle."""
+
+import random
+
+import pytest
+
+from sonar_tantivy_spark import IndexCatalog
+from sonar_tantivy_spark.plans import ast as A
+from sonar_tantivy_spark.sources.transcripts import (
+    TRANSCRIPT_SCHEMA,
+    generate_transcripts,
+)
+from tests.oracle import OracleIndex
+
+N = 700
+TERMS = ["hello", "world", "the", "stem", "needl", "mundo", "wbakoba0",
+         "wkobari1", "nosuchterm"]
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_transcripts(N)
+
+
+@pytest.fixture(scope="module")
+def idx(spark, corpus, tmp_path_factory):
+    cat = IndexCatalog(spark, str(tmp_path_factory.mktemp("fuzz")))
+    i = cat.create_index("fuzz", TRANSCRIPT_SCHEMA)
+    i.add_df(spark.createDataFrame(corpus),
+             order_cols=["conv_id", "turn_idx"], num_segments=3)
+    return i
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return OracleIndex(corpus.to_dict("records"),
+                       {"text": "en_stem", "role": "raw", "tool": "raw"})
+
+
+def gen_node(rng: random.Random, depth: int = 0) -> A.Node:
+    kinds = ["term", "term", "term", "phrase", "fuzzy", "range", "bool"]
+    if depth >= 2:
+        kinds = ["term", "term", "phrase", "range"]
+    kind = rng.choice(kinds)
+    if kind == "term":
+        if rng.random() < 0.15:
+            return A.TermQ("role", rng.choice(["tool", "user", "assistant"]))
+        return A.TermQ("text", rng.choice(TERMS))
+    if kind == "phrase":
+        return A.PhraseQ("text", ["hello", "world"])
+    if kind == "fuzzy":
+        return A.FuzzyQ("text", "helo", 1, rng.random() < 0.5)
+    if kind == "range":
+        return A.RangeQ("turn_idx", gte=0, lte=rng.choice([1, 3, 6]))
+    node = A.BoolQ()
+    for _ in range(rng.randint(1, 3)):
+        node.should.append(gen_node(rng, depth + 1))
+    for _ in range(rng.randint(0, 2)):
+        node.must.append(gen_node(rng, depth + 1))
+    for _ in range(rng.randint(0, 1)):
+        node.must_not.append(gen_node(rng, depth + 1))
+    if rng.random() < 0.25:
+        return A.BoostQ(node, rng.choice([0.5, 2.0]))
+    return node
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_fuzz_engine_matches_oracle(idx, oracle, seed):
+    rng = random.Random(1000 + seed)
+    node = gen_node(rng)
+    s = idx.searcher()
+    for df in (s.top_k(node, limit=10), s.top_k_pruned(node, limit=10)):
+        got = [(r["docid_g"], r["score"]) for r in df.collect()]
+        want = oracle.top_k(node, 10)
+        assert [d for d, _ in got] == [d for d, _ in want], (seed, node)
+        for (_, gs), (_, ws) in zip(got, want):
+            assert gs == pytest.approx(ws, rel=1e-9, abs=1e-12), (seed, node)
