@@ -383,6 +383,44 @@ def q_dd_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_dd_dup_clusters(spark, sf_dir):
+    """Duplicate-cluster resolution: connected components over the
+    verified Jaccard pairs (J >= 0.5 edges), cluster id = min doc_id in
+    the component.  Iterative min-label propagation — each round is one
+    equi-join + min-agg, converging in <= diameter rounds (the classic
+    Spark CC shape; large-star/small-star cuts rounds further at
+    billion-edge scale).  Output: (doc_id, cluster) for every doc that
+    appears in at least one duplicate pair."""
+    edges = q_dd_jaccard_pairs(spark, sf_dir).select("d1", "d2")
+    both = edges.unionByName(
+        edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
+    ).persist()
+    labels = (both.select(F.col("d1").alias("doc_id"))
+              .distinct()
+              .withColumn("cluster", F.col("doc_id")))
+    for _ in range(20):  # diameter bound; tiny real diameters converge fast
+        neigh = (
+            both.join(labels, on=[both.d2 == labels.doc_id])
+            .groupBy(both.d1.alias("doc_id"))
+            .agg(F.min("cluster").alias("ncluster"))
+        )
+        new_labels = (
+            labels.join(neigh, on="doc_id", how="left")
+            .select("doc_id",
+                    F.least(F.col("cluster"),
+                            F.coalesce("ncluster", F.col("cluster")))
+                    .alias("cluster"))
+        ).persist()
+        changed = (
+            new_labels.alias("n").join(labels.alias("o"), on="doc_id")
+            .filter(F.col("n.cluster") != F.col("o.cluster")).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("cluster").cast("long").alias("cluster"))
+
+
 def q_dd_simhash(spark, sf_dir):
     """16-bit SimHash over tf-weighted term hashes (md5-derived bits)."""
     p = _ft(spark, sf_dir)["postings"]
@@ -521,6 +559,21 @@ def q_tx_token_count(spark, sf_dir):
         "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
 
 
+# BPE-style pre-tokenizer pattern (GPT-2-like word/number/punct split,
+# restricted to the regex subset Java and RE2 treat identically)
+BPE_PATTERN = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def q_tx_token_count_bpe(spark, sf_dir):
+    """Token counting with a BPE-ish pre-tokenizer regex (letters runs /
+    digit runs / single punctuation) — the LLM-training token estimate,
+    alongside the whitespace count."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.regexp_count("text", F.lit(BPE_PATTERN)).cast("long")
+        .alias("n_bpe_tokens"))
+
+
 def q_tx_quality(spark, sf_dir):
     d = _docs(spark, sf_dir).select("doc_id", "text",
                                     F.split("text", " ").alias("w"))
@@ -636,11 +689,13 @@ QUERIES = {
     "dd_exact_fingerprint": q_dd_exact_fingerprint,
     "dd_minhash_bands": q_dd_minhash_bands,
     "dd_jaccard_pairs": q_dd_jaccard_pairs,
+    "dd_dup_clusters": q_dd_dup_clusters,
     "dd_simhash": q_dd_simhash,
     "dd_embed_cosine_pairs": q_dd_embed_cosine_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "tx_token_count": q_tx_token_count,
+    "tx_token_count_bpe": q_tx_token_count_bpe,
     "tx_quality": q_tx_quality,
     "tx_langid": q_tx_langid,
     "tx_fingerprint": q_tx_fingerprint,
@@ -942,6 +997,29 @@ inter AS (SELECT c.d1, c.d2, count(*) AS i
 SELECT d1, d2, round(i / (sa.sz + sb.sz - i), 4) AS jaccard
 FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
 WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5""",
+        # recursive CTE = the oracle for the iterative min-label CC;
+        # WITH -> WITH RECURSIVE on the shared prefix
+        "dd_dup_clusters": (pre + _MINHASH_SIG_SQL + """,
+cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM msig a JOIN msig b
+            ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT c.d1, c.d2, count(*) AS i
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.d1
+          JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+          GROUP BY c.d1, c.d2),
+jp AS (SELECT d1, d2
+       FROM inter JOIN sizes sa ON sa.doc_id = d1
+                  JOIN sizes sb ON sb.doc_id = d2
+       WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5),
+edges AS (SELECT d1, d2 FROM jp UNION SELECT d2 AS d1, d1 AS d2 FROM jp),
+reach(doc, r) AS (
+  SELECT d1, d1 FROM edges
+  UNION
+  SELECT e.d2, r.r FROM reach r JOIN edges e ON e.d1 = r.doc)
+SELECT doc AS doc_id, min(r)::BIGINT AS cluster
+FROM reach GROUP BY doc""").replace("WITH ", "WITH RECURSIVE ", 1),
         "dd_simhash": pre + _simhash_sql(),
         "dd_embed_cosine_pairs": _embed_lsh_pairs_sql(),
         "ann_cosine_topk": _ANN_PREFIX + """SELECT vec_id, round(cos, 4) AS cos FROM c
@@ -949,6 +1027,9 @@ ORDER BY round(cos, 7) DESC, vec_id LIMIT 5""",
         "ann_lsh_bucket": _ann_lsh_sql(),
         "tx_token_count": """SELECT doc_id,
 len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents""",
+        "tx_token_count_bpe": f"""SELECT doc_id,
+len(regexp_extract_all(text, '{BPE_PATTERN}'))::BIGINT AS n_bpe_tokens
+FROM documents""",
         "tx_quality": _quality_sql(),
         "tx_langid": _langid_sql(),
         "tx_fingerprint": """SELECT doc_id,
