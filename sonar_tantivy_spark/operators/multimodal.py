@@ -131,3 +131,61 @@ def near_dup_by_feature(features: DataFrame, threshold: float = 0.99) -> DataFra
                 (dot / (na * nb)).alias("cos"))
         .filter(F.col("cos") >= threshold)
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame,
+    *,
+    width: int = 224,
+    height: int = 224,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Resize image payloads to (width, height), Arrow-batched via
+    mapInPandas; non-image rows pass through untouched.
+
+    Plumbing is real (schema, batch shape, pass-through routing); the
+    pixel work is STUBBED like extract_features: the fake 'resized'
+    payload is a deterministic function of (sha1(payload), width,
+    height) sized ~width*height/64 bytes, so size-dependent downstream
+    logic is testable.  ``decode_stub=False`` marks where
+    PIL.Image.resize plugs in.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def resize_one(row):
+                if row["kind"] != "image" or row["payload"] is None:
+                    return row["payload"], row["width"], row["height"]
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real image decode/resize (PIL) is not available "
+                        "in this environment; plug it in here")
+                seed = hashlib.sha1(
+                    bytes(row["payload"]) + f"|{width}x{height}".encode()
+                ).digest()
+                n = max(1, width * height // 64)
+                fake = (seed * (n // len(seed) + 1))[:n]
+                return fake, width, height
+
+            resized = pdf.apply(resize_one, axis=1, result_type="expand")
+            out = pdf.copy()
+            out["payload"] = resized[0]
+            out["width"] = resized[1]
+            out["height"] = resized[2]
+            yield out[["media_id", "kind", "payload", "mime", "width",
+                       "height", "duration_ms"]]
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)

@@ -96,3 +96,38 @@ def test_multimodal_stub_gate(spark):
     media = media_from_docs(docs)
     with pytest.raises(Exception, match="NotImplementedError|decoders"):
         extract_features(media, decode_stub=False).collect()
+
+
+def test_multimodal_resize(spark):
+    from sonar_tantivy_spark.operators.multimodal import resize_images
+
+    docs = spark.createDataFrame(
+        [(i, f"payload text {i}") for i in range(12)],
+        "doc_id long, text string")
+    media = media_from_docs(docs)
+    out = resize_images(media, width=64, height=32).collect()
+    assert len(out) == 12
+    by_kind = {}
+    for r in out:
+        by_kind.setdefault(r["kind"], []).append(r)
+    for r in by_kind["image"]:
+        assert r["width"] == 64 and r["height"] == 32
+        assert len(r["payload"]) == 64 * 32 // 64
+    # non-image rows pass through untouched
+    for k in ("audio", "video"):
+        for r in by_kind[k]:
+            assert r["width"] is None and bytes(r["payload"]).startswith(b"payload")
+    # determinism: same payload + size -> same fake bytes
+    again = {r["media_id"]: bytes(r["payload"])
+             for r in resize_images(media, width=64, height=32).collect()}
+    for r in out:
+        assert bytes(r["payload"]) == again[r["media_id"]]
+
+
+def test_multimodal_resize_stub_gate(spark):
+    from sonar_tantivy_spark.operators.multimodal import resize_images
+
+    docs = spark.createDataFrame([(0, "img")], "doc_id long, text string")
+    media = media_from_docs(docs).filter("kind = 'image'")
+    with pytest.raises(Exception, match="NotImplementedError|PIL"):
+        resize_images(media, decode_stub=False).collect()
