@@ -125,11 +125,22 @@ def compact_to(index, target_segments: int = 1) -> list[dict]:
         }
         metas.append(meta)
     manifest["segments"] = metas
+    _retire_epochs(manifest, segs)
     if hasattr(storage, "_write_json"):
         storage._write_json("manifest.json", manifest)
     else:
         storage._manifest = manifest
     return metas
+
+
+def _retire_epochs(manifest: dict, replaced_segments: list[dict]) -> None:
+    """Record the ingest epochs whose segments a compaction replaced.
+    This is the replay ledger for streaming: a crashed-and-replayed
+    micro-batch must still be recognized as already-ingested even after
+    its original segments were merged away (incremental.py)."""
+    retired = set(manifest.get("retired_epochs", []))
+    retired |= {s.get("epoch") for s in replaced_segments if s.get("epoch")}
+    manifest["retired_epochs"] = sorted(retired)
 
 
 def _merge_field_stats(run: list[dict]) -> dict:
@@ -281,6 +292,7 @@ def compact(index, segment_ids: list[str] | None = None) -> dict:
     # atomic manifest swap: replace the run with the merged segment in place
     new_segs = segs[:start] + [meta] + segs[start + len(run):]
     manifest["segments"] = new_segs
+    _retire_epochs(manifest, run)
     if hasattr(storage, "_write_json"):
         storage._write_json("manifest.json", manifest)
     else:

@@ -22,6 +22,17 @@ from sonar_tantivy_spark.catalog import Index
 from sonar_tantivy_spark.sources.tableio import SegmentExistsError
 
 
+def epoch_committed(index: Index, epoch: str) -> bool:
+    """Replay ledger: an ingest epoch counts as committed if any live
+    segment carries it OR a compaction retired it (merge._retire_epochs)
+    — so crash-replayed micro-batches are ignored even after their
+    original segments were merged away."""
+    m = index.storage.manifest()
+    if any(s.get("epoch") == epoch for s in m["segments"]):
+        return True
+    return epoch in set(m.get("retired_epochs", []))
+
+
 def start_incremental_indexing(
     stream_df: DataFrame,
     index: Index,
@@ -30,17 +41,28 @@ def start_incremental_indexing(
     seg_size: int | None = None,
     checkpoint_dir: str,
     trigger_once: bool = False,
+    auto_compact_above: int | None = None,
 ):
     """Attach the index build as a foreachBatch sink of ``stream_df``.
 
     Each micro-batch becomes >=1 new segment(s) under epoch ``b<batch_id>``;
     replayed batches (after a crash between sink success and checkpoint
     write) are absorbed by duplicate-segment rejection.
+
+    ``auto_compact_above``: the tantivy-LogMergePolicy analog — when the
+    manifest grows past this many segments, the sink compacts back down
+    to it (single-pass merge, atomic swap; results stay bit-identical),
+    so a long-running stream never accumulates unbounded tiny segments.
+    Global docids shift across a compaction of unevenly-sized streamed
+    segments are avoided by construction: compaction preserves manifest
+    order and cumulative bases.
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if epoch_committed(index, f"b{batch_id}"):
+            return  # batch replay after a crash — already ingested
         try:
             index.add_df(
                 batch_df,
@@ -50,7 +72,12 @@ def start_incremental_indexing(
                 epoch=f"b{batch_id}",
             )
         except SegmentExistsError:
-            pass  # batch replay after a crash — already committed
+            pass  # raced replay of the same epoch — already committed
+        if auto_compact_above is not None and \
+                len(index.segment_info()) > auto_compact_above:
+            from sonar_tantivy_spark.operators.merge import compact_to
+
+            compact_to(index, auto_compact_above)
 
     writer = (
         stream_df.writeStream.foreachBatch(sink)
