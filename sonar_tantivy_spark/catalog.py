@@ -222,5 +222,18 @@ class IndexCatalog:
 
     def multi_query(self, query: str, names: list[str]) -> dict[str, list[dict]]:
         """Same string query over N indexes; per-index limit 100, no
-        snippets, results grouped per index (index.rs:131-146)."""
-        return {n: self.open(n).query(query, limit=MULTI_QUERY_LIMIT) for n in names}
+        snippets, results grouped per index (index.rs:131-146).
+
+        Per-index queries run as CONCURRENT Spark jobs (the scheduler
+        interleaves them across executors) — the reference loops
+        serially, but nothing in its contract requires that, and at many
+        indexes the serial loop is pure added latency."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(names) <= 1:
+            return {n: self.open(n).query(query, limit=MULTI_QUERY_LIMIT)
+                    for n in names}
+        with ThreadPoolExecutor(max_workers=min(8, len(names))) as pool:
+            futs = {n: pool.submit(
+                self.open(n).query, query, MULTI_QUERY_LIMIT) for n in names}
+            return {n: f.result() for n, f in futs.items()}

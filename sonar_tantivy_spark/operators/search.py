@@ -67,7 +67,18 @@ class Searcher:
         if not self.segments:
             return None
         if name not in self._tables:
-            self._tables[name] = self.storage.load_table(self.spark, name, self.segments)
+            parent = getattr(self, "_parent", None)
+            if parent is not None:
+                # restricted searcher: reuse the parent's DataFrame (its
+                # FileIndex listing is already built — re-reading the
+                # paths would re-list every file per query, which at many
+                # time-partitions costs seconds) and prune by segment
+                sids = [s["segment_id"] for s in self.segments]
+                self._tables[name] = parent._table(name).filter(
+                    F.col("segment_id").isin(sids))
+            else:
+                self._tables[name] = self.storage.load_table(
+                    self.spark, name, self.segments)
         return self._tables[name]
 
     def _empty(self) -> DataFrame:
@@ -491,6 +502,7 @@ class Searcher:
         sub.bases = {sid: b for sid, b in self.bases.items() if sid in keep}
         sub.num_docs = self.num_docs
         sub._tables = {}
+        sub._parent = self  # reuse loaded tables (see _table)
         sub._df_cache = dict(getattr(self, "_df_cache", {}))
         full, n = self.segments, self.num_docs
         sub.avgdl = lambda field, _s=full, _n=n: (
