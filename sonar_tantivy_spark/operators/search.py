@@ -376,6 +376,22 @@ class Searcher:
             (idf_k * tf / denom).alias("score"),
             is_must.alias("__m"),
         )
+        # skew guard: a rare must-term bounds the result set, so when the
+        # df spread is large (e.g. needle AND the/role:tool), semi-join
+        # the scan against the rare term's docids BEFORE the aggregation
+        # shuffle — a broadcast hash filter that keeps the hot term's
+        # billions of non-matching postings out of the exchange entirely
+        if must_pairs and len(pairs) > 1:
+            dfs_all = [dfs[q] for q in pairs]
+            rare = min(must_pairs, key=lambda q: dfs[q])
+            if dfs[rare] <= 1_000_000 and dfs[rare] * 32 <= max(dfs_all):
+                rf, rt = rare
+                rare_keys = p.filter(
+                    (F.col("field") == rf) & (F.col("term") == rt)
+                ).select("segment_id", "docid")
+                scored = scored.join(F.broadcast(rare_keys),
+                                     on=["segment_id", "docid"],
+                                     how="left_semi")
         out = (
             scored.groupBy("segment_id", "docid")
             .agg(F.sum("score").alias("score"), F.sum("__m").alias("__nm"))
