@@ -137,6 +137,7 @@ def main() -> None:
 
     queries: dict[str, object] = {
         "q1_term": {"term": {"text": "hello"}},
+        "q2_rare": {"term": {"text": "mundo"}},
         "q3_or": "hello world",
         "q4_must": "+hello +world",
         "q5_phrase": {"phrase": {"text": {"terms": ["hello", "world"]}}},
@@ -148,6 +149,8 @@ def main() -> None:
             {"term": {"text": "hello"}},
             {"range": {"ts": {"gte": "2026-01-02 00:00:00",
                               "lte": "2026-02-01 00:00:00"}}}]}},
+        # sorted collector: hits ordered by the ts fast field
+        "q14_sort_ts": ("sorted", {"term": {"text": "hello"}}, "ts"),
     }
     # query phase: modest shuffle fan-out wins for k=10 result sets.
     # top_k_pruned IS the default path (Index.query/query_df) — bench it,
@@ -156,19 +159,31 @@ def main() -> None:
     q_p50: dict[str, float] = {}
     q_skips: dict[str, str] = {}
     for name, q in queries.items():
+        sort_by = None
+        if isinstance(q, tuple):  # ("sorted", json_query, sort_field)
+            _, q, sort_by = q
         node = (A.parse_string(q, idx.schema) if isinstance(q, str)
                 else A.parse_json(q, idx.schema))
         s = idx.searcher()
-        s.top_k_pruned(node, limit=10).collect()  # warmup (plan + page cache)
+
+        def run_once():
+            if sort_by:
+                return s.top_k(node, limit=10, sort_by=sort_by).collect()
+            return s.top_k_pruned(node, limit=10).collect()
+
+        run_once()  # warmup (plan + page cache)
         times = []
         for _ in range(reps):
             tq = time.time()
-            rows = s.top_k_pruned(node, limit=10).collect()
+            rows = run_once()
             times.append(time.time() - tq)
         q_p50[name] = round(statistics.median(times), 4)
-        st = getattr(s, "last_prune", {})
-        q_skips[name] = (f"{st.get('segments_skipped', 0)}"
-                         f"/{st.get('segments_total', 0)}")
+        if sort_by:
+            q_skips[name] = "-"  # sorted collector never prunes by score
+        else:
+            st = getattr(s, "last_prune", {})
+            q_skips[name] = (f"{st.get('segments_skipped', 0)}"
+                             f"/{st.get('segments_total', 0)}")
         assert rows is not None
 
     # ANN quality: recall@5 of the multiprobe-LSH path vs the exact
