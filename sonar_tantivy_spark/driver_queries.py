@@ -160,23 +160,22 @@ def q_ft_all(spark, sf_dir):
 
 
 def q_ft_phrase3(spark, sf_dir):
-    """3-term phrase — generalized adjacency chain (positions p, p+1, p+2),
-    phrase-frequency BM25 like q_ft_phrase."""
+    """3-term phrase — generalized adjacency chain over the CACHED
+    postings' position arrays (no second tokenizer pass; the engine's
+    own plan shape, search.py _cand_phrase)."""
     t = _ft(spark, sf_dir)
     terms = ("slow", "hash", "batch")
-    docs_toks = _docs(spark, sf_dir)
-    udf = make_tokenize_udf("en_stem")
-    toks = (
-        docs_toks.select("doc_id", udf(F.col("text")).alias("tk"))
-        .select("doc_id",
-                F.explode(F.arrays_zip(F.col("tk.terms"), F.col("tk.poss"))).alias("e"))
-        .select("doc_id", F.col("e.terms").alias("term"), F.col("e.poss").alias("pos"))
-    )
-    a = toks.filter(F.col("term") == terms[0]).select("doc_id", F.col("pos").alias("p0"))
-    b = toks.filter(F.col("term") == terms[1]).select("doc_id", (F.col("pos") - 1).alias("p0"))
-    c = toks.filter(F.col("term") == terms[2]).select("doc_id", (F.col("pos") - 2).alias("p0"))
-    adj = (a.join(b, on=["doc_id", "p0"]).join(c, on=["doc_id", "p0"])
-           .groupBy("doc_id").agg(F.count("*").cast("int").alias("ptf")))
+    p = t["postings"]
+    parts = [
+        p.filter(F.col("term") == term)
+        .select("doc_id", F.col("positions").alias(f"p{i}"))
+        for i, term in enumerate(terms)
+    ]
+    j = parts[0].join(parts[1], on="doc_id").join(parts[2], on="doc_id")
+    m = F.array_intersect(F.transform("p0", lambda x: x + 1), F.col("p1"))
+    m = F.array_intersect(F.transform(m, lambda x: x + 1), F.col("p2"))
+    adj = (j.withColumn("ptf", F.size(m).cast("int"))
+           .filter(F.col("ptf") > 0).select("doc_id", "ptf"))
     n, avgdl = float(t["N"]), t["avgdl"]
     dfs = {r["term"]: r["df"] for r in
            t["termdf"].filter(F.col("term").isin(*terms)).collect()}
@@ -415,6 +414,8 @@ def q_dd_dup_clusters(spark, sf_dir):
             new_labels.alias("n").join(labels.alias("o"), on="doc_id")
             .filter(F.col("n.cluster") != F.col("o.cluster")).count()
         )
+        if hasattr(labels, "unpersist") and labels.storageLevel.useMemory:
+            labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
