@@ -123,6 +123,9 @@ def compact_to(index, target_segments: int = 1) -> list[dict]:
             if hasattr(storage, "segment_dir") else {},
             "epoch": epoch,
         }
+        fmts = {s.get("tsbucket_fmt") for s in chunk}
+        if len(fmts) == 1 and None not in fmts:
+            meta["tsbucket_fmt"] = next(iter(fmts))
         metas.append(meta)
     manifest["segments"] = metas
     _retire_epochs(manifest, segs)
@@ -288,6 +291,9 @@ def compact(index, segment_ids: list[str] | None = None) -> dict:
                   for t in ("docs", "postings", "doclens", "termdict")}
     meta = {"segment_id": new_sid, "max_doc": max_doc,
             "field_stats": field_stats, "tables": tables, "epoch": epoch}
+    fmts = {s.get("tsbucket_fmt") for s in run}
+    if len(fmts) == 1 and None not in fmts:
+        meta["tsbucket_fmt"] = next(iter(fmts))
 
     # atomic manifest swap: replace the run with the merged segment in place
     new_segs = segs[:start] + [meta] + segs[start + len(run):]

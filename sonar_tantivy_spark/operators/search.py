@@ -7,19 +7,27 @@ Here every query compiles to a declarative Spark plan:
 
   Term      → postings scan filtered (field, term)  [predicate pushdown +
               row-group skip on the term-sorted parquet] → BM25 column math
-  Boolean   → must = inner joins on (segment, docid); must_not = left_anti;
+  Boolean   → bool-of-terms: ONE postings scan filtered to the term set,
+              per-term idf as a literal map, must-ness summed per doc;
+              a rare must-term semi-join-filters the scan before the
+              aggregation shuffle (skew guard).  General shapes: must =
+              inner joins on (segment, docid); must_not = left_anti;
               should = union + groupBy-sum (score = Σ per-clause scores
               ⟨tantivy BooleanWeight⟩, optional shoulds added to must rows)
   Phrase    → per-term postings joined on (segment, docid), adjacency via
               chained array_intersect(transform(prev, p → p+1), next);
               tf = phrase frequency, idf = Σ term idfs ⟨tantivy PhraseWeight⟩
-  Fuzzy     → termdict expansion with levenshtein(term, q) <= d, union of
-              per-term scored postings (the FST automaton analog)
+  Fuzzy     → termdict expansion with levenshtein(term, q) <= d (OSA via
+              a JVM prefilter + Arrow pass when transposition=true),
+              union of per-term postings (the FST automaton analog)
   Regex     → termdict rlike expansion, constant score 1.0 ⟨tantivy⟩
-  Range     → docs-table fast-field filter, constant score 1.0 ⟨tantivy⟩
+  Range     → docs-table fast-field filter (+ __tsbucket hive-partition
+              predicate), constant score 1.0 ⟨tantivy⟩
+  Boost     → child's score × literal ⟨tantivy BoostQuery⟩
   All       → every doc, score 1.0 ⟨tantivy AllQuery⟩
   top-k     → orderBy(score desc, global docid asc).limit(k) — Spark's
-              TakeOrderedAndProject is a distributed early-exit top-k
+              TakeOrderedAndProject is a distributed early-exit top-k;
+              the DEFAULT path is block-max segment pruning (top_k_pruned)
 
 Global BM25 stats (N, df, avgdl) aggregate over ALL manifest segments
 (SURVEY.md §2.9); per-term idf is resolved driver-side with one tiny
@@ -295,18 +303,29 @@ class Searcher:
         if is_date and "__tsbucket" in docs.columns:
             import re as _re
 
+            # bucket granularity is recorded per segment at build; only
+            # filter when every segment agrees (mixed granularities would
+            # make prefix comparisons unsound)
+            fmts = {s.get("tsbucket_fmt") for s in self.segments}
+            plen = {"yyyy": 4, "yyyy-MM": 7, "yyyy-MM-dd": 10}.get(
+                next(iter(fmts)) if len(fmts) == 1 else None)
+
             def bucket(v: Any) -> str | None:
+                if plen is None:
+                    return None
                 s = str(v)
-                return s[:7] if _re.match(r"^\d{4}-\d{2}", s) else None
+                pats = {4: r"^\d{4}", 7: r"^\d{4}-\d{2}",
+                        10: r"^\d{4}-\d{2}-\d{2}"}
+                # 'b' prefix matches the stored partition values (build.py)
+                return "b" + s[:plen] if _re.match(pats[plen], s) else None
 
             lo = bucket(node.gte if node.gte is not None else node.gt)
             hi = bucket(node.lte if node.lte is not None else node.lt)
             if lo is not None:
                 cond = cond & (F.col("__tsbucket") >= lo)
             if hi is not None:
-                # '~' sorts after digits/'-': keeps every bucket of the
-                # boundary month for BOTH month ('yyyy-MM') and day
-                # ('yyyy-MM-dd') partition granularities
+                # '~' sorts after digits/'-': keeps every bucket that
+                # shares the boundary prefix, at any finer granularity
                 cond = cond & (F.col("__tsbucket") <= hi + "~")
         return docs.filter(cond).select(
             "segment_id", "docid", F.lit(1.0).alias("score")
