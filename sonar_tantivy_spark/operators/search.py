@@ -506,6 +506,12 @@ class Searcher:
         fdef = self.schema.field(sort_by) if sort_by else None
         if fdef is not None and fdef.fast and fdef.stored:
             docs = self._table("docs").select("segment_id", "docid", sort_by)
+            # the fast-field join scans the (big) docs table; when the
+            # candidate set is provably small (df-bounded), broadcast it
+            # so the docs side never shuffles
+            bound = self._cand_size_bound(node)
+            if bound is not None and bound <= 2_000_000:
+                cands = F.broadcast(cands)
             cands = cands.join(docs, on=["segment_id", "docid"])
             return (
                 cands.orderBy(F.desc(sort_by), F.asc("docid_g")).limit(limit)
@@ -513,6 +519,32 @@ class Searcher:
                 .drop(sort_by)
             )
         return cands.orderBy(F.desc("score"), F.asc("docid_g")).limit(limit)
+
+    def _cand_size_bound(self, node: A.Node) -> int | None:
+        """Upper bound on the candidate count, from driver-side dfs;
+        None = unbounded/unknown (AllQ, range, fuzzy, regex)."""
+        if isinstance(node, A.TermQ):
+            return self.term_dfs({(node.field, node.term)}).get(
+                (node.field, node.term), 0)
+        if isinstance(node, A.PhraseQ):
+            if not node.terms:
+                return 0
+            dfs = self.term_dfs({(node.field, t) for t in node.terms})
+            return min(dfs.get((node.field, t), 0) for t in node.terms)
+        if isinstance(node, A.BoostQ):
+            return self._cand_size_bound(node.child)
+        if isinstance(node, A.BoolQ):
+            musts = [self._cand_size_bound(c) for c in node.must]
+            known = [b for b in musts if b is not None]
+            if known:  # intersection ≤ the smallest bounded must clause
+                return min(known)
+            if node.must or not node.should:
+                return None
+            shoulds = [self._cand_size_bound(c) for c in node.should]
+            if any(b is None for b in shoulds):
+                return None
+            return sum(shoulds)
+        return None
 
     # ------------------------------------------------- block-max pruning
     def term_upper_bound(self, field: str, term: str, seg_max_tf: int,
