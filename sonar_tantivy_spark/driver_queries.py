@@ -655,6 +655,18 @@ def q_ev_windowed_counts(spark, sf_dir):
                  F.round(F.avg("value"), 4).alias("avg_value")))
 
 
+def q_ev_rollup_daily(spark, sf_dir):
+    """Hypertable-style continuous-aggregate rollup: the DAY resolution
+    derives from the HOURLY windowed counts (never from raw events) —
+    the multi-resolution rollup pattern where each coarser tier
+    re-aggregates the next finer one, so refreshing a day touches 24
+    hourly rows instead of the raw table."""
+    hourly = q_ev_windowed_counts(spark, sf_dir)
+    day = (F.floor(F.col("window_epoch") / 86400) * 86400).cast("long")
+    return (hourly.groupBy(day.alias("day_epoch"), "event_type")
+            .agg(F.sum("cnt").cast("long").alias("cnt")))
+
+
 def q_ev_sessionize(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -702,6 +714,7 @@ QUERIES = {
     "tx_fingerprint": q_tx_fingerprint,
     "mm_binary_meta": q_mm_binary_meta,
     "ev_windowed_counts": q_ev_windowed_counts,
+    "ev_rollup_daily": q_ev_rollup_daily,
     "ev_sessionize": q_ev_sessionize,
 }
 
@@ -1041,6 +1054,10 @@ md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ','))
         "ev_windowed_counts": """SELECT
 (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_epoch, event_type,
 count(*)::BIGINT AS cnt, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2""",
+        "ev_rollup_daily": """SELECT
+(floor(epoch(ts) / 86400) * 86400)::BIGINT AS day_epoch, event_type,
+count(*)::BIGINT AS cnt
 FROM events GROUP BY 1, 2""",
         "ev_sessionize": """WITH o AS (
   SELECT user_id, floor(epoch(ts))::BIGINT AS e,
