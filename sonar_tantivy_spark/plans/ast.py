@@ -216,9 +216,11 @@ def _lex_query(q: str) -> list[tuple]:
             j = i + 1
             while j < n and (q[j].isdigit() or q[j] == "."):
                 j += 1
-            if j == i + 1:
-                raise QueryError(f"expected number after '^' at {i}")
-            toks.append(("boost", float(q[i + 1:j])))
+            try:
+                boost_val = float(q[i + 1:j])
+            except ValueError:
+                raise QueryError(f"expected number after '^' at {i}") from None
+            toks.append(("boost", boost_val))
             i = j
             continue
         if c == '"':

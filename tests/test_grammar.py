@@ -129,3 +129,22 @@ def test_execution_parity(exec_idx, exec_oracle, q):
            for r in s.top_k(node, limit=10).collect()]
     want = [(d, round(sc, 9)) for d, sc in exec_oracle.top_k(node, 10)]
     assert got == want, (q, got, want)
+
+
+def test_parser_never_crashes_on_random_input():
+    """Robustness: arbitrary garbage must either parse or raise
+    QueryError — never any other exception type."""
+    import random
+
+    rng = random.Random(99)
+    chars = 'ab c:()"^+-[]{}\\*AND OR NOT 0.5\t~|'
+    parsed = errors = 0
+    for _ in range(3000):
+        s = "".join(rng.choice(chars) for _ in range(rng.randint(0, 24)))
+        try:
+            A.parse_string(s, SCHEMA)
+            parsed += 1
+        except A.QueryError:
+            errors += 1
+    assert parsed + errors == 3000
+    assert parsed > 0 and errors > 0

@@ -234,3 +234,28 @@ def test_build_metrics_lineage(spark, tmp_path, corpus):
     rows = [json.loads(x) for x in open(path)]
     assert len(rows) == 2
     assert all(r["docs_per_sec_batch"] > 0 and r["segment_id"] for r in rows)
+
+
+def test_ts_bucket_granularity_override(spark, tmp_path, corpus, monkeypatch):
+    """SPARK_GRAFT_TS_BUCKET=year forces coarse buckets; values carry the
+    string-guard prefix and the manifest records the format."""
+    import os
+
+    monkeypatch.setenv("SPARK_GRAFT_TS_BUCKET", "year")
+    idx = _build(spark, tmp_path, corpus, "yb1", num_segments=2)
+    metas = idx.storage.manifest()["segments"]
+    assert all(m["tsbucket_fmt"] == "yyyy" for m in metas)
+    docs_dir = metas[0]["tables"]["docs"]
+    buckets = [d for d in os.listdir(docs_dir) if d.startswith("__tsbucket=")]
+    assert buckets == ["__tsbucket=b2026"]
+    # range query still correct through the coarse bucket
+    got = _topk(idx, {"bool": {"must": [
+        {"term": {"text": "hello"}},
+        {"range": {"ts": {"gte": "2026-01-01 00:00:00",
+                          "lte": "2026-01-02 00:00:00"}}}]}})
+    ref = _build(spark, tmp_path, corpus, "yb2", num_segments=2)
+    monkeypatch.delenv("SPARK_GRAFT_TS_BUCKET")
+    assert got == _topk(ref, {"bool": {"must": [
+        {"term": {"text": "hello"}},
+        {"range": {"ts": {"gte": "2026-01-01 00:00:00",
+                          "lte": "2026-01-02 00:00:00"}}}]}})
