@@ -61,12 +61,21 @@ def generate_snippet(
     out = []
     cursor = frag_start
     for s, e, matched in spans[i:j]:
-        out.append(text[cursor:s])
-        tok = text[s:e]
+        out.append(_escape(text[cursor:s]))
+        tok = _escape(text[s:e])
         out.append(f"<b>{tok}</b>" if matched else tok)
         cursor = e
-    out.append(text[cursor:frag_end])
+    out.append(_escape(text[cursor:frag_end]))
     return "".join(out)
+
+
+def _escape(s: str) -> str:
+    """tantivy's Snippet::to_html runs every fragment through
+    htmlescape::encode_minimal before wrapping highlights — the same
+    minimal entity set here, so raw '<'/'&' in stored text can never
+    masquerade as (or break) the <b> markup."""
+    return (s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+            .replace('"', "&quot;").replace("'", "&#x27;"))
 
 
 def collect_positive_terms(node) -> dict[str, set[str]]:

@@ -95,3 +95,14 @@ def test_fieldnorm_expr_matches_python(spark):
     rows = df.collect()
     for r in rows:
         assert r["nid"] == bm25.fieldnorm_id(r["len"]), r
+
+
+def test_snippet_html_escapes_raw_markup():
+    """tantivy Snippet::to_html escapes fragments (htmlescape
+    encode_minimal): raw '<b>' in stored text must never collide with
+    the highlight markup, and <b> tags always balance."""
+    from sonar_tantivy_spark.operators.snippet import generate_snippet
+
+    out = generate_snippet("x <b>evil</b> & more stuff", {"more"})
+    assert out == "x &lt;b&gt;evil&lt;/b&gt; &amp; <b>more</b> stuff"
+    assert out.count("<b>") == out.count("</b>") == 1
