@@ -188,11 +188,15 @@ def main() -> None:
 
     # ANN quality: recall@5 of the multiprobe-LSH path vs the exact
     # cosine baseline over the sf embeddings (engine-side execution)
-    from sonar_tantivy_spark.operators.ann import measure_recall
+    from sonar_tantivy_spark.operators.ann import (measure_recall,
+                                                   measure_recall_ivf)
 
     t0 = time.time()
     ann_stats = measure_recall(spark, sf_dir, n_queries=20)
     ann_stats["wall_s"] = round(time.time() - t0, 2)
+    t0 = time.time()
+    ivf_stats = measure_recall_ivf(spark, sf_dir, n_queries=20)
+    ivf_stats["wall_s"] = round(time.time() - t0, 2)
 
     total = time.time() - t_all
     out = {
@@ -202,6 +206,7 @@ def main() -> None:
         "queries": q_p50,
         "segments_skipped": q_skips,
         "ann": ann_stats,
+        "ann_ivf": ivf_stats,
         "sf": sf,
         "build": {
             "turns": n_turns,

@@ -477,6 +477,17 @@ def q_ann_lsh_bucket(spark, sf_dir):
     return ann.lsh_topk(_emb(spark, sf_dir), 0, 5)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN: 16 sampled centroids (vectors 100..115), every
+    vector assigned to its argmax-cosine cell (pure column math), query
+    scans only its 4 nearest cells via a literal ``cell IN (...)``
+    filter (partition pruning with a cell-partitioned table — nprobe/K
+    of the data), exact cosine top-5 inside — operators/ann.py."""
+    from sonar_tantivy_spark.operators import ann
+
+    return ann.ivf_topk(_emb(spark, sf_dir), 0, 5)
+
+
 N_LSH_TABLES = 8
 N_LSH_PLANES = 3  # per table; planes = vectors 1..24 (deterministic)
 
@@ -707,6 +718,7 @@ QUERIES = {
     "dd_embed_cosine_pairs": q_dd_embed_cosine_pairs,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "tx_token_count": q_tx_token_count,
     "tx_token_count_bpe": q_tx_token_count_bpe,
     "tx_quality": q_tx_quality,
@@ -862,6 +874,42 @@ c AS (SELECT e.vec_id,
              e.v
       FROM e CROSS JOIN q WHERE e.vec_id <> 0)
 """
+
+
+def _ann_ivf_sql() -> str:
+    """IVF-flat oracle mirroring operators/ann.py: centroids = vectors
+    CENTROID_BASE..+N_CELLS-1, cell = argmax cosine (round 7, ties ->
+    lowest cell id), query probes its NPROBE nearest cells, exact cosine
+    top-5 within the probed cells."""
+    from sonar_tantivy_spark.operators.ann import (CENTROID_BASE, N_CELLS,
+                                                   NPROBE)
+    lo, hi = CENTROID_BASE, CENTROID_BASE + N_CELLS - 1
+    return _ANN_PREFIX + f""",
+cent AS (SELECT vec_id - {lo} AS cid,
+                list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         FROM embeddings WHERE vec_id BETWEEN {lo} AND {hi}),
+sc AS (SELECT e.vec_id, cent.cid,
+              round(list_dot_product(e.v, cent.cv)
+                / (sqrt(list_dot_product(e.v, e.v))
+                   * sqrt(list_dot_product(cent.cv, cent.cv))), 7) AS cs
+       FROM e CROSS JOIN cent),
+assign AS (SELECT vec_id, cid AS cell FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cs DESC, cid) AS rn FROM sc)
+    WHERE rn = 1),
+qc AS (SELECT cid AS cell FROM (
+    SELECT cent.cid,
+           row_number() OVER (ORDER BY
+             round(list_dot_product(q.qv, cent.cv)
+               / (sqrt(list_dot_product(q.qv, q.qv))
+                  * sqrt(list_dot_product(cent.cv, cent.cv))), 7) DESC,
+             cent.cid) AS rn
+    FROM cent CROSS JOIN q) WHERE rn <= {NPROBE})
+SELECT c.vec_id, round(c.cos, 4) AS cos
+FROM c JOIN assign ON assign.vec_id = c.vec_id
+       JOIN qc ON qc.cell = assign.cell
+ORDER BY round(c.cos, 7) DESC, c.vec_id LIMIT 5"""
 
 
 def _ann_lsh_sql() -> str:
@@ -1039,6 +1087,7 @@ FROM reach GROUP BY doc""").replace("WITH ", "WITH RECURSIVE ", 1),
         "ann_cosine_topk": _ANN_PREFIX + """SELECT vec_id, round(cos, 4) AS cos FROM c
 ORDER BY round(cos, 7) DESC, vec_id LIMIT 5""",
         "ann_lsh_bucket": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
         "tx_token_count": """SELECT doc_id,
 len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents""",
         "tx_token_count_bpe": f"""SELECT doc_id,

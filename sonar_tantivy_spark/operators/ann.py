@@ -31,6 +31,13 @@ N_TABLES = 4
 N_PLANES = 5  # per table; plane vectors = corpus vec_ids 1..20
 MULTIPROBE = 1  # Hamming radius of the query's probe set per table
 
+# IVF-flat: K sampled centroids (no Lloyd training — deterministic,
+# reproducible, and the scale story is the cell-pruned scan, not the
+# training); centroid c is corpus vector CENTROID_BASE + c.
+N_CELLS = 16
+NPROBE = 4
+CENTROID_BASE = 100
+
 
 def dot_lit(col, vec) -> F.Column:
     """<col, literal-vector> as a fold — JVM-side, no UDF."""
@@ -124,6 +131,91 @@ def lsh_topk(emb_df: DataFrame, qvec_id: int, k: int = 5,
         cond = c if cond is None else (cond | c)
     cand = bucketed.filter(cond & (F.col("vec_id") != qvec_id))
     return _topk(_cosine_to(cand, q), k)
+
+
+def centroid_vecs(emb_df: DataFrame, n_cells: int = N_CELLS,
+                  base: int = CENTROID_BASE) -> list:
+    """Deterministic IVF centroids: corpus vectors base..base+n_cells-1."""
+    rows = {r["vec_id"]: r["embedding"] for r in emb_df.filter(
+        F.col("vec_id").between(base, base + n_cells - 1)).collect()}
+    return [rows[base + c] for c in range(n_cells)]
+
+
+def _cos_lit(col, vec) -> F.Column:
+    n = math.sqrt(sum(float(x) * float(x) for x in vec))
+    return dot_lit(col, vec) / (norm_col(col) * F.lit(n))
+
+
+def cell_col(emb_col, cents) -> F.Column:
+    """IVF cell = argmax cosine over the centroid list (ties -> lowest
+    cell id, via array_position's first-match rule).  Pure column math;
+    cosines rounded to 7 so the argmax is reproducible across engines."""
+    scores = F.array(*[F.round(_cos_lit(emb_col, cv), 7) for cv in cents])
+    return (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+
+
+def ivf_assign(emb_df: DataFrame, cents: list | None = None) -> DataFrame:
+    """Adds the ``cell`` column.  At scale this runs once at ingest and
+    the table is written partitioned by ``cell`` so probe filters prune
+    files; here it is computed on the fly."""
+    if cents is None:
+        cents = centroid_vecs(emb_df)
+    return emb_df.withColumn("cell", cell_col(F.col("embedding"), cents))
+
+
+def _probe_cells(qvec, cents, nprobe: int) -> list[int]:
+    qn = math.sqrt(sum(float(x) * float(x) for x in qvec))
+    scored = []
+    for cid, cv in enumerate(cents):
+        cn = math.sqrt(sum(float(x) * float(x) for x in cv))
+        cos = sum(float(a) * float(b) for a, b in zip(qvec, cv)) / (qn * cn)
+        scored.append((round(cos, 7), cid))
+    scored.sort(key=lambda t: (-t[0], t[1]))
+    return sorted(cid for _, cid in scored[:nprobe])
+
+
+def ivf_topk(emb_df: DataFrame, qvec_id: int, k: int = 5,
+             nprobe: int = NPROBE, cents: list | None = None) -> DataFrame:
+    """IVF-flat ANN: restrict the exact-cosine scan to the ``nprobe``
+    cells nearest the query.  The probe set is a driver-side literal
+    ``cell IN (...)`` filter — with a cell-partitioned table that is
+    partition pruning, scanning nprobe/K of the data; never a join.
+    Pass a pre-assigned df (ivf_assign) to amortize the cell column."""
+    if cents is None:
+        cents = centroid_vecs(emb_df)
+    q = emb_df.filter(F.col("vec_id") == qvec_id).select("embedding").head()[0]
+    assigned = emb_df if "cell" in emb_df.columns else ivf_assign(emb_df, cents)
+    probes = _probe_cells(q, cents, nprobe)
+    cand = assigned.filter(F.col("cell").isin(probes)
+                           & (F.col("vec_id") != qvec_id))
+    return _topk(_cosine_to(cand, q), k)
+
+
+def measure_recall_ivf(spark: SparkSession, sf_dir: str,
+                       n_queries: int = 20, k: int = 5) -> dict:
+    """recall@k of the IVF path vs the exact baseline, plus the mean
+    scanned-candidate fraction (= probed-cell population share)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = centroid_vecs(emb)
+    assigned = ivf_assign(emb, cents).persist()
+    n = assigned.count()
+    hits = cands = 0
+    for qid in range(n_queries):
+        exact = {r["vec_id"] for r in exact_topk(assigned, qid, k).collect()}
+        approx = {r["vec_id"] for r in
+                  ivf_topk(assigned, qid, k, cents=cents).collect()}
+        hits += len(exact & approx)
+        q = assigned.filter(F.col("vec_id") == qid).select("embedding").head()[0]
+        cands += assigned.filter(
+            F.col("cell").isin(_probe_cells(q, cents, NPROBE))).count()
+    assigned.unpersist()
+    return {
+        "recall_at_k": round(hits / (n_queries * k), 4),
+        "k": k,
+        "n_queries": n_queries,
+        "cand_frac": round(cands / (n_queries * n), 4),
+        "config": f"ivf {N_CELLS} cells nprobe {NPROBE}",
+    }
 
 
 def measure_recall(spark: SparkSession, sf_dir: str, n_queries: int = 20,
