@@ -637,6 +637,42 @@ def q_tx_fingerprint(spark, sf_dir):
         .alias("fingerprint"))
 
 
+WINNOW_K = 4  # token-gram width of the rolling hash
+WINNOW_W = 5  # winnowing window (consecutive k-gram hashes)
+
+
+def q_tx_winnow_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprint (Schleimer et al. MOSS scheme):
+    rolling hash = md5 over 4-token grams at each position, keep the
+    minimum hash of every window of 5 consecutive grams, fingerprint =
+    md5 of the sorted distinct selected hashes.  Unlike tx_fingerprint
+    (bag-of-words) this is position-sensitive and robust to partial
+    overlap — the standard near-dup/plagiarism sketch.  All column math
+    + one per-doc window function; docs shorter than k+w-1 tokens yield
+    no windows and drop out (oracle agrees)."""
+    from pyspark.sql import Window
+
+    d = (_docs(spark, sf_dir)
+         .select("doc_id", F.split("text", " ").alias("w"))
+         .filter(F.size("w") >= WINNOW_K))
+    grams = F.expr(
+        f"transform(sequence(0, size(w) - {WINNOW_K}), "
+        f"i -> concat_ws(' ', slice(w, i + 1, {WINNOW_K})))")
+    sh = d.select("doc_id", F.posexplode(grams).alias("pos", "g"))
+    sh = sh.select("doc_id", "pos", F.md5("g").alias("h"))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    per_doc = Window.partitionBy("doc_id")
+    wmin = sh.select(
+        "doc_id", "pos", F.min("h").over(win).alias("mh"),
+        F.max("pos").over(per_doc).alias("mp"))
+    sel = (wmin.filter(F.col("pos") <= F.col("mp") - (WINNOW_W - 1))
+           .select("doc_id", "mh").distinct())
+    return sel.groupBy("doc_id").agg(
+        F.count("*").alias("n_fp"),
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_set("mh"))))
+        .alias("winnow_fp"))
+
+
 # multimodal plumbing ---------------------------------------------------------
 def q_mm_binary_meta(spark, sf_dir):
     """Opaque-binary column plumbing: payload bytes + deterministic stub
@@ -724,6 +760,7 @@ QUERIES = {
     "tx_quality": q_tx_quality,
     "tx_langid": q_tx_langid,
     "tx_fingerprint": q_tx_fingerprint,
+    "tx_winnow_fingerprint": q_tx_winnow_fingerprint,
     "mm_binary_meta": q_mm_binary_meta,
     "ev_windowed_counts": q_ev_windowed_counts,
     "ev_rollup_daily": q_ev_rollup_daily,
@@ -874,6 +911,34 @@ c AS (SELECT e.vec_id,
              e.v
       FROM e CROSS JOIN q WHERE e.vec_id <> 0)
 """
+
+
+def _winnow_sql() -> str:
+    """Winnowing oracle mirroring q_tx_winnow_fingerprint: 4-token-gram
+    md5 rolling hashes, per-window(5) minima, fingerprint = md5 of the
+    sorted distinct minima."""
+    k, w = WINNOW_K, WINNOW_W
+    joins = "\n       ".join(
+        f"JOIN toks t{i} ON t1.doc_id = t{i}.doc_id AND t{i}.pos = t1.pos + {i - 1}"
+        for i in range(2, k + 1))
+    gram = " || ' ' || ".join(f"t{i}.raw" for i in range(1, k + 1))
+    return f"""WITH splitted AS (
+  SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+  WHERE len(string_split(text, ' ')) >= {k}),
+toks AS (SELECT doc_id, unnest(arr) AS raw,
+                generate_subscripts(arr, 1) - 1 AS pos FROM splitted),
+sh AS (SELECT t1.doc_id, t1.pos, md5({gram}) AS h
+       FROM toks t1
+       {joins}),
+wmin AS (SELECT doc_id, pos,
+                min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mh,
+                max(pos) OVER (PARTITION BY doc_id) AS mp
+         FROM sh),
+sel AS (SELECT DISTINCT doc_id, mh FROM wmin WHERE pos <= mp - {w - 1})
+SELECT doc_id, count(*)::BIGINT AS n_fp,
+       md5(string_agg(mh, ',' ORDER BY mh)) AS winnow_fp
+FROM sel GROUP BY doc_id"""
 
 
 def _ann_ivf_sql() -> str:
@@ -1098,6 +1163,7 @@ FROM documents""",
         "tx_fingerprint": """SELECT doc_id,
 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ','))
   AS fingerprint FROM documents""",
+        "tx_winnow_fingerprint": _winnow_sql(),
         "mm_binary_meta": """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
 (octet_length(encode(text)) % 7 + 1)::BIGINT AS n_frames FROM documents""",
         "ev_windowed_counts": """SELECT

@@ -66,3 +66,56 @@ def test_quality_rules_fire(spark, quality_dir):
         assert got[d][1] == expect, (d, got[d])
     assert got[0][0] == 1.0
     assert got[1][0] < 1.0
+
+
+WNN = ("the quick brown fox jumps over the lazy dog while the cat "
+       "sleeps on the warm mat near the old oak door")
+
+
+@pytest.fixture(scope="module")
+def winnow_dir(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("winnow"))
+    shuffled = " ".join(sorted(WNN.split()))          # same bag, new order
+    shared_tail = "completely different opening words here " + WNN
+    rows = [(0, WNN), (1, WNN), (2, shuffled), (3, shared_tail)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.coalesce(1).write.parquet(f"{base}/documents.parquet")
+    return base
+
+
+def test_winnow_position_sensitive_but_overlap_robust(spark, winnow_dir):
+    """Winnowing separates reordered text (same bag of words -> different
+    fingerprint) yet docs sharing a long substring share selected hashes
+    — the two properties the bag-of-words tx_fingerprint lacks."""
+    fp = {r["doc_id"]: r["winnow_fp"] for r in
+          dq.QUERIES["tx_winnow_fingerprint"](spark, winnow_dir).collect()}
+    bag = {r["doc_id"]: r["fingerprint"] for r in
+           dq.QUERIES["tx_fingerprint"](spark, winnow_dir).collect()}
+    assert fp[0] == fp[1]                 # identical docs, identical fp
+    assert bag[0] == bag[2]               # bag fingerprint is order-blind
+    assert fp[0] != fp[2]                 # winnowing is not
+
+    # overlap guarantee (Schleimer et al.): doc 3 = prefix + the full
+    # doc-0 text, so every doc-0 winnowing window also occurs in doc 3
+    # -> the two minima sets intersect.  Recompute the selected minima
+    # directly (the contract query returns only the digest).
+    from pyspark.sql import Window, functions as F
+    from sonar_tantivy_spark.driver_queries import WINNOW_K, WINNOW_W
+
+    d = (spark.read.parquet(f"{winnow_dir}/documents.parquet")
+         .select("doc_id", F.split("text", " ").alias("w"))
+         .filter(F.size("w") >= WINNOW_K))
+    grams = F.expr(
+        f"transform(sequence(0, size(w) - {WINNOW_K}), "
+        f"i -> concat_ws(' ', slice(w, i + 1, {WINNOW_K})))")
+    sh = (d.select("doc_id", F.posexplode(grams).alias("pos", "g"))
+          .select("doc_id", "pos", F.md5("g").alias("h")))
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    per_doc = Window.partitionBy("doc_id")
+    sel = (sh.select("doc_id", "pos", F.min("h").over(win).alias("mh"),
+                     F.max("pos").over(per_doc).alias("mp"))
+           .filter(F.col("pos") <= F.col("mp") - (WINNOW_W - 1)))
+    minima = {did: {r["mh"] for r in sel.filter(F.col("doc_id") == did)
+                    .select("mh").distinct().collect()} for did in (0, 3)}
+    assert minima[0] and minima[3]
+    assert minima[0] & minima[3], "shared substring must share a hash"
