@@ -33,7 +33,12 @@ MULTIPROBE = 1  # Hamming radius of the query's probe set per table
 
 # IVF-flat: K sampled centroids (no Lloyd training — deterministic,
 # reproducible, and the scale story is the cell-pruned scan, not the
-# training); centroid c is corpus vector CENTROID_BASE + c.
+# training); centroid c is corpus vector CENTROID_BASE + c.  Cell sizes
+# are balanced (100-159 per cell over 2000 vectors at sf0.1).  Measured
+# recall@5 vs exact on the adversarially-uniform synthetic embeddings:
+# nprobe 4 -> 0.50 @ 25% scanned, 6 -> 0.60 @ 37%, 8 -> 0.78 @ 50%
+# (uniform vectors are IVF's worst case — real clustered embeddings
+# concentrate neighbors in fewer cells, shifting the curve up).
 N_CELLS = 16
 NPROBE = 4
 CENTROID_BASE = 100
