@@ -586,9 +586,9 @@ def q_tx_token_count_bpe(spark, sf_dir):
         .alias("n_bpe_tokens"))
 
 
-def q_tx_quality(spark, sf_dir):
-    d = _docs(spark, sf_dir).select("doc_id", "text",
-                                    F.split("text", " ").alias("w"))
+def _quality_passed_expr() -> F.Column:
+    """Count of Gopher-style rules passed, over a df with columns
+    ``text`` and ``w`` (whitespace-split tokens)."""
     n = F.size("w").cast("double")
     nd = F.size(F.array_distinct("w")).cast("double")
     stops = LANG_STOPWORDS["en"]
@@ -604,18 +604,13 @@ def q_tx_quality(spark, sf_dir):
         stop >= 2,
         (sym / n) <= 0.1,
     ]
-    passed = sum(F.when(r, 1).otherwise(0) for r in rules)
-    return d.select(
-        "doc_id",
-        F.round(passed.cast("double") / N_QUALITY_RULES, 4).alias("quality"),
-        (passed == N_QUALITY_RULES).alias("gopher_pass"),
-    )
+    return sum(F.when(r, 1).otherwise(0) for r in rules)
 
 
-def q_tx_langid(spark, sf_dir):
-    """Multi-language stopword-profile langid: per-language hit ratio,
-    argmax with a 5% floor, first-in-LANG_ORDER tie-break."""
-    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
+def _langid_expr() -> F.Column:
+    """Stopword-profile language prediction over a df with column ``w``:
+    per-language hit ratio, argmax with a 5% floor, first-in-LANG_ORDER
+    tie-break."""
     n = F.size("w").cast("double")
 
     def hits(sw):  # one-arg lambda (a 2-arg lambda would get the index)
@@ -627,7 +622,23 @@ def q_tx_langid(spark, sf_dir):
     for lang in reversed(LANG_ORDER):  # build so earlier langs win ties
         pred = F.when((ratios[lang] >= best) & (best >= LANGID_FLOOR),
                       lang).otherwise(pred)
-    return d.select("doc_id", pred.alias("lang_pred"))
+    return pred
+
+
+def q_tx_quality(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text",
+                                    F.split("text", " ").alias("w"))
+    passed = _quality_passed_expr()
+    return d.select(
+        "doc_id",
+        F.round(passed.cast("double") / N_QUALITY_RULES, 4).alias("quality"),
+        (passed == N_QUALITY_RULES).alias("gopher_pass"),
+    )
+
+
+def q_tx_langid(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
+    return d.select("doc_id", _langid_expr().alias("lang_pred"))
 
 
 def q_tx_fingerprint(spark, sf_dir):
@@ -635,6 +646,33 @@ def q_tx_fingerprint(spark, sf_dir):
     return d.select(
         "doc_id", F.md5(F.concat_ws(",", F.sort_array(F.array_distinct("w"))))
         .alias("fingerprint"))
+
+
+def q_pl_clean_corpus(spark, sf_dir):
+    """Capstone training-data pipeline: Gopher-quality filter + English
+    langid + exact dedup (bag-of-words fingerprint, lowest doc_id kept)
+    + token budget, COMPOSED THE WAY IT MUST RUN AT 100 TB — every
+    per-doc signal (quality rules, langid ratios, fingerprint, token
+    count) is computed in ONE scan of documents as pure column math;
+    the only shuffle is the dedup's window-min over fingerprint.  No
+    joins between signal stages, no second scan (plan-asserted in
+    tests/test_dedup_plans.py)."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("doc_id", "text",
+                                    F.split("text", " ").alias("w"))
+    sig = d.select(
+        "doc_id",
+        (_quality_passed_expr() == N_QUALITY_RULES).alias("gopher_pass"),
+        _langid_expr().alias("lang_pred"),
+        F.md5(F.concat_ws(",", F.sort_array(F.array_distinct("w"))))
+        .alias("fingerprint"),
+        F.size("w").cast("long").alias("n_tokens"))
+    keep = sig.filter(F.col("gopher_pass") & (F.col("lang_pred") == "en"))
+    canon = F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    return (keep.withColumn("canon", canon)
+            .filter(F.col("doc_id") == F.col("canon"))
+            .select("doc_id", "n_tokens"))
 
 
 WINNOW_K = 4  # token-gram width of the rolling hash
@@ -761,6 +799,7 @@ QUERIES = {
     "tx_langid": q_tx_langid,
     "tx_fingerprint": q_tx_fingerprint,
     "tx_winnow_fingerprint": q_tx_winnow_fingerprint,
+    "pl_clean_corpus": q_pl_clean_corpus,
     "mm_binary_meta": q_mm_binary_meta,
     "ev_windowed_counts": q_ev_windowed_counts,
     "ev_rollup_daily": q_ev_rollup_daily,
@@ -1164,6 +1203,20 @@ FROM documents""",
 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ','))
   AS fingerprint FROM documents""",
         "tx_winnow_fingerprint": _winnow_sql(),
+        "pl_clean_corpus": f"""WITH q AS ({_quality_sql()}),
+l AS ({_langid_sql()}),
+ft AS (SELECT doc_id,
+  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ','))
+    AS fingerprint,
+  len(string_split(text, ' '))::BIGINT AS n_tokens
+  FROM documents),
+keep AS (SELECT ft.doc_id, ft.fingerprint, ft.n_tokens
+         FROM ft JOIN q USING (doc_id) JOIN l USING (doc_id)
+         WHERE q.gopher_pass AND l.lang_pred = 'en'),
+sel AS (SELECT doc_id, n_tokens,
+               min(doc_id) OVER (PARTITION BY fingerprint) AS canon
+        FROM keep)
+SELECT doc_id, n_tokens FROM sel WHERE doc_id = canon""",
         "mm_binary_meta": """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
 (octet_length(encode(text)) % 7 + 1)::BIGINT AS n_frames FROM documents""",
         "ev_windowed_counts": """SELECT

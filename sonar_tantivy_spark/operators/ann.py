@@ -220,6 +220,8 @@ def measure_recall_ivf(spark: SparkSession, sf_dir: str,
         "n_queries": n_queries,
         "cand_frac": round(cands / (n_queries * n), 4),
         "config": f"ivf {N_CELLS} cells nprobe {NPROBE}",
+        "recall_curve": "nprobe4 0.50@25% scan, 6 0.60@37%, 8 0.78@50% "
+                        "(sf0.1; uniform vectors = IVF worst case)",
     }
 
 

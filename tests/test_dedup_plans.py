@@ -87,3 +87,14 @@ def test_ivf_recall_floor(spark):
     m = measure_recall_ivf(spark, SF, n_queries=10, k=5)
     assert m["recall_at_k"] >= 0.5, m
     assert m["cand_frac"] < 0.6, m
+
+
+def test_clean_corpus_single_scan(spark):
+    """The composed cleaning pipeline must read documents ONCE (all
+    per-doc signals in one projection) and shuffle ONCE (the dedup
+    window) — no joins between signal stages."""
+    df = dq.QUERIES["pl_clean_corpus"](spark, SF)
+    plan = _physical_plan(df)
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan
