@@ -98,3 +98,36 @@ def test_clean_corpus_single_scan(spark):
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_minhash_recall_vs_bruteforce(spark):
+    """Measured recall of the candidate-bounded pipeline against the
+    ground truth an all-pairs brute force would find: every true J>=0.5
+    pair (DuckDB shingle self-join, acceptable at test scale only) must
+    be surfaced by the MinHash bands and survive verification.  The
+    banding curve predicts p(candidate) ~ 1-(1-J^2)^8 > 0.999 for the
+    J>=0.89 pairs present in the corpus."""
+    import duckdb
+
+    truth_sql = f"""
+WITH splitted AS (SELECT doc_id, string_split(text,' ') AS arr
+                  FROM '{SF}/documents.parquet'),
+toks AS (SELECT doc_id, unnest(arr) AS raw,
+                generate_subscripts(arr,1)-1 AS pos FROM splitted),
+sh AS (SELECT DISTINCT t1.doc_id, t1.raw || ' ' || t2.raw || ' ' || t3.raw AS shingle
+       FROM toks t1 JOIN toks t2 ON t1.doc_id=t2.doc_id AND t2.pos=t1.pos+1
+                    JOIN toks t3 ON t1.doc_id=t3.doc_id AND t3.pos=t1.pos+2),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle=b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1,2)
+SELECT d1, d2 FROM inter
+JOIN sizes sa ON sa.doc_id=d1 JOIN sizes sb ON sb.doc_id=d2
+WHERE round(i/(sa.sz+sb.sz-i),4) >= 0.5"""
+    truth = {(d1, d2) for d1, d2 in duckdb.sql(truth_sql).fetchall()}
+    got = {(r["d1"], r["d2"]) for r in
+           dq.QUERIES["dd_jaccard_pairs"](spark, SF).collect()}
+    assert truth, "corpus must contain planted near-dups"
+    missed = truth - got
+    assert not missed, f"bands missed true pairs: {sorted(missed)}"
+    assert got <= truth  # verification step admits no false positives
