@@ -94,6 +94,26 @@ def main() -> None:
         checks.append((name, "whole-stage codegen (direct or AQE-deferred)",
                        "codegen id" in plan or "AdaptiveSparkPlan" in plan))
 
+    # pipeline + ANN shapes over the driver testdata tables
+    from sonar_tantivy_spark import driver_queries as dq
+
+    sf = os.environ.get("SPARK_GRAFT_PLANS_SF", "/root/testdata/sf0.001")
+    for name in ("pl_clean_corpus", "ann_ivf_topk"):
+        df = dq.QUERIES[name](spark, sf)
+        plan = formatted(df)
+        sections.append(f"## {name}\n\n```\n{plan}\n```\n")
+        n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+        if name == "pl_clean_corpus":
+            checks.append((name, f"single documents scan (saw {n_scans})",
+                           n_scans == 1))
+            checks.append((name, "no join between signal stages",
+                           "Join" not in plan))
+        if name == "ann_ivf_topk":
+            checks.append((name, "probe is a literal filter, no join",
+                           "Join" not in plan and " IN (" in plan))
+            checks.append((name, "top-k is TakeOrderedAndProject",
+                           "TakeOrderedAndProject" in plan))
+
     lines = ["# PLANS — physical-plan evidence (explain 'formatted')\n",
              f"Index: {turns:,} turns, built as 8 segments, compacted to "
              f"{len(idx.segment_info())}; plans below are the DEFAULT "
