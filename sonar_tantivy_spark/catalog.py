@@ -64,15 +64,19 @@ class Index:
         seg_size: int | None = None,
         num_segments: int | None = None,
         epoch: str | None = None,
+        n_hint: int | None = None,
     ) -> list[dict]:
-        """Bulk ingest — the distributed build pipeline (SURVEY.md §3.3)."""
+        """Bulk ingest — the distributed build pipeline (SURVEY.md §3.3).
+
+        ``n_hint``: known/estimated row count — lets the build size its
+        task count to the batch (micro-batch streaming path)."""
         if epoch is None:
             self._batch_counter += 1
             epoch = f"{self.storage.new_epoch()}b{self._batch_counter}"
         return build_segments(
             self.spark, df, self.schema, self.storage,
             order_cols=order_cols, seg_size=seg_size,
-            num_segments=num_segments, epoch=epoch,
+            num_segments=num_segments, epoch=epoch, n_hint=n_hint,
         )
 
     # ----------------------------------------------------------- segments

@@ -140,7 +140,8 @@ def make_perdoc_postings_udf(tokenizer: str):
     return _udf
 
 
-def _assign_docids(df: DataFrame, order_cols: list[str], parallelism: int) -> DataFrame:
+def _assign_docids(df: DataFrame, order_cols: list[str], parallelism: int,
+                   n_hint: int | None = None) -> DataFrame:
     """Dense global docid by stable (order_cols) ordering (SURVEY.md §1.3).
 
     Range-partition + in-partition sort, then offsets from per-partition
@@ -153,6 +154,15 @@ def _assign_docids(df: DataFrame, order_cols: list[str], parallelism: int) -> Da
     # parts==cores idles the whole cluster for its tail — measured as
     # long 1-4-busy-core stretches.  ~4 waves of smaller tasks amortize it.
     parts = max(1, 4 * parallelism)
+    if n_hint is not None:
+        # micro-batch adaptation: per-task fixed cost (Arrow batch setup,
+        # parquet writer open/close, dynamic-partition commit of tiny
+        # files) dominates when rows/task drops too low — the measured
+        # wall floor on 30k-turn streaming batches.  Docids stay correct
+        # at ANY partition count (rank is partitioning-invariant), so a
+        # caller that knows n collapses to ~2500 rows/task; builds at or
+        # above ~2500*4*cores rows keep the straggler-amortizing 4x.
+        parts = max(1, min(parts, math.ceil(n_hint / 2500)))
     ranked = (
         df.repartitionByRange(parts, *[F.col(c) for c in order_cols])
         .sortWithinPartitions(*order_cols)
@@ -201,6 +211,7 @@ def build_segments(
     seg_size: int | None = None,
     num_segments: int | None = None,
     epoch: str | None = None,
+    n_hint: int | None = None,
 ) -> list[dict]:
     """Tokenize + build postings/doclens/termdict/docs for one batch and
     commit the new segments to the manifest.  Returns the segment metas.
@@ -227,7 +238,8 @@ def build_segments(
     schema.warn_unknown([c for c in docs_df.columns if c not in keep])
     docs_df = docs_df.select(*keep)
 
-    with_id, ranked_cache, n = _assign_docids(docs_df, order_cols, parallelism)
+    with_id, ranked_cache, n = _assign_docids(docs_df, order_cols,
+                                              parallelism, n_hint=n_hint)
     _phase("docid_assign")
     if n == 0:
         ranked_cache.unpersist()

@@ -140,6 +140,27 @@ def compact_to(index, target_segments: int = 1) -> list[dict]:
     return metas
 
 
+def tiered_compact(index, max_segments: int) -> dict | None:
+    """LogMergePolicy-style incremental merge for long-running streams:
+    when the manifest exceeds ``max_segments``, merge ONLY the cheapest
+    contiguous window (the adjacent run with the fewest total docs) down
+    to the cap — instead of rewriting the whole index like compact_to.
+    Small fresh micro-batch segments at the manifest tail merge among
+    themselves; a big head segment is rewritten only when it is itself
+    the cheapest choice, so total rewrite bytes grow ~log-fashion with
+    stream length rather than linearly per trigger.  Same bit-identity
+    guarantees as compact() (contiguous run, docid bases preserved).
+    Returns the new segment meta, or None when under the cap."""
+    segs = index.storage.manifest()["segments"]
+    n = len(segs)
+    if n <= max_segments:
+        return None
+    w = n - max_segments + 1  # merging w adjacent segments hits the cap
+    sizes = [s["max_doc"] for s in segs]
+    best = min(range(n - w + 1), key=lambda i: sum(sizes[i:i + w]))
+    return compact(index, [s["segment_id"] for s in segs[best:best + w]])
+
+
 def _retire_epochs(manifest: dict, replaced_segments: list[dict]) -> None:
     """Record the ingest epochs whose segments a compaction replaced.
     This is the replay ledger for streaming: a crashed-and-replayed

@@ -59,7 +59,8 @@ def start_incremental_indexing(
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
+        n = batch_df.count()  # cheap (micro-batch); sizes the build's tasks
+        if n == 0:
             return
         if epoch_committed(index, f"b{batch_id}"):
             return  # batch replay after a crash — already ingested
@@ -70,14 +71,18 @@ def start_incremental_indexing(
                 seg_size=seg_size,
                 num_segments=None if seg_size else 1,
                 epoch=f"b{batch_id}",
+                n_hint=n,
             )
         except SegmentExistsError:
             pass  # raced replay of the same epoch — already committed
         if auto_compact_above is not None and \
                 len(index.segment_info()) > auto_compact_above:
-            from sonar_tantivy_spark.operators.merge import compact_to
+            from sonar_tantivy_spark.operators.merge import tiered_compact
 
-            compact_to(index, auto_compact_above)
+            # cheapest-window merge (LogMergePolicy analog): rewrites
+            # only the small adjacent segments, not the whole index —
+            # a long stream pays ~log total rewrite, not linear/trigger
+            tiered_compact(index, auto_compact_above)
 
     writer = (
         stream_df.writeStream.foreachBatch(sink)

@@ -259,3 +259,46 @@ def test_ts_bucket_granularity_override(spark, tmp_path, corpus, monkeypatch):
         {"term": {"text": "hello"}},
         {"range": {"ts": {"gte": "2026-01-01 00:00:00",
                           "lte": "2026-01-02 00:00:00"}}}]}})
+
+
+def test_n_hint_partitioning_invariance(spark, tmp_path, corpus):
+    """Builds at wildly different task counts (n_hint collapses the
+    micro-batch to a handful of partitions vs the default 4x-cores
+    over-partitioning) must produce identical docids, scores, and stored
+    docs — the rank-is-partitioning-invariant contract that makes the
+    streaming path's adaptive sizing safe."""
+    a = _build(spark, tmp_path / "a", corpus, "a", num_segments=3)
+    b = _build(spark, tmp_path / "b", corpus, "b", num_segments=3,
+               n_hint=len(corpus))
+    for q in ("hello", "tell me more", 'role:user AND hello'):
+        ra, rb = a.query(q, limit=20), b.query(q, limit=20)
+        assert ra == rb, q
+    # segment ids embed the wall-clock epoch; the doc layout must match
+    assert ([s["max_doc"] for s in a.segment_info()]
+            == [s["max_doc"] for s in b.segment_info()])
+
+
+def test_tiered_compact_preserves_results(spark, tmp_path, corpus):
+    """Cheapest-window merge: picks the contiguous run with the fewest
+    docs, preserves global docids / scores bit-identically, and stops at
+    the cap."""
+    from sonar_tantivy_spark.operators.merge import tiered_compact
+
+    idx = _build(spark, tmp_path, corpus, "tc", num_segments=6)
+    q = {"bool": {"should": [{"term": {"text": "hello"}},
+                             {"term": {"text": "the"}}]}}
+    before = _topk(idx, q)
+    sizes_before = [s["max_doc"] for s in idx.segment_info()]
+    meta = tiered_compact(idx, max_segments=4)
+    assert meta is not None
+    infos = idx.segment_info()
+    assert len(infos) == 4
+    # merged window was the cheapest contiguous triple
+    w = len(sizes_before) - 4 + 1
+    best = min(range(len(sizes_before) - w + 1),
+               key=lambda i: sum(sizes_before[i:i + w]))
+    assert meta["max_doc"] == sum(sizes_before[best:best + w])
+    assert _topk(idx, q) == before
+    # under the cap: no-op
+    assert tiered_compact(idx, max_segments=4) is None
+    assert _topk(idx, q) == before
