@@ -641,11 +641,16 @@ def q_tx_langid(spark, sf_dir):
     return d.select("doc_id", _langid_expr().alias("lang_pred"))
 
 
+def _bag_fingerprint_expr() -> F.Column:
+    """Bag-of-words md5 over a df with column ``w`` — shared by
+    tx_fingerprint and the pl_clean_corpus dedup stage so they cannot
+    drift."""
+    return F.md5(F.concat_ws(",", F.sort_array(F.array_distinct("w"))))
+
+
 def q_tx_fingerprint(spark, sf_dir):
     d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
-    return d.select(
-        "doc_id", F.md5(F.concat_ws(",", F.sort_array(F.array_distinct("w"))))
-        .alias("fingerprint"))
+    return d.select("doc_id", _bag_fingerprint_expr().alias("fingerprint"))
 
 
 def q_pl_clean_corpus(spark, sf_dir):
@@ -665,8 +670,7 @@ def q_pl_clean_corpus(spark, sf_dir):
         "doc_id",
         (_quality_passed_expr() == N_QUALITY_RULES).alias("gopher_pass"),
         _langid_expr().alias("lang_pred"),
-        F.md5(F.concat_ws(",", F.sort_array(F.array_distinct("w"))))
-        .alias("fingerprint"),
+        _bag_fingerprint_expr().alias("fingerprint"),
         F.size("w").cast("long").alias("n_tokens"))
     keep = sig.filter(F.col("gopher_pass") & (F.col("lang_pred") == "en"))
     canon = F.min("doc_id").over(Window.partitionBy("fingerprint"))

@@ -204,15 +204,19 @@ def measure_recall_ivf(spark: SparkSession, sf_dir: str,
     cents = centroid_vecs(emb)
     assigned = ivf_assign(emb, cents).persist()
     n = assigned.count()
+    cell_pop = {r["cell"]: r["c"] for r in
+                assigned.groupBy("cell").agg(F.count("*").alias("c")).collect()}
+    qvecs = {r["vec_id"]: r["embedding"] for r in
+             assigned.filter(F.col("vec_id") < n_queries).collect()}
     hits = cands = 0
     for qid in range(n_queries):
         exact = {r["vec_id"] for r in exact_topk(assigned, qid, k).collect()}
         approx = {r["vec_id"] for r in
                   ivf_topk(assigned, qid, k, cents=cents).collect()}
         hits += len(exact & approx)
-        q = assigned.filter(F.col("vec_id") == qid).select("embedding").head()[0]
-        cands += assigned.filter(
-            F.col("cell").isin(_probe_cells(q, cents, NPROBE))).count()
+        # scanned candidates = probed-cell population minus the query row
+        probes = _probe_cells(qvecs[qid], cents, NPROBE)
+        cands += sum(cell_pop.get(c, 0) for c in probes) - 1
     assigned.unpersist()
     return {
         "recall_at_k": round(hits / (n_queries * k), 4),

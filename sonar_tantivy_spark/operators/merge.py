@@ -151,6 +151,7 @@ def tiered_compact(index, max_segments: int) -> dict | None:
     stream length rather than linearly per trigger.  Same bit-identity
     guarantees as compact() (contiguous run, docid bases preserved).
     Returns the new segment meta, or None when under the cap."""
+    max_segments = max(1, max_segments)  # cap of 0 means "one segment"
     segs = index.storage.manifest()["segments"]
     n = len(segs)
     if n <= max_segments:

@@ -59,11 +59,12 @@ def start_incremental_indexing(
     """
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        n = batch_df.count()  # cheap (micro-batch); sizes the build's tasks
-        if n == 0:
-            return
         if epoch_committed(index, f"b{batch_id}"):
             return  # batch replay after a crash — already ingested
+        # count only when actually ingesting: sizes the build's tasks
+        n = batch_df.count()
+        if n == 0:
+            return
         try:
             index.add_df(
                 batch_df,

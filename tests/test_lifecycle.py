@@ -302,3 +302,16 @@ def test_tiered_compact_preserves_results(spark, tmp_path, corpus):
     # under the cap: no-op
     assert tiered_compact(idx, max_segments=4) is None
     assert _topk(idx, q) == before
+
+
+def test_tiered_compact_cap_below_one(spark, tmp_path, corpus):
+    """auto_compact_above=0 must behave like 'one segment', not crash
+    (regression: empty-window min() ValueError)."""
+    from sonar_tantivy_spark.operators.merge import tiered_compact
+
+    idx = _build(spark, tmp_path, corpus, "tc0", num_segments=3)
+    q = {"term": {"text": "hello"}}
+    before = _topk(idx, q)
+    meta = tiered_compact(idx, max_segments=0)
+    assert meta is not None and len(idx.segment_info()) == 1
+    assert _topk(idx, q) == before

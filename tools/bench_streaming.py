@@ -51,7 +51,6 @@ def main() -> None:
     # re-chunk the corpus into `batches` files so maxFilesPerTrigger=1
     # yields that many micro-batches
     full = spark.read.parquet(corpus)
-    schema_ddl = full.schema.simpleString()[7:-1]  # struct<...> -> ...
     for i in range(batches):
         (full.filter(f"pmod(hash(conv_id), {batches}) = {i}")
          .coalesce(1).write.parquet(os.path.join(src, f"chunk={i}")))
