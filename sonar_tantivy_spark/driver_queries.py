@@ -756,6 +756,21 @@ def q_ev_rollup_daily(spark, sf_dir):
             .agg(F.sum("cnt").cast("long").alias("cnt")))
 
 
+def q_ev_value_quantiles(spark, sf_dir):
+    """Per-event-type value quantiles (exact interpolated percentile —
+    Spark `percentile`, matching DuckDB quantile_cont bit-for-bit at
+    round-4).  The hypertable 'metrics rollup' companion: one hash-agg
+    shuffle on event_type; for 100 TB pipelines swap `percentile` for
+    `percentile_approx` (t-digest sketch, mergeable map-side) and accept
+    a documented tolerance — the exact form is the correctness oracle."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.max("value"), 4).alias("vmax"),
+        F.count("*").cast("long").alias("cnt")))
+
+
 def q_ev_sessionize(spark, sf_dir):
     from pyspark.sql import Window
 
@@ -808,6 +823,7 @@ QUERIES = {
     "ev_windowed_counts": q_ev_windowed_counts,
     "ev_rollup_daily": q_ev_rollup_daily,
     "ev_sessionize": q_ev_sessionize,
+    "ev_value_quantiles": q_ev_value_quantiles,
 }
 
 
@@ -1231,6 +1247,12 @@ FROM events GROUP BY 1, 2""",
 (floor(epoch(ts) / 86400) * 86400)::BIGINT AS day_epoch, event_type,
 count(*)::BIGINT AS cnt
 FROM events GROUP BY 1, 2""",
+        "ev_value_quantiles": """SELECT event_type,
+round(quantile_cont(value, 0.5), 4) AS p50,
+round(quantile_cont(value, 0.95), 4) AS p95,
+round(max(value), 4) AS vmax,
+count(*)::BIGINT AS cnt
+FROM events GROUP BY event_type""",
         "ev_sessionize": """WITH o AS (
   SELECT user_id, floor(epoch(ts))::BIGINT AS e,
          lag(floor(epoch(ts))::BIGINT)
