@@ -110,8 +110,17 @@ Raw bench lines:
 ```
 """
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
-        fh.write(md)
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve manually-added evidence sections (## headings) — only the
+    # generated scaling header is replaced
+    tail = ""
+    if os.path.exists(out_path):
+        prev = open(out_path).read()
+        cut = prev.find("\n## ")
+        if cut != -1:
+            tail = prev[cut:]
+    with open(out_path, "w") as fh:
+        fh.write(md + tail)
     print(md)
 
 
