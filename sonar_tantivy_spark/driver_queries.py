@@ -683,15 +683,11 @@ WINNOW_K = 4  # token-gram width of the rolling hash
 WINNOW_W = 5  # winnowing window (consecutive k-gram hashes)
 
 
-def q_tx_winnow_fingerprint(spark, sf_dir):
-    """Winnowing document fingerprint (Schleimer et al. MOSS scheme):
-    rolling hash = md5 over 4-token grams at each position, keep the
-    minimum hash of every window of 5 consecutive grams, fingerprint =
-    md5 of the sorted distinct selected hashes.  Unlike tx_fingerprint
-    (bag-of-words) this is position-sensitive and robust to partial
-    overlap — the standard near-dup/plagiarism sketch.  All column math
-    + one per-doc window function; docs shorter than k+w-1 tokens yield
-    no windows and drop out (oracle agrees)."""
+def _winnow_minima(spark, sf_dir):
+    """(doc_id, mh): the distinct selected window-min hashes per doc —
+    the winnowing fingerprint SET (shared by tx_winnow_fingerprint and
+    dd_winnow_pairs).  Docs shorter than k+w-1 tokens yield no windows
+    and drop out (oracle agrees)."""
     from pyspark.sql import Window
 
     d = (_docs(spark, sf_dir)
@@ -707,12 +703,43 @@ def q_tx_winnow_fingerprint(spark, sf_dir):
     wmin = sh.select(
         "doc_id", "pos", F.min("h").over(win).alias("mh"),
         F.max("pos").over(per_doc).alias("mp"))
-    sel = (wmin.filter(F.col("pos") <= F.col("mp") - (WINNOW_W - 1))
-           .select("doc_id", "mh").distinct())
-    return sel.groupBy("doc_id").agg(
+    return (wmin.filter(F.col("pos") <= F.col("mp") - (WINNOW_W - 1))
+            .select("doc_id", "mh").distinct())
+
+
+def q_tx_winnow_fingerprint(spark, sf_dir):
+    """Winnowing document fingerprint (Schleimer et al. MOSS scheme):
+    rolling hash = md5 over 4-token grams at each position, keep the
+    minimum hash of every window of 5 consecutive grams, fingerprint =
+    md5 of the sorted distinct selected hashes.  Unlike tx_fingerprint
+    (bag-of-words) this is position-sensitive and robust to partial
+    overlap — the standard near-dup/plagiarism sketch.  All column math
+    + one per-doc window function."""
+    return _winnow_minima(spark, sf_dir).groupBy("doc_id").agg(
         F.count("*").alias("n_fp"),
         F.md5(F.concat_ws(",", F.sort_array(F.collect_set("mh"))))
         .alias("winnow_fp"))
+
+
+WINNOW_MIN_SHARED = 3
+
+
+def q_dd_winnow_pairs(spark, sf_dir):
+    """MOSS-style near-dup candidates: pairs of docs sharing >= 3
+    selected winnowing hashes.  A shared hash means a shared k-gram that
+    BOTH docs' windows selected — by the winnowing guarantee any common
+    substring of >= w+k-1 tokens forces one, so long-overlap pairs are
+    never missed.  Plan: equi-join on the hash (window minima are
+    near-unique, so no hot-key blowup), count per pair — candidate-
+    bounded like the MinHash path, never an all-pairs join."""
+    sel = _winnow_minima(spark, sf_dir)
+    a = sel.select(F.col("doc_id").alias("d1"), "mh")
+    b = sel.select(F.col("doc_id").alias("d2"), "mh")
+    return (a.join(b, on="mh")
+            .filter(F.col("d1") < F.col("d2"))
+            .groupBy("d1", "d2")
+            .agg(F.count("*").cast("long").alias("n_shared"))
+            .filter(F.col("n_shared") >= WINNOW_MIN_SHARED))
 
 
 # multimodal plumbing ---------------------------------------------------------
@@ -818,6 +845,7 @@ QUERIES = {
     "tx_langid": q_tx_langid,
     "tx_fingerprint": q_tx_fingerprint,
     "tx_winnow_fingerprint": q_tx_winnow_fingerprint,
+    "dd_winnow_pairs": q_dd_winnow_pairs,
     "pl_clean_corpus": q_pl_clean_corpus,
     "mm_binary_meta": q_mm_binary_meta,
     "ev_windowed_counts": q_ev_windowed_counts,
@@ -972,10 +1000,9 @@ c AS (SELECT e.vec_id,
 """
 
 
-def _winnow_sql() -> str:
-    """Winnowing oracle mirroring q_tx_winnow_fingerprint: 4-token-gram
-    md5 rolling hashes, per-window(5) minima, fingerprint = md5 of the
-    sorted distinct minima."""
+def _winnow_sel_sql() -> str:
+    """Shared winnowing CTEs ending in ``sel(doc_id, mh)`` — the
+    selected window-min hash set, mirroring _winnow_minima."""
     k, w = WINNOW_K, WINNOW_W
     joins = "\n       ".join(
         f"JOIN toks t{i} ON t1.doc_id = t{i}.doc_id AND t{i}.pos = t1.pos + {i - 1}"
@@ -995,9 +1022,23 @@ wmin AS (SELECT doc_id, pos,
                 max(pos) OVER (PARTITION BY doc_id) AS mp
          FROM sh),
 sel AS (SELECT DISTINCT doc_id, mh FROM wmin WHERE pos <= mp - {w - 1})
-SELECT doc_id, count(*)::BIGINT AS n_fp,
+"""
+
+
+def _winnow_sql() -> str:
+    """Winnowing fingerprint oracle: md5 of the sorted distinct minima."""
+    return _winnow_sel_sql() + """SELECT doc_id, count(*)::BIGINT AS n_fp,
        md5(string_agg(mh, ',' ORDER BY mh)) AS winnow_fp
 FROM sel GROUP BY doc_id"""
+
+
+def _winnow_pairs_sql() -> str:
+    """dd_winnow_pairs oracle: pairs sharing >= WINNOW_MIN_SHARED
+    selected hashes."""
+    return _winnow_sel_sql() + f"""SELECT a.doc_id AS d1, b.doc_id AS d2,
+       count(*)::BIGINT AS n_shared
+FROM sel a JOIN sel b ON a.mh = b.mh AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}"""
 
 
 def _ann_ivf_sql() -> str:
@@ -1223,6 +1264,7 @@ FROM documents""",
 md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ','))
   AS fingerprint FROM documents""",
         "tx_winnow_fingerprint": _winnow_sql(),
+        "dd_winnow_pairs": _winnow_pairs_sql(),
         "pl_clean_corpus": f"""WITH q AS ({_quality_sql()}),
 l AS ({_langid_sql()}),
 ft AS (SELECT doc_id,

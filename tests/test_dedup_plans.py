@@ -131,3 +131,27 @@ WHERE round(i/(sa.sz+sb.sz-i),4) >= 0.5"""
     missed = truth - got
     assert not missed, f"bands missed true pairs: {sorted(missed)}"
     assert got <= truth  # verification step admits no false positives
+
+
+def test_winnow_pairs_cover_jaccard_pairs(spark):
+    """The winnowing guarantee: a pair sharing a long substring run
+    shares selected hashes, so the verified high-J Jaccard pairs (all
+    J>=0.89 in this corpus) must be a subset of the winnow candidates —
+    and the plan must stay an equi-join, never all-pairs."""
+    plan = _physical_plan(dq.QUERIES["dd_winnow_pairs"](spark, SF))
+    for banned in BANNED:
+        assert banned not in plan, plan
+    winnow = {(r["d1"], r["d2"]) for r in
+              dq.QUERIES["dd_winnow_pairs"](spark, SF).collect()}
+    jacc = {(r["d1"], r["d2"]) for r in
+            dq.QUERIES["dd_jaccard_pairs"](spark, SF).collect()}
+    nfp = {r["doc_id"]: r["n_fp"] for r in
+           dq.QUERIES["tx_winnow_fingerprint"](spark, SF).collect()}
+    # docs long enough to carry >= threshold hashes must all surface;
+    # shorter docs (n_fp < 3: ~10-token texts) are below the candidate
+    # threshold by construction — exact-dup fingerprinting covers them
+    long_pairs = {(a, b) for a, b in jacc
+                  if nfp.get(a, 0) >= dq.WINNOW_MIN_SHARED
+                  and nfp.get(b, 0) >= dq.WINNOW_MIN_SHARED}
+    assert long_pairs and long_pairs <= winnow
+    assert len(jacc - long_pairs) <= 3  # the short-doc tail is small
