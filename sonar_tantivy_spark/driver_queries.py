@@ -679,6 +679,24 @@ def q_pl_clean_corpus(spark, sf_dir):
             .select("doc_id", "n_tokens"))
 
 
+def q_pl_sample_mix(spark, sf_dir):
+    """Training-mix sampling: deterministic per-source rates (sources
+    0-4 keep 100%, 5-9 keep ~50%, 10+ keep ~25%) via a content-stable
+    hash — include doc iff the first 4 hex chars of md5(doc_id) fall
+    under the source's threshold.  No RNG: re-runs, retries, and
+    different partitionings all pick the SAME rows (the property that
+    makes a 100 TB sampling job resumable and its output reproducible).
+    Pure row-local column math — no shuffle at all."""
+    d = _docs(spark, sf_dir)
+    idx = F.regexp_extract("source", r"src(\d+)", 1).cast("int")
+    # 'g' sorts above every hex digit, so rate-1.0 sources always pass
+    thr = (F.when(idx < 5, F.lit("g"))
+           .when(idx < 10, F.lit("8000"))
+           .otherwise(F.lit("4000")))
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return d.filter(h < thr).select("doc_id", "source")
+
+
 WINNOW_K = 4  # token-gram width of the rolling hash
 WINNOW_W = 5  # winnowing window (consecutive k-gram hashes)
 
@@ -847,6 +865,7 @@ QUERIES = {
     "tx_winnow_fingerprint": q_tx_winnow_fingerprint,
     "dd_winnow_pairs": q_dd_winnow_pairs,
     "pl_clean_corpus": q_pl_clean_corpus,
+    "pl_sample_mix": q_pl_sample_mix,
     "mm_binary_meta": q_mm_binary_meta,
     "ev_windowed_counts": q_ev_windowed_counts,
     "ev_rollup_daily": q_ev_rollup_daily,
@@ -1265,6 +1284,11 @@ md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ','))
   AS fingerprint FROM documents""",
         "tx_winnow_fingerprint": _winnow_sql(),
         "dd_winnow_pairs": _winnow_pairs_sql(),
+        "pl_sample_mix": r"""SELECT doc_id, source FROM documents
+WHERE substr(md5(doc_id::VARCHAR), 1, 4) <
+  CASE WHEN regexp_extract(source, 'src(\d+)', 1)::INT < 5 THEN 'g'
+       WHEN regexp_extract(source, 'src(\d+)', 1)::INT < 10 THEN '8000'
+       ELSE '4000' END""",
         "pl_clean_corpus": f"""WITH q AS ({_quality_sql()}),
 l AS ({_langid_sql()}),
 ft AS (SELECT doc_id,
