@@ -151,21 +151,32 @@ class Index:
         limit = int(search.get("limit", DEFAULT_QUERY_LIMIT))
         s = self.searcher()
         sort_by = search.get("sort_by")
+        facets = search.get("facets") or {}
+        if facets:
+            # MultiCollector (search.rs:32-42): facet counting needs ALL
+            # matches (segment pruning is invalid), so persist ONE scored
+            # scan and feed both collectors from it — one pass over the
+            # postings, like the reference's single-pass MultiCollector
+            cand = s.candidates(node).persist()
+            try:
+                hits = s.top_k(node, limit=limit, sort_by=sort_by, cands=cand)
+                docs = s.retrieve(hits)
+                out: dict[str, Any] = {"docs": docs, "facets": {}}
+                # reference quirks (search.rs:32-42, 89-98): one facet
+                # field, and only the FIRST requested root's counts return
+                field = next(iter(facets))
+                roots = list(facets[field] or [])
+                counts = s.facet_counts(node, field, roots=roots,
+                                        cands=cand).collect()
+                key = "facet" if roots else field
+                out["facets"] = {field: {r[key]: r["count"] for r in counts}}
+                return out
+            finally:
+                cand.unpersist()
         # score-bound pruning is invalid under sort-by-field ordering
         hits = (s.top_k(node, limit=limit, sort_by=sort_by) if sort_by
                 else s.top_k_pruned(node, limit=limit))
-        docs = s.retrieve(hits)
-        out: dict[str, Any] = {"docs": docs, "facets": {}}
-        facets = search.get("facets") or {}
-        if facets:
-            # reference quirks (search.rs:32-42, 89-98): one facet field,
-            # and only the FIRST requested root's child counts return
-            field = next(iter(facets))
-            roots = list(facets[field] or [])
-            counts = s.facet_counts(node, field, roots=roots).collect()
-            key = "facet" if roots else field
-            out["facets"] = {field: {r[key]: r["count"] for r in counts}}
-        return out
+        return {"docs": s.retrieve(hits), "facets": {}}
 
     def query_df(self, query: str | dict, limit: int = DEFAULT_QUERY_LIMIT) -> DataFrame:
         """DataFrame-returning variant (for pipelines / the driver contract)."""

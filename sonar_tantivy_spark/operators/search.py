@@ -493,6 +493,7 @@ class Searcher:
         node: A.Node,
         limit: int = 10,
         sort_by: str | None = None,
+        cands: DataFrame | None = None,
     ) -> DataFrame:
         """DF(segment_id, docid, docid_g, score) of the top ``limit`` hits.
 
@@ -501,8 +502,14 @@ class Searcher:
         BM25 score otherwise.  When the sorted collector is used, the hit
         *score* is the fast-field value itself, not BM25 — search.rs:67-77
         maps ``(score, doc)`` with ``score as f32`` straight off the u64
-        collector."""
-        cands = self.with_global_docid(self.candidates(node))
+        collector.
+
+        ``cands``: precomputed ``candidates(node)`` — the MultiCollector
+        path persists one scored scan and feeds both the top-k and the
+        facet counts from it."""
+        if cands is None:
+            cands = self.candidates(node)
+        cands = self.with_global_docid(cands)
         fdef = self.schema.field(sort_by) if sort_by else None
         if fdef is not None and fdef.fast and fdef.stored:
             docs = self._table("docs").select("segment_id", "docid", sort_by)
@@ -788,7 +795,8 @@ class Searcher:
         return out.orderBy(F.desc("score"), F.asc("docid_g")).limit(limit)
 
     def facet_counts(self, node: A.Node, facet_field: str,
-                     roots: list[str] | None = None) -> DataFrame:
+                     roots: list[str] | None = None,
+                     cands: DataFrame | None = None) -> DataFrame:
         """Facet counts for the matching docs.
 
         With ``roots`` (the requested facet values, search.rs:34-37 →
@@ -799,7 +807,8 @@ class Searcher:
         ``/a/b`` when its facet value is ``/a/b`` or any deeper
         descendant.  Without roots: flat value counts (legacy shape).
         """
-        cands = self.candidates(node)
+        if cands is None:
+            cands = self.candidates(node)
         docs = self._table("docs").select("segment_id", "docid", facet_field)
         matched = cands.join(docs, on=["segment_id", "docid"])
         if not roots:
