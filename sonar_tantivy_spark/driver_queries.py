@@ -689,8 +689,11 @@ def q_pl_sample_mix(spark, sf_dir):
     Pure row-local column math — no shuffle at all."""
     d = _docs(spark, sf_dir)
     idx = F.regexp_extract("source", r"src(\d+)", 1).cast("int")
-    # 'g' sorts above every hex digit, so rate-1.0 sources always pass
-    thr = (F.when(idx < 5, F.lit("g"))
+    # 'g' sorts above every hex digit, so rate-1.0 sources always pass;
+    # sources without a srcN suffix get no opinion -> keep (rate 1.0),
+    # mirrored by the oracle's TRY_CAST NULL branch
+    thr = (F.when(idx.isNull(), F.lit("g"))
+           .when(idx < 5, F.lit("g"))
            .when(idx < 10, F.lit("8000"))
            .otherwise(F.lit("4000")))
     h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
@@ -1286,8 +1289,9 @@ md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ','))
         "dd_winnow_pairs": _winnow_pairs_sql(),
         "pl_sample_mix": r"""SELECT doc_id, source FROM documents
 WHERE substr(md5(doc_id::VARCHAR), 1, 4) <
-  CASE WHEN regexp_extract(source, 'src(\d+)', 1)::INT < 5 THEN 'g'
-       WHEN regexp_extract(source, 'src(\d+)', 1)::INT < 10 THEN '8000'
+  CASE WHEN TRY_CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) IS NULL THEN 'g'
+       WHEN TRY_CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) < 5 THEN 'g'
+       WHEN TRY_CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) < 10 THEN '8000'
        ELSE '4000' END""",
         "pl_clean_corpus": f"""WITH q AS ({_quality_sql()}),
 l AS ({_langid_sql()}),

@@ -113,20 +113,24 @@ def _topk(df: DataFrame, k: int) -> DataFrame:
             .withColumn("cos", F.round("cos", 4)))
 
 
-def exact_topk(emb_df: DataFrame, qvec_id: int, k: int = 5) -> DataFrame:
-    q = emb_df.filter(F.col("vec_id") == qvec_id).select("embedding").head()[0]
-    return _topk(_cosine_to(emb_df.filter(F.col("vec_id") != qvec_id), q), k)
+def exact_topk(emb_df: DataFrame, qvec_id: int, k: int = 5,
+               qvec=None) -> DataFrame:
+    if qvec is None:
+        qvec = emb_df.filter(F.col("vec_id") == qvec_id) \
+            .select("embedding").head()[0]
+    return _topk(_cosine_to(emb_df.filter(F.col("vec_id") != qvec_id), qvec), k)
 
 
 def lsh_topk(emb_df: DataFrame, qvec_id: int, k: int = 5,
              tables: list[list] | None = None,
-             multiprobe: int = MULTIPROBE) -> DataFrame:
+             multiprobe: int = MULTIPROBE, qvec=None) -> DataFrame:
     """Bucketed ANN: filter to the query's multiprobe buckets (OR over
     tables — a literal filter on the scan, no join), exact cosine inside.
     Pass a pre-bucketed df (with_buckets) to amortize bucket columns."""
     if tables is None:
         tables = plane_tables(emb_df)
-    q = emb_df.filter(F.col("vec_id") == qvec_id).select("embedding").head()[0]
+    q = qvec if qvec is not None else \
+        emb_df.filter(F.col("vec_id") == qvec_id).select("embedding").head()[0]
     bucketed = emb_df if f"b{len(tables) - 1}" in emb_df.columns \
         else with_buckets(emb_df, tables)
     cond = None
@@ -180,7 +184,8 @@ def _probe_cells(qvec, cents, nprobe: int) -> list[int]:
 
 
 def ivf_topk(emb_df: DataFrame, qvec_id: int, k: int = 5,
-             nprobe: int = NPROBE, cents: list | None = None) -> DataFrame:
+             nprobe: int = NPROBE, cents: list | None = None,
+             qvec=None) -> DataFrame:
     """IVF-flat ANN: restrict the exact-cosine scan to the ``nprobe``
     cells nearest the query.  The probe set is a driver-side literal
     ``cell IN (...)`` filter — with a cell-partitioned table that is
@@ -188,7 +193,8 @@ def ivf_topk(emb_df: DataFrame, qvec_id: int, k: int = 5,
     Pass a pre-assigned df (ivf_assign) to amortize the cell column."""
     if cents is None:
         cents = centroid_vecs(emb_df)
-    q = emb_df.filter(F.col("vec_id") == qvec_id).select("embedding").head()[0]
+    q = qvec if qvec is not None else \
+        emb_df.filter(F.col("vec_id") == qvec_id).select("embedding").head()[0]
     assigned = emb_df if "cell" in emb_df.columns else ivf_assign(emb_df, cents)
     probes = _probe_cells(q, cents, nprobe)
     cand = assigned.filter(F.col("cell").isin(probes)
@@ -210,9 +216,11 @@ def measure_recall_ivf(spark: SparkSession, sf_dir: str,
              assigned.filter(F.col("vec_id") < n_queries).collect()}
     hits = cands = 0
     for qid in range(n_queries):
-        exact = {r["vec_id"] for r in exact_topk(assigned, qid, k).collect()}
+        exact = {r["vec_id"] for r in
+                 exact_topk(assigned, qid, k, qvec=qvecs[qid]).collect()}
         approx = {r["vec_id"] for r in
-                  ivf_topk(assigned, qid, k, cents=cents).collect()}
+                  ivf_topk(assigned, qid, k, cents=cents,
+                           qvec=qvecs[qid]).collect()}
         hits += len(exact & approx)
         # scanned candidates = probed-cell population minus the query row
         probes = _probe_cells(qvecs[qid], cents, NPROBE)
@@ -237,18 +245,19 @@ def measure_recall(spark: SparkSession, sf_dir: str, n_queries: int = 20,
     tables = plane_tables(emb)
     bucketed = with_buckets(emb, tables).persist()
     n = bucketed.count()
+    qvecs = {r["vec_id"]: r["embedding"] for r in
+             bucketed.filter(F.col("vec_id") < n_queries).collect()}
     hits = cands = 0
     for qid in range(n_queries):
         exact = {r["vec_id"] for r in
-                 exact_topk(bucketed, qid, k).collect()}
-        approx_df = lsh_topk(bucketed, qid, k, tables=tables)
+                 exact_topk(bucketed, qid, k, qvec=qvecs[qid]).collect()}
+        approx_df = lsh_topk(bucketed, qid, k, tables=tables,
+                             qvec=qvecs[qid])
         approx = {r["vec_id"] for r in approx_df.collect()}
         hits += len(exact & approx)
         cond = None
         for t, planes in enumerate(tables):
-            probes = probe_set(bucket_of(
-                bucketed.filter(F.col("vec_id") == qid)
-                .select("embedding").head()[0], planes))
+            probes = probe_set(bucket_of(qvecs[qid], planes))
             c = F.col(f"b{t}").isin(probes)
             cond = c if cond is None else (cond | c)
         cands += bucketed.filter(cond).count()

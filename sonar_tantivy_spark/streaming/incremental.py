@@ -61,11 +61,13 @@ def start_incremental_indexing(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if epoch_committed(index, f"b{batch_id}"):
             return  # batch replay after a crash — already ingested
-        # count only when actually ingesting: sizes the build's tasks
-        n = batch_df.count()
-        if n == 0:
-            return
+        # persist so the n_hint count and the build share ONE source read
+        # (matters for non-file sources that re-fetch per action)
+        batch_df = batch_df.persist()
         try:
+            n = batch_df.count()  # sizes the build's tasks (n_hint)
+            if n == 0:
+                return
             index.add_df(
                 batch_df,
                 order_cols=order_cols,
@@ -76,6 +78,8 @@ def start_incremental_indexing(
             )
         except SegmentExistsError:
             pass  # raced replay of the same epoch — already committed
+        finally:
+            batch_df.unpersist()
         if auto_compact_above is not None and \
                 len(index.segment_info()) > auto_compact_above:
             from sonar_tantivy_spark.operators.merge import tiered_compact

@@ -51,9 +51,13 @@ def main() -> None:
     # re-chunk the corpus into `batches` files so maxFilesPerTrigger=1
     # yields that many micro-batches
     full = spark.read.parquet(corpus)
-    for i in range(batches):
-        (full.filter(f"pmod(hash(conv_id), {batches}) = {i}")
-         .coalesce(1).write.parquet(os.path.join(src, f"chunk={i}")))
+    from pyspark.sql import functions as F
+    # one pass: each chunk value lands wholly in one task, so exactly
+    # `batches` files total -> maxFilesPerTrigger=1 gives that many
+    # micro-batches (recursiveFileLookup ignores the partition dirs)
+    (full.withColumn("__chunk", F.pmod(F.hash("conv_id"), F.lit(batches)))
+     .repartition(batches, "__chunk")
+     .write.mode("overwrite").partitionBy("__chunk").parquet(src))
 
     cat = IndexCatalog(spark, os.path.join(base, "cat"))
     idx = cat.create_index("stream", TRANSCRIPT_SCHEMA)
