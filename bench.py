@@ -168,7 +168,8 @@ def main() -> None:
 
         def run_once():
             if sort_by:
-                return s.top_k(node, limit=10, sort_by=sort_by).collect()
+                return s.top_k_sorted_pruned(
+                    node, limit=10, sort_by=sort_by).collect()
             return s.top_k_pruned(node, limit=10).collect()
 
         run_once()  # warmup (plan + page cache)
@@ -178,12 +179,9 @@ def main() -> None:
             rows = run_once()
             times.append(time.time() - tq)
         q_p50[name] = round(statistics.median(times), 4)
-        if sort_by:
-            q_skips[name] = "-"  # sorted collector never prunes by score
-        else:
-            st = getattr(s, "last_prune", {})
-            q_skips[name] = (f"{st.get('segments_skipped', 0)}"
-                             f"/{st.get('segments_total', 0)}")
+        st = getattr(s, "last_prune", {})
+        q_skips[name] = (f"{st.get('segments_skipped', 0)}"
+                         f"/{st.get('segments_total', 0)}")
         assert rows is not None
 
     # ANN quality: recall@5 of the multiprobe-LSH path vs the exact

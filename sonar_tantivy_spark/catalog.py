@@ -173,9 +173,10 @@ class Index:
                 return out
             finally:
                 cand.unpersist()
-        # score-bound pruning is invalid under sort-by-field ordering
-        hits = (s.top_k(node, limit=limit, sort_by=sort_by) if sort_by
-                else s.top_k_pruned(node, limit=limit))
+        # BM25-bound pruning is invalid under sort-by-field ordering;
+        # the sorted collector prunes on the sort field's zone maps
+        hits = (s.top_k_sorted_pruned(node, limit=limit, sort_by=sort_by)
+                if sort_by else s.top_k_pruned(node, limit=limit))
         return {"docs": s.retrieve(hits), "facets": {}}
 
     def query_df(self, query: str | dict, limit: int = DEFAULT_QUERY_LIMIT) -> DataFrame:

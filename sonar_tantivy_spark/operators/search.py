@@ -785,13 +785,98 @@ class Searcher:
         survivors = [sid for sid in order[n_probe:] if bounds[sid] >= theta]
         stats["segments_skipped"] = \
             len(self.segments) - n_probe - len(survivors)
+        if not survivors:
+            # θ ruled out every unprobed segment: the collected probe
+            # rows ARE the global top-k — sort driver-side, no extra job
+            rows = sorted(probe_rows,
+                          key=lambda r: (-r["score"], r["docid_g"]))[:limit]
+            return (self.spark.createDataFrame(rows, probe_df.schema)
+                    if rows else probe_df)
         out = (self.spark.createDataFrame(probe_rows, probe_df.schema)
                if probe_rows else None)
-        if survivors:
-            surv_df = self._restricted(set(survivors)).top_k(node, limit=limit)
-            out = surv_df if out is None else out.unionByName(surv_df)
-        if out is None:
-            return probe_df  # empty
+        surv_df = self._restricted(set(survivors)).top_k(node, limit=limit)
+        out = surv_df if out is None else out.unionByName(surv_df)
+        return out.orderBy(F.desc("score"), F.asc("docid_g")).limit(limit)
+
+    def _sort_bound(self, sort_by: str, sid: str) -> float | None:
+        """Zone-map upper bound of ``sort_by`` in a segment, in the SAME
+        double domain as the sorted collector's score (epoch seconds for
+        date fields — session tz is UTC, so fromisoformat().timestamp()
+        equals Spark's cast-to-double).  None = no stats → unprunable."""
+        by_id = getattr(self, "_seg_by_id", None)
+        if by_id is None:
+            by_id = self._seg_by_id = {
+                s["segment_id"]: s for s in self.segments}
+        meta = by_id.get(sid)
+        st = meta["field_stats"].get(sort_by) if meta else None
+        if not st or "max" not in st:
+            return None
+        fdef = self.schema.field(sort_by)
+        v = st["max"]
+        if fdef is not None and fdef.type == "date":
+            from datetime import datetime
+            try:
+                return datetime.fromisoformat(
+                    str(v).replace("T", " ")).timestamp()
+            except ValueError:
+                return None
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return None
+
+    def top_k_sorted_pruned(self, node: A.Node, limit: int = 10,
+                            sort_by: str | None = None) -> DataFrame:
+        """Segment pruning for the SORTED collector: BM25 bounds are
+        invalid under sort-by-field ordering, but the zone maps give the
+        max possible sort value per segment.  Probe the best-bounded
+        quarter; its k-th sort value θ lower-bounds the global k-th, so
+        segments whose max < θ cannot contribute — at scale a ts-desc
+        'latest matching turns' query touches only the newest segments.
+        Results are bit-identical to the unpruned sorted plan (pytest).
+        ``self.last_prune`` records the skip stats, like top_k_pruned."""
+        stats = {"segments_total": len(self.segments),
+                 "segments_skipped": 0, "theta": 0.0}
+        self.last_prune = stats
+        fdef = self.schema.field(sort_by) if sort_by else None
+        sorted_path = fdef is not None and fdef.fast and fdef.stored
+        if not sorted_path or len(self.segments) < 2:
+            return self.top_k(node, limit=limit, sort_by=sort_by)
+        bounds: dict[str, float] = {}
+        for s in self.segments:
+            b = self._sort_bound(sort_by, s["segment_id"])
+            if b is None:  # a segment without stats defeats the bound
+                return self.top_k(node, limit=limit, sort_by=sort_by)
+            bounds[s["segment_id"]] = b
+        import math as _math
+
+        order = sorted(bounds, key=lambda sid: -bounds[sid])
+        n_probe = max(1, _math.ceil(len(order) / 4))
+        probe = order[:n_probe]
+        probe_df = self._restricted(set(probe)).top_k(
+            node, limit=limit, sort_by=sort_by)
+        probe_rows = probe_df.collect()
+        if len(probe_rows) >= limit:
+            theta = min(r["score"] for r in probe_rows)
+            stats["theta"] = theta
+            survivors = [sid for sid in order[n_probe:]
+                         if bounds[sid] >= theta]
+        else:  # probe under-filled: no valid cutoff, scan the rest
+            survivors = list(order[n_probe:])
+        stats["segments_skipped"] = \
+            len(self.segments) - n_probe - len(survivors)
+        if not survivors:
+            # every unprobed segment is ruled out: the collected probe
+            # rows ARE the global top-k — sort driver-side, no extra job
+            rows = sorted(probe_rows,
+                          key=lambda r: (-r["score"], r["docid_g"]))[:limit]
+            return (self.spark.createDataFrame(rows, probe_df.schema)
+                    if rows else probe_df)
+        out = (self.spark.createDataFrame(probe_rows, probe_df.schema)
+               if probe_rows else None)
+        surv_df = self._restricted(set(survivors)).top_k(
+            node, limit=limit, sort_by=sort_by)
+        out = surv_df if out is None else out.unionByName(surv_df)
         return out.orderBy(F.desc("score"), F.asc("docid_g")).limit(limit)
 
     def facet_counts(self, node: A.Node, facet_field: str,

@@ -315,3 +315,31 @@ def test_tiered_compact_cap_below_one(spark, tmp_path, corpus):
     meta = tiered_compact(idx, max_segments=0)
     assert meta is not None and len(idx.segment_info()) == 1
     assert _topk(idx, q) == before
+
+
+def test_sorted_pruning_parity_and_skips(spark, tmp_path, corpus):
+    """Sorted-collector zone-map pruning must be bit-identical to the
+    unpruned sorted plan, and must actually skip segments when the sort
+    field's ranges separate (docid order follows (conv_id, turn_idx), so
+    ts ranges overlap per segment only partially)."""
+    idx = _build(spark, tmp_path, corpus, "sp1", num_segments=4)
+    s = idx.searcher()
+    for q in ({"term": {"text": "hello"}}, {"all": {}},
+              {"term": {"text": "zzz-no-such-term"}}):
+        node = A.parse_json(q, idx.schema)
+        exact = [(r["docid_g"], r["score"]) for r in
+                 s.top_k(node, limit=10, sort_by="ts").collect()]
+        pruned = [(r["docid_g"], r["score"]) for r in
+                  s.top_k_sorted_pruned(node, limit=10, sort_by="ts").collect()]
+        assert exact == pruned, q
+    # skip evidence on a query with matches everywhere: an {all} query
+    # sorted ts-desc fills k from the newest-bounded probe, and θ then
+    # rules out any segment whose max ts is older
+    node = A.parse_json({"all": {}}, idx.schema)
+    s.top_k_sorted_pruned(node, limit=10, sort_by="ts").collect()
+    st = s.last_prune
+    assert st["segments_total"] == 4
+    assert st["segments_skipped"] >= 1, st
+    # non-fast sort fields fall back silently (reference semantics)
+    r = s.top_k_sorted_pruned(node, limit=5, sort_by="text")
+    assert r.collect() is not None
