@@ -78,3 +78,22 @@ def test_fuzz_engine_matches_oracle(idx, oracle, seed):
         assert [d for d, _ in got] == [d for d, _ in want], (seed, node)
         for (_, gs), (_, ws) in zip(got, want):
             assert gs == pytest.approx(ws, rel=1e-9, abs=1e-12), (seed, node)
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_sorted_pruning_fuzz(spark, idx, seed):
+    """Randomized query trees under the SORTED collector: the zone-map
+    pruned path must match the unpruned sorted plan exactly (hits,
+    sort values, docid tie-breaks) for every generated shape, including
+    under-filled results and non-fast sort fields."""
+    rng = random.Random(1000 + seed)
+    node = gen_node(rng)
+    sort_by = rng.choice(["ts", "turn_idx", "text"])  # text -> fallback
+    limit = rng.choice([3, 10, 50])
+    s = idx.searcher()
+    exact = [(r["docid_g"], r["score"]) for r in
+             s.top_k(node, limit=limit, sort_by=sort_by).collect()]
+    pruned = [(r["docid_g"], r["score"]) for r in
+              s.top_k_sorted_pruned(node, limit=limit,
+                                    sort_by=sort_by).collect()]
+    assert exact == pruned, (seed, sort_by, limit)
