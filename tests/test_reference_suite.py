@@ -110,3 +110,33 @@ def test_ram_index(catalog):
     assert len(idx.query("hi")) == 2
     catalog.delete("ram1")
     assert not catalog.has("ram1")
+
+
+def test_phrase_repeated_terms(spark, tmp_path):
+    """k-term adjacency with REPEATED terms: 'hello hello' must match
+    only consecutive occurrences (the same posting row participates at
+    two phrase slots — the position-intersect plan must not conflate
+    them)."""
+    from sonar_tantivy_spark import IndexCatalog
+
+    schema = [{"name": "body", "type": "text",
+               "options": {"indexing": {"record": "position",
+                                        "tokenizer": "default"},
+                           "stored": True}}]
+    cat = IndexCatalog(spark, str(tmp_path))
+    idx = cat.create_index("rep", schema)
+    idx.add([
+        {"body": "say hello hello twice"},
+        {"body": "hello world hello again"},   # non-consecutive
+        {"body": "hello hello hello"},
+        {"body": "plain hello here"},
+    ])
+    two = idx.query_json(
+        {"query": {"phrase": {"body": {"terms": ["hello", "hello"]}}},
+         "limit": 10})
+    got = sorted(h["doc"]["body"][0] for h in two["docs"])
+    assert got == ["hello hello hello", "say hello hello twice"]
+    three = idx.query_json(
+        {"query": {"phrase": {"body": {"terms": ["hello"] * 3}}},
+         "limit": 10})
+    assert [h["doc"]["body"][0] for h in three["docs"]] == ["hello hello hello"]
