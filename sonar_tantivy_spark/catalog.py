@@ -44,16 +44,33 @@ class Index:
     # ------------------------------------------------------------- ingest
     def add(self, docs: list[dict]) -> None:
         """Batch-append + commit: one new segment per batch, docids in
-        insertion order (index.rs:167-193 semantics)."""
+        insertion order (index.rs:167-193 semantics).  Values are coerced
+        to the schema types (date accepts ISO strings / datetimes, like
+        the reference's JSON ingest) under an EXPLICIT Spark schema — no
+        inference, so all-None columns and string dates can't mistype."""
         if not docs:
             return
+        from datetime import datetime
+
+        from pyspark.sql import types as T
+
         rows = []
         for i, d in enumerate(docs):
             self.schema.warn_unknown(list(d.keys()))
-            row = {f.name: d.get(f.name) for f in self.schema.fields}
+            row = {}
+            for f in self.schema.fields:
+                v = d.get(f.name)
+                if v is not None and f.type == "date" \
+                        and not isinstance(v, datetime):
+                    v = datetime.fromisoformat(str(v).replace("T", " "))
+                row[f.name] = v
             row["__ord"] = i
             rows.append(row)
-        sdf = self.spark.createDataFrame(rows)  # small RPC-parity path
+        struct = T.StructType(
+            [T.StructField(f.name, f.spark_type, True)
+             for f in self.schema.fields]
+            + [T.StructField("__ord", T.LongType(), False)])
+        sdf = self.spark.createDataFrame(rows, struct)  # RPC-parity path
         self.add_df(sdf, order_cols=["__ord"], num_segments=1)
 
     def add_df(
