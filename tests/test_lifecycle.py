@@ -343,3 +343,26 @@ def test_sorted_pruning_parity_and_skips(spark, tmp_path, corpus):
     # non-fast sort fields fall back silently (reference semantics)
     r = s.top_k_sorted_pruned(node, limit=5, sort_by="text")
     assert r.collect() is not None
+
+
+def test_docid_assign_broadcast_offsets_branch(spark, corpus):
+    """Cluster-scale docid assignment: above 4096 range partitions the
+    literal offset map would break codegen, so the build switches to a
+    broadcast-joined offset table (build.py) — its ranks must be
+    identical to the literal-map branch."""
+    from pyspark.sql import functions as SF
+
+    from sonar_tantivy_spark.operators import build as B
+
+    df = spark.createDataFrame(corpus)
+    small, c1, n1 = B._assign_docids(df, ["conv_id", "turn_idx"], 8)
+    big, c2, n2 = B._assign_docids(df, ["conv_id", "turn_idx"], 1100)
+    try:
+        assert n1 == n2 == len(corpus)
+        key = lambda d: [(r["conv_id"], r["turn_idx"], r["docid_g"])
+                         for r in d.select("conv_id", "turn_idx", "docid_g")
+                         .orderBy("docid_g").collect()]
+        assert key(small) == key(big)
+    finally:
+        c1.unpersist()
+        c2.unpersist()
