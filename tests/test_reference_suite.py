@@ -140,3 +140,25 @@ def test_phrase_repeated_terms(spark, tmp_path):
         {"query": {"phrase": {"body": {"terms": ["hello"] * 3}}},
          "limit": 10})
     assert [h["doc"]["body"][0] for h in three["docs"]] == ["hello hello hello"]
+
+
+def test_ram_index_compaction_and_multibatch(catalog):
+    """RAM storage through the full segment lifecycle: multiple add
+    batches (one segment each), bit-identical results across a tiered
+    compaction, delete cleans up."""
+    from sonar_tantivy_spark.operators.merge import tiered_compact
+
+    idx = catalog.create_index("ram2", FIXTURE_SCHEMA, ram=True)
+    idx.add(DOCS1)
+    idx.add(DOCS2)
+    idx.add(DOCS1)
+    assert len(idx.segment_info()) == 3
+    before = [(h["score"], h["doc"].get("id")) for h in idx.query("hi")]
+    assert before
+    meta = tiered_compact(idx, max_segments=2)
+    assert meta is not None and len(idx.segment_info()) == 2
+    idx._searcher = None
+    after = [(h["score"], h["doc"].get("id")) for h in idx.query("hi")]
+    assert after == before
+    catalog.delete("ram2")
+    assert not catalog.has("ram2")
