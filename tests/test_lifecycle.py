@@ -366,3 +366,30 @@ def test_docid_assign_broadcast_offsets_branch(spark, corpus):
     finally:
         c1.unpersist()
         c2.unpersist()
+
+
+def test_vacuum_keeps_partially_live_epochs(spark, tmp_path, corpus):
+    """A tiered merge replaces only a WINDOW of an epoch's segments, so
+    the epoch directory stays partially live — vacuum must not touch it
+    (only fully-unreferenced epochs die)."""
+    import os
+
+    from sonar_tantivy_spark.operators.merge import tiered_compact, vacuum
+
+    idx = _build(spark, tmp_path, corpus, "pv1", num_segments=4)
+    q = {"term": {"text": "hello"}}
+    before = _topk(idx, q)
+    build_epochs = set(os.listdir(os.path.join(idx.storage.root, "data")))
+    tiered_compact(idx, max_segments=3)  # merges 2 of the 4 in-place
+    removed = vacuum(idx)
+    # original epoch still referenced by the 2 unmerged segments
+    assert not (set(removed) & build_epochs)
+    idx._searcher = None
+    assert _topk(idx, q) == before
+    # merge everything -> the build epoch is now fully dead
+    from sonar_tantivy_spark.operators.merge import compact
+    compact(idx)
+    removed = vacuum(idx)
+    assert set(removed) >= build_epochs
+    idx._searcher = None
+    assert _topk(idx, q) == before
