@@ -9,7 +9,7 @@ Env:
   SPARK_GRAFT_SF_DIR   (default /root/testdata/sf0.1) — sets the sf label
   SPARK_GRAFT_CPUS     (default 32)                   — local[N]
   BENCH_TURNS          (default 300000)  transcript corpus size
-  BENCH_REPS           (default 3)       per-query repetitions (p50)
+  BENCH_REPS           (default 5)       per-query repetitions (p50)
 
 The corpus is the deterministic transcript table (FIXTURES.md §B, seed
 42), cached as parquet under .bench_cache/ so repeated runs measure the
@@ -50,7 +50,7 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_turns = int(os.environ.get("BENCH_TURNS", "300000"))
-    reps = int(os.environ.get("BENCH_REPS", "3"))
+    reps = int(os.environ.get("BENCH_REPS", "5"))
     build_reps = int(os.environ.get("BENCH_BUILD_REPS", "1"))
     warmup = os.environ.get("BENCH_WARMUP", "1") == "1"
     # memory scales with cluster size, like a real N-executor cluster
