@@ -46,6 +46,13 @@ from sonar_tantivy_spark.functions import bm25
 from sonar_tantivy_spark.plans import ast as A
 from sonar_tantivy_spark.plans.schema import IndexSchema
 
+# Skew-guard broadcast budget: the rare-term (segment_id, docid) key set is
+# ~16 B/row on the wire (short segment id + long), so cap by BYTES, not rows
+# — at cluster scale a row cap alone admits tens of MB per query.
+_BYTES_PER_KEY = 16
+_BCAST_KEY_BYTES_CAP = 8 << 20  # 8 MiB → ≤ ~512k keys
+
+
 class Searcher:
     """One index snapshot: manifest segments + lazily loaded tables."""
 
@@ -190,6 +197,19 @@ class Searcher:
         )
 
     def _cand_phrase(self, node: A.PhraseQ, dfs: dict) -> DataFrame | None:
+        """Single-scan phrase plan: ONE postings scan filtered to the term
+        set, grouped per (segment, docid) into a term→positions map, with
+        adjacency checked by the chained array_intersect.  Replaces the
+        old k-scan shuffle-join chain (k scans + k-1 exchanges) with one
+        scan + one aggregation exchange regardless of phrase length.
+
+        Skew guard (same as the bool fast path at _cand_bool_terms_fast):
+        the rarest term bounds the match set, so when its df is small and
+        the spread is large ("rare AND the"-shaped phrases), a broadcast
+        semi-join on its docids keeps the hot terms' postings out of the
+        exchange entirely — the aggregation shuffle carries positions
+        arrays, so pre-filtering it matters even more here than for the
+        scored bool scan."""
         terms = node.terms
         if not terms:
             return None
@@ -197,24 +217,45 @@ class Searcher:
             return self._cand_term(A.TermQ(node.field, terms[0]), dfs)
         if any(dfs.get((node.field, t), 0) == 0 for t in terms):
             return None
-        parts = []
-        for i, t in enumerate(terms):
-            cols = ["segment_id", "docid", F.col("positions").alias(f"p{i}")]
-            if i == 0:
-                cols.append("norm_id")
-            parts.append(self._postings_for(node.field, t).select(*cols))
-        joined = parts[0]
-        for i in range(1, len(terms)):
-            joined = joined.join(parts[i], on=["segment_id", "docid"], how="inner")
-        # adjacency chain: positions of term_i must equal p0+i
-        match = F.col("p0")
-        for i in range(1, len(terms)):
-            match = F.array_intersect(
-                F.transform(match, lambda x: x + 1), F.col(f"p{i}")
+        uterms = list(dict.fromkeys(terms))
+        p = self._table("postings")
+        if p is None:
+            return None
+        scan = p.filter(
+            (F.col("field") == node.field) & F.col("term").isin(uterms))
+        if len(uterms) > 1:
+            tdfs = {t: dfs[(node.field, t)] for t in uterms}
+            rare = min(uterms, key=lambda t: tdfs[t])
+            if tdfs[rare] * _BYTES_PER_KEY <= _BCAST_KEY_BYTES_CAP \
+                    and tdfs[rare] * 8 <= max(tdfs.values()):
+                rare_keys = p.filter(
+                    (F.col("field") == node.field) & (F.col("term") == rare)
+                ).select("segment_id", "docid")
+                scan = scan.join(F.broadcast(rare_keys),
+                                 on=["segment_id", "docid"], how="left_semi")
+        agg = (
+            scan.groupBy("segment_id", "docid")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "positions"))).alias("__pos"),
+                F.first("norm_id").alias("norm_id"),
+                F.count("*").alias("__nt"),
             )
-        joined = joined.withColumn("__m", match).filter(F.size("__m") > 0)
+            # postings are unique per (field, term, docid): the row count
+            # IS the distinct-term count, so this is the AND over terms
+            .filter(F.col("__nt") == len(uterms))
+        )
+        # adjacency chain: positions of term_i must equal p0+i; repeated
+        # phrase terms read the same positions array at different offsets
+        match = F.element_at(F.col("__pos"), F.lit(terms[0]))
+        for t in terms[1:]:
+            match = F.array_intersect(
+                F.transform(match, lambda x: x + 1),
+                F.element_at(F.col("__pos"), F.lit(t)),
+            )
+        agg = agg.withColumn("__m", match).filter(F.size("__m") > 0)
         idf_sum = sum(bm25.idf(dfs[(node.field, t)], self.num_docs) for t in terms)
-        return joined.select(
+        return agg.select(
             "segment_id", "docid",
             self._score_col(node.field, idf_sum, F.size("__m")),
         )
@@ -403,7 +444,8 @@ class Searcher:
         if must_pairs and len(pairs) > 1:
             dfs_all = [dfs[q] for q in pairs]
             rare = min(must_pairs, key=lambda q: dfs[q])
-            if dfs[rare] <= 1_000_000 and dfs[rare] * 32 <= max(dfs_all):
+            if dfs[rare] * _BYTES_PER_KEY <= _BCAST_KEY_BYTES_CAP \
+                    and dfs[rare] * 32 <= max(dfs_all):
                 rf, rt = rare
                 rare_keys = p.filter(
                     (F.col("field") == rf) & (F.col("term") == rt)
@@ -798,11 +840,32 @@ class Searcher:
         out = surv_df if out is None else out.unionByName(surv_df)
         return out.orderBy(F.desc("score"), F.asc("docid_g")).limit(limit)
 
+    def _session_tz(self):
+        """tzinfo of spark.sql.session.timeZone (the zone Spark uses for
+        cast(ts as double)); None when it can't be resolved — callers
+        must then refuse to prune rather than risk an offset-shifted
+        bound (a wrong bound silently drops true top-k rows)."""
+        tz = getattr(self, "_session_tz_cache", False)
+        if tz is not False:
+            return tz
+        try:
+            from zoneinfo import ZoneInfo
+
+            name = self.spark.conf.get("spark.sql.session.timeZone")
+            tz = ZoneInfo(name) if name else None
+        except Exception:
+            tz = None
+        self._session_tz_cache = tz
+        return tz
+
     def _sort_bound(self, sort_by: str, sid: str) -> float | None:
         """Zone-map upper bound of ``sort_by`` in a segment, in the SAME
         double domain as the sorted collector's score (epoch seconds for
-        date fields — session tz is UTC, so fromisoformat().timestamp()
-        equals Spark's cast-to-double).  None = no stats → unprunable."""
+        date fields).  The ISO zone-map string is interpreted in the
+        SPARK SESSION timezone — naive ``.timestamp()`` would use the OS
+        zone and shift the bound by the offset whenever the two differ
+        (e.g. session UTC on a non-UTC host), pruning segments that hold
+        true top-k rows.  None = no stats / no resolvable tz → unprunable."""
         by_id = getattr(self, "_seg_by_id", None)
         if by_id is None:
             by_id = self._seg_by_id = {
@@ -815,9 +878,13 @@ class Searcher:
         v = st["max"]
         if fdef is not None and fdef.type == "date":
             from datetime import datetime
+
+            tz = self._session_tz()
+            if tz is None:
+                return None
             try:
                 return datetime.fromisoformat(
-                    str(v).replace("T", " ")).timestamp()
+                    str(v).replace("T", " ")).replace(tzinfo=tz).timestamp()
             except ValueError:
                 return None
         try:
