@@ -36,7 +36,9 @@ CACHE = os.path.join(REPO, ".bench_cache")
 
 
 def corpus_parquet(spark, n_turns: int) -> str:
-    path = os.path.join(CACHE, f"transcripts_{n_turns}")
+    # v2: + time-banded "trendalpha" bursts (transcripts.py) — the skewed
+    # term stats that let block-max segment pruning demonstrate skips
+    path = os.path.join(CACHE, f"transcripts_v2_{n_turns}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from sonar_tantivy_spark.sources.transcripts import generate_transcripts
 
@@ -151,6 +153,9 @@ def main() -> None:
                               "lte": "2026-02-01 00:00:00"}}}]}},
         # sorted collector: hits ordered by the ts fast field
         "q14_sort_ts": ("sorted", {"term": {"text": "hello"}}, "ts"),
+        # time-banded bursty term: per-segment max_tf discriminates, so
+        # the block-max θ-probe must skip the cold segments (scored path)
+        "q15_trend": {"term": {"text": "trendalpha"}},
     }
     # query phase: modest shuffle fan-out wins for k=10 result sets.
     # top_k_pruned IS the default path (Index.query/query_df) — bench it,

@@ -86,6 +86,22 @@ def generate_transcripts(n_turns: int, seed: int = SEED) -> pd.DataFrame:
     has_needle = (role == "tool") & (u[:, 6] < 0.10)  # 0.1% overall ≈ 10% of tool turns? keep deterministic rate on tool turns
     insert_pos = (u[:, 7] * np.maximum(lengths - 1, 1)).astype(int)
 
+    # trending term (corpus v2): "trendalpha" BURSTS (tf 3-8) inside one
+    # conversation-time band ([30%, 35%) of convs) and appears tf=1 at a
+    # trickle everywhere else — the realistic 100 TB shape where a term
+    # spikes in a time slice.  Because segments are built in
+    # (conv_id, turn_idx) order, the burst lands in few segments, giving
+    # block-max WAND per-segment bounds something to discriminate on
+    # (cold segments bound at max_tf=1 and fall below the probe's θ).
+    # Drawn AFTER every pre-v2 rng draw so the rest of the corpus is
+    # bit-identical to v1.
+    u_trend = rng.random(n_turns)
+    conv_frac = conv_seq / max(n_convs, 1)
+    in_band = (conv_frac >= 0.30) & (conv_frac < 0.35)
+    trend_burst = in_band & (u_trend < 0.02)
+    trend_bg = (~in_band) & (u_trend < 0.0005)
+    trend_tf = 3 + (np.arange(n_turns) % 6)  # burst tf in [3, 8]
+
     texts = []
     for i in range(n_turns):
         toks = list(words[bounds[i]:bounds[i + 1]])
@@ -107,6 +123,10 @@ def generate_transcripts(n_turns: int, seed: int = SEED) -> pd.DataFrame:
             extra += [UNICODE_TOKEN]
         if has_needle[i]:
             extra += ["needle"]
+        if trend_burst[i]:
+            extra += ["trendalpha"] * int(trend_tf[i])
+        elif trend_bg[i]:
+            extra += ["trendalpha"]
         toks[p:p] = extra
         texts.append(" ".join(toks))
 
