@@ -385,41 +385,18 @@ def q_dd_jaccard_pairs(spark, sf_dir):
 def q_dd_dup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution: connected components over the
     verified Jaccard pairs (J >= 0.5 edges), cluster id = min doc_id in
-    the component.  Iterative min-label propagation — each round is one
-    equi-join + min-agg, converging in <= diameter rounds (the classic
-    Spark CC shape; large-star/small-star cuts rounds further at
-    billion-edge scale).  Output: (doc_id, cluster) for every doc that
+    the component.  Uses alternating large-star/small-star
+    (operators/cc.py — O(log² n) rounds regardless of chain diameter,
+    one-round-deep lineage via localCheckpoint, exact convergence
+    check), replacing the r2 min-label loop whose round count scaled
+    with graph diameter.  Output: (doc_id, cluster) for every doc that
     appears in at least one duplicate pair."""
+    from sonar_tantivy_spark.operators.cc import connected_components
+
     edges = q_dd_jaccard_pairs(spark, sf_dir).select("d1", "d2")
-    both = edges.unionByName(
-        edges.select(F.col("d2").alias("d1"), F.col("d1").alias("d2"))
-    ).persist()
-    labels = (both.select(F.col("d1").alias("doc_id"))
-              .distinct()
-              .withColumn("cluster", F.col("doc_id")))
-    for _ in range(20):  # diameter bound; tiny real diameters converge fast
-        neigh = (
-            both.join(labels, on=[both.d2 == labels.doc_id])
-            .groupBy(both.d1.alias("doc_id"))
-            .agg(F.min("cluster").alias("ncluster"))
-        )
-        new_labels = (
-            labels.join(neigh, on="doc_id", how="left")
-            .select("doc_id",
-                    F.least(F.col("cluster"),
-                            F.coalesce("ncluster", F.col("cluster")))
-                    .alias("cluster"))
-        ).persist()
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), on="doc_id")
-            .filter(F.col("n.cluster") != F.col("o.cluster")).count()
-        )
-        if hasattr(labels, "unpersist") and labels.storageLevel.useMemory:
-            labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    return labels.select("doc_id", F.col("cluster").cast("long").alias("cluster"))
+    labels, _rounds = connected_components(edges, "d1", "d2")
+    return labels.select(F.col("node").alias("doc_id"),
+                         F.col("cluster").cast("long").alias("cluster"))
 
 
 def q_dd_simhash(spark, sf_dir):
