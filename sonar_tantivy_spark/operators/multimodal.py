@@ -165,26 +165,32 @@ def resize_images(
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tag = f"|{width}x{height}".encode()
+        n = max(1, width * height // 64)
+
+        def resize_payload(p: bytes) -> bytes:
+            # the one per-image hook a real decoder replaces
+            # (PIL.Image.open(...).resize((width, height)).tobytes());
+            # until then a deterministic fake of the real output size
+            seed = hashlib.sha1(bytes(p) + tag).digest()
+            return (seed * (n // len(seed) + 1))[:n]
+
         for pdf in batches:
-            def resize_one(row):
-                if row["kind"] != "image" or row["payload"] is None:
-                    return row["payload"], row["width"], row["height"]
+            # column-wise: boolean-mask selection + .map over ONLY the
+            # image payloads — the batch shape a real decoder inherits
+            # (per-image decode cost is irreducible; everything else is
+            # vectorized pandas, no row-wise apply over the frame)
+            out = pdf.copy()
+            mask = (pdf["kind"] == "image") & pdf["payload"].notna()
+            if mask.any():
                 if not decode_stub:
                     raise NotImplementedError(
                         "real image decode/resize (PIL) is not available "
                         "in this environment; plug it in here")
-                seed = hashlib.sha1(
-                    bytes(row["payload"]) + f"|{width}x{height}".encode()
-                ).digest()
-                n = max(1, width * height // 64)
-                fake = (seed * (n // len(seed) + 1))[:n]
-                return fake, width, height
-
-            resized = pdf.apply(resize_one, axis=1, result_type="expand")
-            out = pdf.copy()
-            out["payload"] = resized[0]
-            out["width"] = resized[1]
-            out["height"] = resized[2]
+                out.loc[mask, "payload"] = \
+                    pdf.loc[mask, "payload"].map(resize_payload)
+                out.loc[mask, "width"] = width
+                out.loc[mask, "height"] = height
             yield out[["media_id", "kind", "payload", "mime", "width",
                        "height", "duration_ms"]]
 

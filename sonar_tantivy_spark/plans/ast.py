@@ -378,6 +378,14 @@ def _parse_clauses(toks: list[tuple], pos: int, schema: IndexSchema,
             continue
         if kind == "field":
             fname = t[1]
+            if i + 1 < len(toks) and toks[i + 1][0] == "lparen":
+                # tantivy field grouping — ``title:(a b)``: the field
+                # distributes over the whole group, i.e. the group is
+                # parsed with [fname] as its default fields
+                sub, i = _parse_clauses(toks, i + 2, schema, [fname],
+                                        depth + 1)
+                push(sub)
+                continue
             if i + 1 >= len(toks) or toks[i + 1][0] not in (
                     "term", "phrase", "range"):
                 raise QueryError(f"field {fname!r} has no value")

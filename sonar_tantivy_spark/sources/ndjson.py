@@ -72,10 +72,17 @@ def reject_df(spark: SparkSession, path: str,
     """The malformed lines (for dead-lettering), verbatim.  Spark
     forbids corrupt-record-only queries on a raw JSON scan
     (QUERY_ONLY_CORRUPT_RECORD_COLUMN), so the parse is cached first —
-    the documented workaround; reject volumes are tiny by assumption."""
+    the documented workaround.  The full-scan cache is released before
+    returning: the (tiny, by assumption) reject set is eagerly
+    localCheckpoint()ed so repeated dead-letter sweeps don't accumulate
+    the whole parsed input in executor storage (ADVICE r2)."""
     raw = spark.read.schema(_json_schema(schema)).option(
         "mode", "PERMISSIVE").json(path).cache()
-    return raw.filter(F.col(_CORRUPT).isNotNull()).select(_CORRUPT)
+    try:
+        return (raw.filter(F.col(_CORRUPT).isNotNull()).select(_CORRUPT)
+                .localCheckpoint(eager=True))
+    finally:
+        raw.unpersist()
 
 
 def stream_documents(spark: SparkSession, path: str, schema: IndexSchema,

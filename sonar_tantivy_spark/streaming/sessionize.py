@@ -15,6 +15,13 @@ Output rows are CLOSED sessions only (append mode):
 Scale shape: state is partitioned by user_id (the groupBy key), each
 group's state is O(1), and the Arrow batches flow through pandas — no
 per-row Python.
+
+Batch equivalence requires ``watermark delay >= gap_s`` (the default
+pairs 30 min with 30 min): any event admitted by the watermark then
+satisfies t >= WM >= max_seen_ts - gap >= session_start - gap, so an
+out-of-order arrival can only extend the OPEN session backwards (the
+``min`` below) — it can never land in a prior inactivity gap, whose
+session the append-mode stream may already have emitted.
 """
 
 from __future__ import annotations
@@ -67,6 +74,12 @@ def sessionize_stream(
                 start_s, n = t, 0
             if start_s is None:
                 start_s = t
+            # cross-batch out-of-order event within the watermark that
+            # PRECEDES the stored window: extend the session start
+            # backwards (with watermark delay >= gap, an admitted event
+            # can never fall in a prior inactivity gap — see docstring —
+            # so merging into the open session is exact)
+            start_s = min(start_s, t)
             n += 1
             last_s = max(t, last_s or t)
         state.update((start_s, last_s, n))

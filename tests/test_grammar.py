@@ -131,6 +131,27 @@ def test_execution_parity(exec_idx, exec_oracle, q):
     assert got == want, (q, got, want)
 
 
+def test_field_grouping_distributes():
+    """tantivy field grouping: ``title:(a b)`` scopes the whole group
+    to the field (ADVICE r2)."""
+    assert parse("title:(alpha beta)") == parse("title:alpha title:beta")
+    assert parse("title:(+alpha -beta)") == \
+        parse("+title:alpha -title:beta")
+    grouped = parse('title:("a b" OR c)')
+    assert isinstance(grouped, A.BoolQ) and len(grouped.should) == 2
+    assert all(getattr(s, "field", None) == "title"
+               for s in grouped.should)
+
+
+def test_field_space_value():
+    assert parse("title: alpha") == parse("title:alpha")
+
+
+def test_field_grouping_unbalanced_raises():
+    with pytest.raises(A.QueryError):
+        parse("title:(alpha")
+
+
 def test_parser_never_crashes_on_random_input():
     """Robustness: arbitrary garbage must either parse or raise
     QueryError — never any other exception type."""

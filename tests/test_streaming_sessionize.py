@@ -73,6 +73,51 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
     assert got == want, (sorted(got), sorted(want))
 
 
+def test_out_of_order_event_extends_session_backwards(spark, tmp_path):
+    """A later micro-batch delivers an event that PRECEDES the stored
+    session window (within the watermark): the closed session must
+    start at the earlier timestamp — the ADVICE r2 case where start_s
+    was frozen at first-arrival order."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def write(rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(src)
+
+    write([("d", T0 + pd.Timedelta(seconds=1000))])
+    stream = (
+        spark.readStream.schema("user_id string, ts timestamp")
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    )
+    q = (
+        sessionize_stream(stream, gap_s=1800)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        # out-of-order: 600s BEFORE the stored session start, admitted
+        # (watermark = 1000s - 30min < 0)
+        write([("d", T0 + pd.Timedelta(seconds=400))])
+        q.processAllAvailable()
+        for _ in range(2):  # heartbeats: advance watermark, fire timeout
+            write([("zz", T0 + pd.Timedelta(days=2))])
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.read.parquet(out).collect()
+        if r["user_id"] == "d"
+    }
+    assert got == {("d", T0 + pd.Timedelta(seconds=400),
+                    T0 + pd.Timedelta(seconds=1000), 2)}, got
+
+
 def test_batch_equivalent_shape(spark):
     df = sessionize_batch_equivalent(spark.createDataFrame(_events()))
     rows = {(r["user_id"], r["n_events"]) for r in df.collect()}
