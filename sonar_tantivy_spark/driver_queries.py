@@ -634,6 +634,27 @@ def q_tx_fingerprint(spark, sf_dir):
     return d.select("doc_id", _bag_fingerprint_expr().alias("fingerprint"))
 
 
+def q_tx_repetition(spark, sf_dir):
+    """Gopher-style repetition signal: the duplicate-3-gram fraction of
+    each document (1 − distinct/total over word trigrams), the standard
+    detector for looped/boilerplate generations.  Pure column math on
+    the token array (sequence → transform → array_distinct) — no
+    explode, no shuffle; docs under 3 tokens score 0."""
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
+    n = F.size("w")
+    grams = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(" ", F.element_at("w", i),
+                              F.element_at("w", i + 1),
+                              F.element_at("w", i + 2)))
+    total = (n - 2).cast("double")
+    frac = (total - F.size(F.array_distinct(grams)).cast("double")) / total
+    return d.select(
+        "doc_id",
+        F.when(n < 3, F.lit(0.0)).otherwise(F.round(frac, 4))
+        .alias("dup_trigram_frac"))
+
+
 def q_pl_clean_corpus(spark, sf_dir):
     """Capstone training-data pipeline: Gopher-quality filter + English
     langid + exact dedup (bag-of-words fingerprint, lowest doc_id kept)
@@ -813,6 +834,40 @@ def q_ev_sessionize(spark, sf_dir):
                  F.count("*").cast("long").alias("n_events")))
 
 
+def q_ev_asof_join(spark, sf_dir):
+    """AS-OF join: every 'error' event gets the same user's most recent
+    preceding non-error action (type, ts, gap).  Implemented the way it
+    must run at 100 TB — NOT as a range join (which Spark plans as a
+    broadcast-nested-loop or an inequality sort-merge that explodes on
+    hot users) but as the union+window pattern: tag action rows, sort
+    each user's merged stream once, carry the latest action forward
+    with last(ignorenulls) over an unbounded-preceding frame, keep the
+    error rows.  ONE shuffle on user_id, no join operator at all; ties
+    at identical ts resolve action-before-error (inclusive as-of), then
+    event_id — a total order, so results are deterministic."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    is_err = F.col("event_type") == "error"
+    tagged = ev.select(
+        "event_id", "ts", "user_id", "event_type",
+        F.when(~is_err, F.col("event_type")).alias("a_type"),
+        F.when(~is_err, F.col("ts")).alias("a_ts"),
+    )
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts"), is_err.cast("int"), F.col("event_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = tagged.select(
+        "event_id", "ts", "user_id", "event_type",
+        F.last("a_type", ignorenulls=True).over(w).alias("prev_type"),
+        F.last("a_ts", ignorenulls=True).over(w).alias("prev_ts"),
+    )
+    return (carried.filter(F.col("event_type") == "error")
+            .select("event_id", "user_id", "prev_type", "prev_ts",
+                    (_epoch_naive(F.col("ts"))
+                     - _epoch_naive(F.col("prev_ts"))).alias("gap_s")))
+
+
 QUERIES = {
     "ft_term_bm25": q_ft_term_bm25,
     "ft_bool_must": q_ft_bool_must,
@@ -855,6 +910,8 @@ QUERIES = {
     "ev_rollup_daily": q_ev_rollup_daily,
     "ev_sessionize": q_ev_sessionize,
     "ev_value_quantiles": q_ev_value_quantiles,
+    "ev_asof_join": q_ev_asof_join,
+    "tx_repetition": q_tx_repetition,
 }
 
 
@@ -1321,4 +1378,36 @@ SELECT user_id,
 sum(CASE WHEN pe IS NULL OR e - pe > 1800 THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
 count(*)::BIGINT AS n_events
 FROM o GROUP BY user_id""",
+        # as-of oracle: the same union+window construction (inclusive
+        # as-of, action-before-error at ts ties, event_id total order)
+        "ev_asof_join": """WITH t AS (
+  SELECT event_id, ts, user_id, event_type,
+         CASE WHEN event_type <> 'error' THEN event_type END AS a_type,
+         CASE WHEN event_type <> 'error' THEN ts END AS a_ts
+  FROM events),
+w AS (
+  SELECT event_id, ts, user_id, event_type,
+         last_value(a_type IGNORE NULLS) OVER win AS prev_type,
+         last_value(a_ts IGNORE NULLS) OVER win AS prev_ts
+  FROM t
+  WINDOW win AS (PARTITION BY user_id
+                 ORDER BY ts, (event_type = 'error'), event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT event_id, user_id, prev_type, prev_ts,
+       floor(epoch(ts))::BIGINT - floor(epoch(prev_ts))::BIGINT AS gap_s
+FROM w WHERE event_type = 'error'""",
+        "tx_repetition": """WITH d AS (
+  SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, len(w) AS n,
+         list_transform(generate_series(1, len(w) - 2),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS grams
+  FROM d)
+SELECT doc_id,
+       CASE WHEN n < 3 THEN 0.0
+            ELSE round((CAST(len(grams) AS DOUBLE)
+                        - CAST(len(list_distinct(grams)) AS DOUBLE))
+                       / CAST(len(grams) AS DOUBLE), 4)
+       END AS dup_trigram_frac
+FROM g""",
     }

@@ -32,7 +32,7 @@ spark.sparkContext.setLogLevel("ERROR")
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CACHE = os.path.join(REPO, ".bench_cache")
-path = os.path.join(CACHE, f"transcripts_{n_turns}")
+path = os.path.join(CACHE, f"transcripts_v2_{n_turns}")
 if not os.path.exists(os.path.join(path, "_SUCCESS")):
     from sonar_tantivy_spark.sources.transcripts import generate_transcripts
     os.makedirs(CACHE, exist_ok=True)
