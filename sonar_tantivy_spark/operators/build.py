@@ -457,6 +457,17 @@ def build_segments(
         for f in zone_fields:
             aggs.append(F.min(f.name).alias(f"__min_{f.name}"))
             aggs.append(F.max(f.name).alias(f"__max_{f.name}"))
+            if f.type == "date":
+                # tz-independent epoch-second bounds alongside the ISO
+                # strings: cast-to-double is the exact domain the sorted
+                # collector scores in, so the zone map stays correct no
+                # matter what session timezone builds or queries the
+                # index (ADVICE r2 — the ISO strings are rendered in the
+                # BUILD session's zone and can shift bounds otherwise)
+                aggs.append(F.min(F.col(f.name).cast("double"))
+                            .alias(f"__mine_{f.name}"))
+                aggs.append(F.max(F.col(f.name).cast("double"))
+                            .alias(f"__maxe_{f.name}"))
         for r in docs_r.groupBy("segment_id").agg(*aggs).collect():
             per = {}
             for f in zone_fields:
@@ -465,7 +476,11 @@ def build_segments(
                     continue
                 if hasattr(lo, "isoformat"):
                     lo, hi = lo.isoformat(sep=" "), hi.isoformat(sep=" ")
-                per[f.name] = (lo, hi)
+                if f.type == "date":
+                    per[f.name] = (lo, hi, r[f"__mine_{f.name}"],
+                                   r[f"__maxe_{f.name}"])
+                else:
+                    per[f.name] = (lo, hi)
             zone[r["segment_id"]] = per
     ranked_cache.unpersist()
 
@@ -480,9 +495,11 @@ def build_segments(
             for (s, f), v in stats.items()
             if s == sid
         }
-        for fname, (lo, hi) in zone.get(sid, {}).items():
-            field_stats.setdefault(fname, {})["min"] = lo
-            field_stats.setdefault(fname, {})["max"] = hi
+        for fname, bounds in zone.get(sid, {}).items():
+            st = field_stats.setdefault(fname, {})
+            st["min"], st["max"] = bounds[0], bounds[1]
+            if len(bounds) == 4:  # date fields: tz-independent epochs
+                st["min_epoch"], st["max_epoch"] = bounds[2], bounds[3]
         tables = {}
         if hasattr(storage, "segment_dir"):
             tables = {t: storage.segment_dir(epoch, t, sid)

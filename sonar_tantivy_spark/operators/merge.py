@@ -187,6 +187,11 @@ def _merge_field_stats(run: list[dict]) -> dict:
                     else min(agg["min"], st["min"])
                 agg["max"] = st["max"] if "max" not in agg \
                     else max(agg["max"], st["max"])
+            if "min_epoch" in st:  # date fields: tz-independent epochs
+                agg["min_epoch"] = st["min_epoch"] if "min_epoch" not in agg \
+                    else min(agg["min_epoch"], st["min_epoch"])
+                agg["max_epoch"] = st["max_epoch"] if "max_epoch" not in agg \
+                    else max(agg["max_epoch"], st["max_epoch"])
     return field_stats
 
 

@@ -875,8 +875,17 @@ class Searcher:
         if not st or "max" not in st:
             return None
         fdef = self.schema.field(sort_by)
-        v = st["max"]
         if fdef is not None and fdef.type == "date":
+            # preferred: the tz-independent epoch bound written at build
+            # (exactly the cast-to-double domain the collector scores in)
+            if "max_epoch" in st:
+                try:
+                    return float(st["max_epoch"])
+                except (TypeError, ValueError):
+                    return None
+            # older manifests: the ISO string, rendered in the build
+            # session's zone — interpret it in THIS session's zone
+            # (correct when the two match; unresolvable tz → no pruning)
             from datetime import datetime
 
             tz = self._session_tz()
@@ -884,9 +893,11 @@ class Searcher:
                 return None
             try:
                 return datetime.fromisoformat(
-                    str(v).replace("T", " ")).replace(tzinfo=tz).timestamp()
+                    str(st["max"]).replace("T", " ")) \
+                    .replace(tzinfo=tz).timestamp()
             except ValueError:
                 return None
+        v = st["max"]
         try:
             return float(v)
         except (TypeError, ValueError):

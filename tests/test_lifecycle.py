@@ -345,6 +345,37 @@ def test_sorted_pruning_parity_and_skips(spark, tmp_path, corpus):
     assert r.collect() is not None
 
 
+def test_sorted_pruning_timezone_independent(spark, tmp_path, corpus):
+    """Sorted-collector pruning must stay bit-identical when the Spark
+    session timezone differs from the host zone AND from the build
+    session's zone — the ADVICE r2 silent-wrong-results case.  Zone
+    maps now carry tz-independent epoch bounds, so pruning neither
+    drops true top-k rows (a too-small bound) nor degrades."""
+    from sonar_tantivy_spark.operators.search import Searcher
+
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        # build under a zone WEST of UTC (host is UTC): with the old
+        # ISO-string bounds this shifts θ comparisons by 7-8 h — larger
+        # than the per-segment ts spread — and silently mis-prunes
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        idx = _build(spark, tmp_path, corpus, "sptz", num_segments=4)
+        for qtz in ("America/Los_Angeles", "Asia/Tokyo", "UTC"):
+            spark.conf.set("spark.sql.session.timeZone", qtz)
+            s = Searcher(spark, idx.schema, idx.storage)  # fresh caches
+            node = A.parse_json({"all": {}}, idx.schema)
+            exact = [(r["docid_g"], r["score"]) for r in
+                     s.top_k(node, limit=10, sort_by="ts").collect()]
+            pruned = [(r["docid_g"], r["score"]) for r in
+                      s.top_k_sorted_pruned(
+                          node, limit=10, sort_by="ts").collect()]
+            assert exact == pruned, qtz
+            assert s.last_prune["segments_skipped"] >= 1, \
+                (qtz, s.last_prune)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
+
 def test_docid_assign_broadcast_offsets_branch(spark, corpus):
     """Cluster-scale docid assignment: above 4096 range partitions the
     literal offset map would break codegen, so the build switches to a
