@@ -444,11 +444,11 @@ def q_ann_cosine_topk(spark, sf_dir):
 
 
 def q_ann_lsh_bucket(spark, sf_dir):
-    """LSH-bucketed ANN with multiprobe: 4 tables x 5 hyperplane sign
-    bits (planes = vectors 1..20, deterministic), candidates = Hamming<=1
+    """LSH-bucketed ANN with multiprobe: 8 tables x 7 hyperplane sign
+    bits (planes = vectors 1..56, deterministic), candidates = Hamming<=1
     probe buckets per table (a literal filter on the scan, no join),
-    exact cosine top-5 inside — operators/ann.py; recall@5 = 0.85 vs the
-    exact baseline at sf0.1 (measured in bench.py)."""
+    exact cosine top-5 inside — operators/ann.py; recall@5 = 0.83 at 41%
+    scanned vs the exact baseline at sf0.1 (measured in bench.py)."""
     from sonar_tantivy_spark.operators import ann
 
     return ann.lsh_topk(_emb(spark, sf_dir), 0, 5)
@@ -1146,10 +1146,10 @@ ORDER BY round(c.cos, 7) DESC, c.vec_id LIMIT 5"""
 
 
 def _ann_lsh_sql() -> str:
-    """Multiprobe LSH oracle mirroring operators/ann.py: 4 tables x 5
-    sign bits (planes = vectors 1..20); a vector is a candidate when its
-    bucket agrees with the query's bucket on >= 4 of 5 bits (Hamming<=1)
-    in any table."""
+    """Multiprobe LSH oracle mirroring operators/ann.py: N_TABLES x
+    N_PLANES sign bits (planes = vectors 1..T*P); a vector is a
+    candidate when its bucket agrees with the query's bucket on
+    >= P-1 bits (Hamming<=1) in any table."""
     from sonar_tantivy_spark.operators.ann import N_PLANES, N_TABLES
 
     def sig(src, prefix):
