@@ -87,6 +87,10 @@ def plane_tables(emb_df: DataFrame, n_tables: int = N_TABLES,
     need = n_tables * n_planes
     rows = {r["vec_id"]: r["embedding"] for r in
             emb_df.filter(F.col("vec_id").between(1, need)).collect()}
+    if len(rows) < need:
+        raise ValueError(
+            f"LSH plane sampling needs vec_ids 1..{need} present "
+            f"(found {len(rows)}); for corpora this small use exact_topk")
     return [[rows[t * n_planes + i + 1] for i in range(n_planes)]
             for t in range(n_tables)]
 
@@ -173,6 +177,12 @@ def centroid_vecs(emb_df: DataFrame, n_cells: int | None = None,
         n_cells = default_n_cells(emb_df.count())
     rows = {r["vec_id"]: r["embedding"] for r in emb_df.filter(
         F.col("vec_id").between(base, base + n_cells - 1)).collect()}
+    if len(rows) < n_cells:
+        raise ValueError(
+            f"sampled IVF centroids need vec_ids {base}.."
+            f"{base + n_cells - 1} present (found {len(rows)}); for "
+            "corpora this small use exact_topk, or pass a smaller "
+            "n_cells explicitly")
     return [rows[base + c] for c in range(n_cells)]
 
 

@@ -78,7 +78,10 @@ def connected_components(edges: DataFrame, src: str = "a",
             raise RuntimeError(
                 f"connected_components did not converge in {MAX_ROUNDS} "
                 "rounds — input is adversarial or ids are unstable")
-        nxt = _canon(_small_star(_large_star(cur)))
+        # _small_star output is already canonical (a > b, deduped), so
+        # wrapping it in _canon would just add a no-op projection plus a
+        # second distinct shuffle to every round of the iterative path
+        nxt = _small_star(_large_star(cur))
         nxt = nxt.localCheckpoint(eager=True)
         rounds += 1
         # exact convergence: consecutive canonical star sets identical

@@ -192,6 +192,17 @@ def _merge_field_stats(run: list[dict]) -> dict:
                     else min(agg["min_epoch"], st["min_epoch"])
                 agg["max_epoch"] = st["max_epoch"] if "max_epoch" not in agg \
                     else max(agg["max_epoch"], st["max_epoch"])
+            elif "min" in st:
+                # a pre-epoch-format input: a merged epoch range built
+                # from only SOME inputs would understate the true max
+                # and let the sorted collector prune a segment holding
+                # true top-k rows — poison the epochs for this field so
+                # the merged segment falls back to the ISO strings
+                agg["__no_epoch"] = True
+    for agg in field_stats.values():
+        if agg.pop("__no_epoch", False):
+            agg.pop("min_epoch", None)
+            agg.pop("max_epoch", None)
     return field_stats
 
 

@@ -840,24 +840,6 @@ class Searcher:
         out = surv_df if out is None else out.unionByName(surv_df)
         return out.orderBy(F.desc("score"), F.asc("docid_g")).limit(limit)
 
-    def _session_tz(self):
-        """tzinfo of spark.sql.session.timeZone (the zone Spark uses for
-        cast(ts as double)); None when it can't be resolved — callers
-        must then refuse to prune rather than risk an offset-shifted
-        bound (a wrong bound silently drops true top-k rows)."""
-        tz = getattr(self, "_session_tz_cache", False)
-        if tz is not False:
-            return tz
-        try:
-            from zoneinfo import ZoneInfo
-
-            name = self.spark.conf.get("spark.sql.session.timeZone")
-            tz = ZoneInfo(name) if name else None
-        except Exception:
-            tz = None
-        self._session_tz_cache = tz
-        return tz
-
     def _sort_bound(self, sort_by: str, sid: str) -> float | None:
         """Zone-map upper bound of ``sort_by`` in a segment, in the SAME
         double domain as the sorted collector's score (epoch seconds for
@@ -883,18 +865,18 @@ class Searcher:
                     return float(st["max_epoch"])
                 except (TypeError, ValueError):
                     return None
-            # older manifests: the ISO string, rendered in the build
-            # session's zone — interpret it in THIS session's zone
-            # (correct when the two match; unresolvable tz → no pruning)
+            # older manifests: the ISO string was rendered by PySpark's
+            # collect() in the BUILD DRIVER'S OS zone (TimestampType.
+            # fromInternal uses datetime.fromtimestamp — NOT the session
+            # timezone), so naive .timestamp() (this OS's zone) recovers
+            # the true epoch exactly when build and query drivers share
+            # an OS zone — the only case a legacy manifest can support;
+            # new builds always carry the epoch bounds above
             from datetime import datetime
 
-            tz = self._session_tz()
-            if tz is None:
-                return None
             try:
                 return datetime.fromisoformat(
-                    str(st["max"]).replace("T", " ")) \
-                    .replace(tzinfo=tz).timestamp()
+                    str(st["max"]).replace("T", " ")).timestamp()
             except ValueError:
                 return None
         v = st["max"]

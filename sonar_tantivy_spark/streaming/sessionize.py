@@ -38,6 +38,18 @@ STATE_SCHEMA = "start long, last long, n long"
 DEFAULT_GAP_S = 1800  # 30-min inactivity gap, like ev_sessionize
 
 
+_WM_UNITS = {"second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+             "hour": 3600, "hours": 3600, "day": 86400, "days": 86400}
+
+
+def _watermark_seconds(watermark: str) -> int:
+    parts = watermark.strip().split()
+    if len(parts) == 2 and parts[0].isdigit() and parts[1] in _WM_UNITS:
+        return int(parts[0]) * _WM_UNITS[parts[1]]
+    raise ValueError(f"unparseable watermark {watermark!r} "
+                     "(expected e.g. '30 minutes')")
+
+
 def sessionize_stream(
     events: DataFrame,
     *,
@@ -45,6 +57,14 @@ def sessionize_stream(
     watermark: str = "30 minutes",
 ) -> DataFrame:
     """events(user_id, ts, ...) stream → closed-session stream."""
+    # batch equivalence REQUIRES delay >= gap (see module docstring):
+    # below it, an admitted out-of-order event can land in a prior
+    # inactivity gap whose session was already emitted — enforce the
+    # invariant instead of silently mis-splitting sessions
+    if _watermark_seconds(watermark) < gap_s:
+        raise ValueError(
+            f"watermark delay ({watermark!r}) must be >= gap_s "
+            f"({gap_s} s) for append-mode batch equivalence")
 
     def fn(key: tuple, pdfs, state: GroupState):
         user_id = key[0]

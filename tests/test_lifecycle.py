@@ -345,6 +345,27 @@ def test_sorted_pruning_parity_and_skips(spark, tmp_path, corpus):
     assert r.collect() is not None
 
 
+def test_merge_field_stats_mixed_epoch_formats():
+    """Merging a pre-epoch-format segment with a new one must NOT emit
+    epoch bounds built from only the new inputs — an understated
+    max_epoch would let the sorted collector prune a segment holding
+    true top-k rows (review r3)."""
+    from sonar_tantivy_spark.operators.merge import _merge_field_stats
+
+    old_seg = {"field_stats": {"ts": {
+        "min": "2026-06-01 00:00:00", "max": "2026-06-30 00:00:00"}}}
+    new_seg = {"field_stats": {"ts": {
+        "min": "2026-01-01 00:00:00", "max": "2026-01-05 00:00:00",
+        "min_epoch": 1767225600.0, "max_epoch": 1767571200.0}}}
+    for run in ([old_seg, new_seg], [new_seg, old_seg]):
+        merged = _merge_field_stats(run)["ts"]
+        assert merged["max"] == "2026-06-30 00:00:00"
+        assert "min_epoch" not in merged and "max_epoch" not in merged
+    # both inputs epoch-format: epochs union normally
+    both = _merge_field_stats([new_seg, new_seg])["ts"]
+    assert both["max_epoch"] == 1767571200.0
+
+
 def test_sorted_pruning_timezone_independent(spark, tmp_path, corpus):
     """Sorted-collector pruning must stay bit-identical when the Spark
     session timezone differs from the host zone AND from the build
