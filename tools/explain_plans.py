@@ -125,7 +125,10 @@ def main() -> None:
     lines.extend(sections)
     out = os.path.join(REPO, "PLANS.md")
     with open(out, "w") as fh:
-        fh.write("\n".join(lines))
+        # the bool fast path keys postings on field||'\x00'||term, which
+        # leaks NUL bytes into plan strings and makes the file read as
+        # binary — escape them so PLANS.md stays greppable text
+        fh.write("\n".join(lines).replace("\x00", "\\x00"))
     print(f"wrote {out}")
     for name, prop, ok in checks:
         print(("PASS " if ok else "FAIL "), name, "—", prop)
