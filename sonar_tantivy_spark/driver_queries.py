@@ -655,6 +655,40 @@ def q_tx_repetition(spark, sf_dir):
         .alias("dup_trigram_frac"))
 
 
+DECON_GRAM = 5  # word n-gram size for contamination matching
+DECON_BENCH_MOD = 10  # doc_id % 10 == 0 → the held-out "benchmark" set
+
+
+def q_pl_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    word 5-gram with a held-out evaluation set (here: doc_id % 10 == 0,
+    a deterministic pseudo-benchmark).  The at-scale shape: per-doc
+    grams as column math (no tokenizer shuffle), benchmark grams
+    deduped, ONE equi-join on the gram string + count — never a
+    text-vs-text comparison or cross join; at 100 TB the benchmark side
+    is tiny and broadcasts.  Output: every non-benchmark doc with the
+    number of distinct shared 5-grams and the contamination flag."""
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
+    n = F.size("w")
+    grams = F.when(n < DECON_GRAM, F.array()).otherwise(F.transform(
+        F.sequence(F.lit(1), n - (DECON_GRAM - 1)),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at("w", i + k) for k in range(DECON_GRAM)])))
+    g = d.select("doc_id", F.explode(grams).alias("gram")).distinct()
+    is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
+    bench = g.filter(is_bench).select("gram").distinct()
+    hits = (g.filter(~is_bench)
+            .join(bench, on="gram")
+            .groupBy("doc_id").agg(F.count("*").cast("long").alias("n_shared")))
+    base = d.select("doc_id").filter(~is_bench)
+    return (base.join(hits, on="doc_id", how="left")
+            .select("doc_id",
+                    F.coalesce("n_shared", F.lit(0)).cast("long")
+                    .alias("n_shared"),
+                    (F.coalesce("n_shared", F.lit(0)) > 0)
+                    .alias("contaminated")))
+
+
 def q_pl_clean_corpus(spark, sf_dir):
     """Capstone training-data pipeline: Gopher-quality filter + English
     langid + exact dedup (bag-of-words fingerprint, lowest doc_id kept)
@@ -912,6 +946,7 @@ QUERIES = {
     "ev_value_quantiles": q_ev_value_quantiles,
     "ev_asof_join": q_ev_asof_join,
     "tx_repetition": q_tx_repetition,
+    "pl_decontaminate": q_pl_decontaminate,
 }
 
 
@@ -1410,4 +1445,21 @@ SELECT doc_id,
                        / CAST(len(grams) AS DOUBLE), 4)
        END AS dup_trigram_frac
 FROM g""",
+        "pl_decontaminate": f"""WITH d AS (
+  SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, unnest(list_transform(
+           generate_series(1, len(w) - {DECON_GRAM - 1}),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+                || ' ' || w[i+4])) AS gram
+  FROM d WHERE len(w) >= {DECON_GRAM}),
+bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % {DECON_BENCH_MOD} = 0),
+hits AS (SELECT g.doc_id, count(*)::BIGINT AS n_shared
+         FROM g JOIN bench USING (gram)
+         WHERE g.doc_id % {DECON_BENCH_MOD} <> 0
+         GROUP BY g.doc_id)
+SELECT d.doc_id, coalesce(hits.n_shared, 0)::BIGINT AS n_shared,
+       coalesce(hits.n_shared, 0) > 0 AS contaminated
+FROM d LEFT JOIN hits ON hits.doc_id = d.doc_id
+WHERE d.doc_id % {DECON_BENCH_MOD} <> 0""",
     }

@@ -71,3 +71,28 @@ def test_repetition_plan_is_scan_only(spark):
     plan = _plan(dq.QUERIES["tx_repetition"](spark, SF))
     assert "Exchange" not in plan, plan  # per-doc column math, no shuffle
     assert "Join" not in plan, plan
+
+
+def test_decontaminate_matches_brute_force(spark):
+    rows = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text").collect()
+    k, mod = dq.DECON_GRAM, dq.DECON_BENCH_MOD
+    grams = {}
+    for r in rows:
+        w = r["text"].split(" ")
+        grams[r["doc_id"]] = {" ".join(w[i:i + k])
+                              for i in range(len(w) - k + 1)}
+    bench = set().union(*(g for d, g in grams.items() if d % mod == 0))
+    want = {d: len(g & bench) for d, g in grams.items() if d % mod != 0}
+    got = {r["doc_id"]: r["n_shared"]
+           for r in dq.QUERIES["pl_decontaminate"](spark, SF).collect()}
+    assert got == want
+    assert sum(1 for v in got.values() if v > 0) >= 5  # signal exists
+
+
+def test_decontaminate_plan_is_equi_join_only(spark):
+    """Containment must go through the gram equi-join — never a
+    text-vs-text or nested-loop comparison."""
+    plan = _plan(dq.QUERIES["pl_decontaminate"](spark, SF))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
