@@ -53,7 +53,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_turns = int(os.environ.get("BENCH_TURNS", "300000"))
     reps = int(os.environ.get("BENCH_REPS", "5"))
-    build_reps = int(os.environ.get("BENCH_BUILD_REPS", "1"))
+    # min of 2 builds: this VM's co-tenant bursts can halve one build's
+    # throughput; min-wall is the sustained-rate protocol (BENCH/BASELINE.md)
+    build_reps = int(os.environ.get("BENCH_BUILD_REPS", "2"))
     warmup = os.environ.get("BENCH_WARMUP", "1") == "1"
     # memory scales with cluster size, like a real N-executor cluster
     mem_gb = int(os.environ.get("BENCH_MEM_GB", str(max(8, 2 * cpus))))

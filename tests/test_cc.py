@@ -63,6 +63,21 @@ def test_star_and_singleton_edge(spark):
     assert rounds <= 3
 
 
+def test_random_graphs_match_brute_force(spark):
+    """Seeded random graphs (mixed chains/cliques/isolated edges) —
+    labels must equal brute-force transitive closure every time."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 60
+        edges = list({(rng.randrange(n), rng.randrange(n))
+                      for _ in range(45)})
+        edges = [(a, b) for a, b in edges if a != b]
+        got, _ = _labels(spark, edges)
+        assert got == _brute(edges), seed
+
+
 def test_plan_is_join_plus_agg(spark):
     """Each half-round must stay an equi-join + aggregation — no
     cartesian/broadcast-nested-loop shapes."""
