@@ -77,6 +77,11 @@ def test_ivf_probe_is_literal_filter(spark, tmp_path):
     assert "PartitionFilters" in pplan and "cell" in pplan, pplan
     n_all, n_probed = stored.count(), pruned.count()
     assert 0 < n_probed < n_all
+    # end-to-end: top-k served FROM the partitioned layout must equal
+    # the on-the-fly plan (the stored table already carries `cell`)
+    from_stored = ann.ivf_topk(stored, 0, 5, cents=cents)
+    on_the_fly = ann.ivf_topk(emb, 0, 5, cents=cents)
+    assert from_stored.collect() == on_the_fly.collect()
 
 
 def test_ivf_trained_probe_no_join(spark):

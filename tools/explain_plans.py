@@ -84,6 +84,13 @@ def main() -> None:
             n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
             checks.append((name, f"single postings scan (saw {n_scans})",
                            n_scans == 1))
+        if name == "q5_phrase":
+            n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+            checks.append((name, f"single postings scan (saw {n_scans})",
+                           n_scans == 1))
+            checks.append((name, "no join in the phrase plan (one scan + "
+                                 "one aggregation exchange)",
+                           "Join" not in plan))
         if name == "q11_ts_range":
             ok = bool(re.search(r"PartitionFilters: \[[^\]]*__tsbucket",
                                 plan))
