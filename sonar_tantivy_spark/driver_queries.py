@@ -674,7 +674,11 @@ def q_pl_decontaminate(spark, sf_dir):
         F.sequence(F.lit(1), n - (DECON_GRAM - 1)),
         lambda i: F.concat_ws(
             " ", *[F.element_at("w", i + k) for k in range(DECON_GRAM)])))
-    g = d.select("doc_id", F.explode(grams).alias("gram")).distinct()
+    # per-doc dedup happens INSIDE the row (array_distinct) — a global
+    # (doc_id, gram) distinct would shuffle the full corpus gram stream,
+    # the avoidable 100 TB cost; only the tiny benchmark side needs a
+    # cross-doc distinct
+    g = d.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
     is_bench = F.col("doc_id") % DECON_BENCH_MOD == 0
     bench = g.filter(is_bench).select("gram").distinct()
     hits = (g.filter(~is_bench)
