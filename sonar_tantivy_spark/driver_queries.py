@@ -872,6 +872,72 @@ def q_ev_sessionize(spark, sf_dir):
                  F.count("*").cast("long").alias("n_events")))
 
 
+FUNNEL_STAGES = ("view", "click", "purchase")
+FUNNEL_WINDOW_S = 86400  # each step must convert within 24 h of the prior
+
+
+def q_ev_funnel(spark, sf_dir):
+    """Ordered funnel conversion: per user, the earliest time each
+    stage was reached IN ORDER and WITHIN the conversion window
+    (view → click within 24 h → purchase within 24 h of the click),
+    then users-reaching-stage counts (sf0.01: 150 → 150 → 60 → 25).
+
+    Scale shape: ONE shuffle on user_id; the three stage times are
+    window minimums over the same partitioning (Catalyst reuses the
+    exchange), each stage constrained to events after the previous
+    stage's time — never a per-stage self-join, never an ordered
+    collect_list in Python."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id")
+    base = ev.select("user_id", "event_type",
+                     _epoch_naive(F.col("ts")).alias("e"))
+    # sequential projections, each stage's window min conditioned on the
+    # PREVIOUS stage's column — three stacked window operators over one
+    # user_id exchange, not nested windows and not three self-joins
+    base = base.withColumn("t1", F.min(F.when(
+        F.col("event_type") == FUNNEL_STAGES[0], F.col("e"))).over(w))
+    base = base.withColumn("t2", F.min(F.when(
+        (F.col("event_type") == FUNNEL_STAGES[1])
+        & (F.col("e") > F.col("t1"))
+        & (F.col("e") <= F.col("t1") + FUNNEL_WINDOW_S),
+        F.col("e"))).over(w))
+    base = base.withColumn("t3", F.min(F.when(
+        (F.col("event_type") == FUNNEL_STAGES[2])
+        & (F.col("e") > F.col("t2"))
+        & (F.col("e") <= F.col("t2") + FUNNEL_WINDOW_S),
+        F.col("e"))).over(w))
+    per_user = (base.groupBy("user_id")
+                .agg(F.max("t1").alias("t1"), F.max("t2").alias("t2"),
+                     F.max("t3").alias("t3")))
+    return per_user.agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.count("t1").cast("long").alias("reached_view"),
+        F.count("t2").cast("long").alias("reached_click"),
+        F.count("t3").cast("long").alias("reached_purchase"))
+
+
+def q_ev_retention(spark, sf_dir):
+    """Cohort retention: users grouped by first-seen day (cohort),
+    counted as retained on each later day they were active.  Output:
+    (cohort_day, day_offset, n_users) — the classic retention triangle.
+    Two hash-agg shuffles (first-seen per user, then cohort×offset
+    counts); no joins (the cohort day rides along via a window min)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = (F.floor(_epoch_naive(F.col("ts")) / 86400) * 86400).cast("long")
+    w = Window.partitionBy("user_id")
+    cohort = F.min(day).over(w)
+    return (ev.select("user_id", day.alias("day"), cohort.alias("cohort_day"))
+            .distinct()
+            .groupBy("cohort_day",
+                     ((F.col("day") - F.col("cohort_day")) / 86400)
+                     .cast("long").alias("day_offset"))
+            .agg(F.count("*").cast("long").alias("n_users")))
+
+
 def q_ev_asof_join(spark, sf_dir):
     """AS-OF join: every 'error' event gets the same user's most recent
     preceding non-error action (type, ts, gap).  Implemented the way it
@@ -948,6 +1014,8 @@ QUERIES = {
     "ev_rollup_daily": q_ev_rollup_daily,
     "ev_sessionize": q_ev_sessionize,
     "ev_value_quantiles": q_ev_value_quantiles,
+    "ev_funnel": q_ev_funnel,
+    "ev_retention": q_ev_retention,
     "ev_asof_join": q_ev_asof_join,
     "tx_repetition": q_tx_repetition,
     "pl_decontaminate": q_pl_decontaminate,
@@ -1417,6 +1485,33 @@ SELECT user_id,
 sum(CASE WHEN pe IS NULL OR e - pe > 1800 THEN 1 ELSE 0 END)::BIGINT AS n_sessions,
 count(*)::BIGINT AS n_events
 FROM o GROUP BY user_id""",
+        "ev_funnel": f"""WITH base AS (
+  SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS e FROM events),
+s1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN e END)
+              OVER (PARTITION BY user_id) AS t1 FROM base),
+s2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND e > t1
+                          AND e <= t1 + {FUNNEL_WINDOW_S} THEN e END)
+              OVER (PARTITION BY user_id) AS t2 FROM s1),
+s3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND e > t2
+                          AND e <= t2 + {FUNNEL_WINDOW_S} THEN e END)
+              OVER (PARTITION BY user_id) AS t3 FROM s2),
+pu AS (SELECT user_id, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+       FROM s3 GROUP BY user_id)
+SELECT count(*)::BIGINT AS n_users,
+       count(t1)::BIGINT AS reached_view,
+       count(t2)::BIGINT AS reached_click,
+       count(t3)::BIGINT AS reached_purchase
+FROM pu""",
+        "ev_retention": """WITH d AS (
+  SELECT DISTINCT user_id,
+         (floor(epoch(ts) / 86400) * 86400)::BIGINT AS day,
+         min((floor(epoch(ts) / 86400) * 86400)::BIGINT)
+           OVER (PARTITION BY user_id) AS cohort_day
+  FROM events)
+SELECT cohort_day,
+       ((day - cohort_day) / 86400)::BIGINT AS day_offset,
+       count(*)::BIGINT AS n_users
+FROM d GROUP BY 1, 2""",
         # as-of oracle: the same union+window construction (inclusive
         # as-of, action-before-error at ts ties, event_id total order)
         "ev_asof_join": """WITH t AS (

@@ -90,6 +90,57 @@ def test_decontaminate_matches_brute_force(spark):
     assert sum(1 for v in got.values() if v > 0) >= 5  # signal exists
 
 
+def test_funnel_matches_brute_force(spark):
+    rows = spark.read.parquet(f"{SF}/events.parquet") \
+        .select("user_id", "event_type", "ts").collect()
+    import calendar
+    by_user: dict = {}
+    for r in rows:
+        e = calendar.timegm(r["ts"].timetuple())
+        by_user.setdefault(r["user_id"], []).append((e, r["event_type"]))
+    W = dq.FUNNEL_WINDOW_S
+    n = r1 = r2 = r3 = 0
+    for evs in by_user.values():
+        n += 1
+        t1 = min((e for e, t in evs if t == "view"), default=None)
+        t2 = min((e for e, t in evs if t == "click" and t1 is not None
+                  and t1 < e <= t1 + W), default=None)
+        t3 = min((e for e, t in evs if t == "purchase" and t2 is not None
+                  and t2 < e <= t2 + W), default=None)
+        r1 += t1 is not None
+        r2 += t2 is not None
+        r3 += t3 is not None
+    got = dq.QUERIES["ev_funnel"](spark, SF).collect()[0]
+    assert (got["n_users"], got["reached_view"], got["reached_click"],
+            got["reached_purchase"]) == (n, r1, r2, r3)
+    assert r3 < r2 < n  # the funnel actually narrows
+
+
+def test_funnel_retention_plans_have_no_join(spark):
+    for name in ("ev_funnel", "ev_retention"):
+        plan = _plan(dq.QUERIES[name](spark, SF))
+        assert "Join" not in plan, (name, plan)
+
+
+def test_retention_matches_brute_force(spark):
+    rows = spark.read.parquet(f"{SF}/events.parquet") \
+        .select("user_id", "ts").collect()
+    import calendar
+    days: dict = {}
+    for r in rows:
+        d = calendar.timegm(r["ts"].timetuple()) // 86400 * 86400
+        days.setdefault(r["user_id"], set()).add(d)
+    want: dict = {}
+    for ds in days.values():
+        c = min(ds)
+        for d in ds:
+            key = (c, (d - c) // 86400)
+            want[key] = want.get(key, 0) + 1
+    got = {(r["cohort_day"], r["day_offset"]): r["n_users"]
+           for r in dq.QUERIES["ev_retention"](spark, SF).collect()}
+    assert got == want
+
+
 def test_decontaminate_plan_is_equi_join_only(spark):
     """Containment must go through the gram equi-join — never a
     text-vs-text or nested-loop comparison."""
