@@ -972,6 +972,105 @@ def q_ev_asof_join(spark, sf_dir):
                      - _epoch_naive(F.col("prev_ts"))).alias("gap_s")))
 
 
+TFIDF_TOPK = 3  # keywords kept per document
+
+
+def q_tx_tfidf_topk(spark, sf_dir):
+    """TF-IDF keyword extraction: the top-3 highest-scoring terms per
+    document (smoothed idf ln((N+1)/(df+0.5)), rank window per doc).
+    Reuses the shared analyzed postings/termdict intermediates — at
+    scale the term→df side is the (tiny) termdict, broadcastable, and
+    the rank window partitions by doc_id so per-task state is one
+    document's term list."""
+    from pyspark.sql import Window
+
+    t = _ft(spark, sf_dir)
+    n = float(t["N"])
+    s = (F.col("tf").cast("double")
+         * F.log((F.lit(n) + 1.0) / (F.col("df").cast("double") + 0.5)))
+    scored = (t["postings"].join(F.broadcast(t["termdf"]), on="term")
+              .select("doc_id", "term", s.alias("s")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc(F.round(F.col("s"), 7)), F.asc("term"))
+    return (scored.withColumn("rk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rk") <= TFIDF_TOPK)
+            .select("doc_id", "term", F.round("s", 4).alias("tfidf"), "rk"))
+
+
+PACK_BUDGET = 512   # tokens per training sequence
+PACK_SHARD = 8192   # docs per packing shard (bounds window-task state)
+
+
+def q_pl_pack_sequences(spark, sf_dir):
+    """Token-budget sequence packing (the concat-and-chunk layout LLM
+    training uses): within each (source, shard) the docs are laid out
+    in doc_id order on a token tape and cut every PACK_BUDGET tokens;
+    a doc's sequence is the bin its first token falls in.  Bins never
+    span shards BY DESIGN — that is what makes the op embarrassingly
+    parallel at 100 TB: the only shuffle is one exchange on
+    (source, shard), each window task holds ≤ PACK_SHARD rows, and
+    adding data never re-packs old shards (append-only friendly).
+    Deterministic: no RNG, ordering is (doc_id) within shard."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+    d = d.withColumn("shard", (F.col("doc_id") / PACK_SHARD).cast("long"))
+    w = (Window.partitionBy("source", "shard").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    d = d.withColumn("bin", F.floor(start / PACK_BUDGET)) \
+         .withColumn("seq_off", (start % PACK_BUDGET).cast("long"))
+    seq_id = F.concat_ws("#", "source", F.col("shard").cast("string"),
+                         F.col("bin").cast("string"))
+    return d.select("doc_id", seq_id.alias("seq_id"), "seq_off", "n_tokens")
+
+
+CHUNK_SIZE = 64    # tokens per chunk
+CHUNK_STRIDE = 48  # chunk start spacing (=> 16-token overlap)
+
+
+def q_pl_chunk_docs(spark, sf_dir):
+    """Overlapping fixed-size chunking (RAG / context-window prep):
+    every doc is cut into CHUNK_SIZE-token windows starting every
+    CHUNK_STRIDE tokens, last chunk keeps the tail.  Pure per-doc
+    column math (sequence → slice → posexplode) — no shuffle, no UDF;
+    at 100 TB this is a map-only pass whose output partitioning
+    inherits the input's."""
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
+    n = F.size("w")
+    last_start = F.when(n <= CHUNK_SIZE, F.lit(0)).otherwise(
+        F.floor((n - CHUNK_SIZE + CHUNK_STRIDE - 1) / F.lit(CHUNK_STRIDE)))
+    starts = F.transform(F.sequence(F.lit(0), last_start),
+                         lambda i: i * CHUNK_STRIDE)
+    return (d.select("doc_id", "w",
+                     F.posexplode(starts).alias("chunk_idx", "st"))
+            .select(
+                "doc_id", F.col("chunk_idx").cast("long").alias("chunk_idx"),
+                F.size(F.slice("w", F.col("st") + 1, CHUNK_SIZE)).cast("long")
+                .alias("n_chunk_tokens"),
+                F.concat_ws(
+                    " ", F.slice("w", F.col("st") + 1, CHUNK_SIZE))
+                .alias("chunk_text")))
+
+
+def q_ev_json_props(spark, sf_dir):
+    """JSON property extraction + aggregation: parse the ``props`` JSON
+    column (get_json_object — JVM-side Jackson path, no Python), pull
+    ``$.k`` as a number, and aggregate per event type.  Covers the
+    json-functions surface over semi-structured event payloads; a
+    map + hash-agg plan that is trivially partition-parallel."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("cnt"),
+                 F.round(F.avg("k"), 4).alias("k_avg"),
+                 F.min("k").alias("k_min"),
+                 F.max("k").alias("k_max")))
+
+
 QUERIES = {
     "ft_term_bm25": q_ft_term_bm25,
     "ft_bool_must": q_ft_bool_must,
@@ -1019,6 +1118,10 @@ QUERIES = {
     "ev_asof_join": q_ev_asof_join,
     "tx_repetition": q_tx_repetition,
     "pl_decontaminate": q_pl_decontaminate,
+    "tx_tfidf_topk": q_tx_tfidf_topk,
+    "pl_pack_sequences": q_pl_pack_sequences,
+    "pl_chunk_docs": q_pl_chunk_docs,
+    "ev_json_props": q_ev_json_props,
 }
 
 
@@ -1561,4 +1664,46 @@ SELECT d.doc_id, coalesce(hits.n_shared, 0)::BIGINT AS n_shared,
        coalesce(hits.n_shared, 0) > 0 AS contaminated
 FROM d LEFT JOIN hits ON hits.doc_id = d.doc_id
 WHERE d.doc_id % {DECON_BENCH_MOD} <> 0""",
+        "tx_tfidf_topk": pre + f"""SELECT doc_id, term, round(s, 4) AS tfidf, rk
+FROM (SELECT doc_id, term, s,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY round(s, 7) DESC, term) AS rk
+      FROM (SELECT p.doc_id, p.term,
+                   p.tf * ln((s.n + 1.0) / (t.df + 0.5)) AS s
+            FROM postings p JOIN tdf t USING (term) CROSS JOIN stats s))
+WHERE rk <= {TFIDF_TOPK}""",
+        "pl_pack_sequences": f"""WITH d AS (
+  SELECT doc_id, source,
+         len(string_split(text, ' '))::BIGINT AS n_tokens,
+         (doc_id // {PACK_SHARD})::BIGINT AS shard
+  FROM documents),
+c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS st
+      FROM d)
+SELECT doc_id,
+       source || '#' || shard::VARCHAR
+              || '#' || (st // {PACK_BUDGET})::VARCHAR AS seq_id,
+       (st % {PACK_BUDGET})::BIGINT AS seq_off, n_tokens
+FROM c""",
+        "pl_chunk_docs": f"""WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w, len(string_split(text, ' ')) AS n
+  FROM documents),
+s AS (SELECT doc_id, w, n,
+             list_transform(generate_series(0,
+               CASE WHEN n <= {CHUNK_SIZE} THEN 0
+                    ELSE (n - {CHUNK_SIZE} + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}
+               END), i -> i * {CHUNK_STRIDE}) AS starts
+      FROM d),
+x AS (SELECT doc_id, w, n, unnest(starts) AS st,
+             (generate_subscripts(starts, 1) - 1)::BIGINT AS chunk_idx
+      FROM s)
+SELECT doc_id, chunk_idx,
+       (least(st + {CHUNK_SIZE}, n) - st)::BIGINT AS n_chunk_tokens,
+       array_to_string(w[st + 1 : least(st + {CHUNK_SIZE}, n)], ' ') AS chunk_text
+FROM x""",
+        "ev_json_props": """SELECT event_type, count(*)::BIGINT AS cnt,
+round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS k_avg,
+min(json_extract_string(props, '$.k')::BIGINT) AS k_min,
+max(json_extract_string(props, '$.k')::BIGINT) AS k_max
+FROM events GROUP BY event_type""",
     }

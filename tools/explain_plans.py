@@ -105,7 +105,8 @@ def main() -> None:
     from sonar_tantivy_spark import driver_queries as dq
 
     sf = os.environ.get("SPARK_GRAFT_PLANS_SF", "/root/testdata/sf0.001")
-    for name in ("pl_clean_corpus", "ann_ivf_topk"):
+    for name in ("pl_clean_corpus", "ann_ivf_topk", "pl_pack_sequences",
+                 "pl_chunk_docs", "tx_tfidf_topk"):
         df = dq.QUERIES[name](spark, sf)
         plan = formatted(df)
         sections.append(f"## {name}\n\n```\n{plan}\n```\n")
@@ -120,6 +121,19 @@ def main() -> None:
                            "Join" not in plan and " IN (" in plan))
             checks.append((name, "top-k is TakeOrderedAndProject",
                            "TakeOrderedAndProject" in plan))
+        if name == "pl_pack_sequences":
+            # count numbered operator entries only — 'formatted' prints
+            # each operator in both the tree and the details section
+            n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+            checks.append((name, f"exactly one (source, shard) exchange "
+                                 f"(saw {n_ex})", n_ex == 1))
+            checks.append((name, "no join operator", "Join" not in plan))
+        if name == "pl_chunk_docs":
+            checks.append((name, "map-only: zero exchanges",
+                           "Exchange" not in plan))
+        if name == "tx_tfidf_topk":
+            checks.append((name, "termdict side joins broadcast",
+                           "BroadcastHashJoin" in plan))
 
     lines = ["# PLANS — physical-plan evidence (explain 'formatted')\n",
              f"Index: {turns:,} turns, built as 8 segments, compacted to "
