@@ -196,6 +196,37 @@ class Index:
                 if sort_by else s.top_k_pruned(node, limit=limit))
         return {"docs": s.retrieve(hits), "facets": {}}
 
+    def explain(self, query: str | dict) -> dict:
+        """Operability surface: what WOULD this query do, without running
+        it.  Returns the parsed AST, the exact physical plan Spark would
+        execute for the candidate set (explain 'formatted' — PushedFilters
+        / PartitionFilters visible), and the per-segment score upper
+        bounds the block-max pruner would use, with the segments already
+        provably empty (bound 0.0) called out.  Cost: driver-side stats
+        lookups only (tiny pushdown-filtered termdict scans, memoized per
+        searcher) — the postings are never scanned."""
+        node = (
+            A.parse_string(query, self.schema)
+            if isinstance(query, str)
+            else A.parse_json(query, self.schema)
+        )
+        s = self.searcher()
+        cands = s.candidates(node)
+        plan = self.spark._sc._jvm.PythonSQLUtils.explainString(
+            cands._jdf.queryExecution(), "formatted")
+        bounds = s._segment_bounds(node)
+        out: dict[str, Any] = {
+            "ast": repr(node),
+            "plan": plan,
+            "segments_total": len(s.segments),
+            "boundable": bounds is not None,
+        }
+        if bounds is not None:
+            out["segment_bounds"] = dict(sorted(bounds.items()))
+            out["provably_empty_segments"] = sorted(
+                sid for sid, b in bounds.items() if b == 0.0)
+        return out
+
     def query_df(self, query: str | dict, limit: int = DEFAULT_QUERY_LIMIT) -> DataFrame:
         """DataFrame-returning variant (for pipelines / the driver contract)."""
         node = (

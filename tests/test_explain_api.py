@@ -1,0 +1,34 @@
+"""Index.explain: non-executing query introspection — AST, the exact
+candidate plan (pushdown visible), and the block-max per-segment bounds
+with provably-empty segments called out."""
+
+from tests.conftest import FIXTURE_SCHEMA
+
+
+def test_explain_surfaces_bounds_and_plan(spark, tmp_path):
+    from sonar_tantivy_spark import IndexCatalog
+
+    cat = IndexCatalog(spark, str(tmp_path))
+    idx = cat.create_index("ex", FIXTURE_SCHEMA)
+    idx.add([{"title": "Hello world!", "body": "hi first tell me more"}])
+    idx.add([{"title": "Ola mundo!", "body": "hi second que pasa"}])
+
+    e = idx.explain("first")
+    assert e["segments_total"] == 2 and e["boundable"]
+    assert "TermQ" in e["ast"]
+    assert "PushedFilters" in e["plan"]
+    # 'first' exists only in segment 1: the other is provably empty
+    assert len(e["provably_empty_segments"]) == 1
+    empty = e["provably_empty_segments"][0]
+    assert e["segment_bounds"][empty] == 0.0
+    live = [b for s, b in e["segment_bounds"].items() if s != empty]
+    assert live and live[0] > 0.0
+
+    # structured entry + unboundable shape (fuzzy -> constant bound 1.0)
+    e2 = idx.explain({"fuzzy": {"body": {"value": "frist", "distance": 1,
+                                         "transposition": False}}})
+    assert e2["boundable"] and set(e2["segment_bounds"].values()) == {1.0}
+
+    # the explain must NOT have executed the query: it is driver-side
+    # stats only, so results afterwards still come out correct
+    assert len(idx.query("first")) == 1
