@@ -35,6 +35,37 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".bench_cache")
 
 
+def _cpu_sample() -> tuple[float, ...] | None:
+    """(user, nice, system, idle, iowait, irq, softirq, steal) jiffies
+    from /proc/stat — host-condition telemetry for the bench line."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return tuple(float(x) for x in parts[1:9])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def host_conditions(before, after) -> dict | None:
+    """Steal/system share of total CPU time over the bench run.  This
+    VM's host is intermittently oversubscribed: sustained >16-thread
+    runs have been observed at 15-30%% steal + 25-50%% system time,
+    which degrades wall-clock 3-8x with NO code change.  Recording the
+    condition with each run lets a reader separate host weather from
+    engine regressions (BENCH/BASELINE.md documents the effect)."""
+    if before is None or after is None:
+        return None
+    d = [a - b for a, b in zip(after, before)]
+    total = sum(d)
+    if total <= 0:
+        return None
+    return {
+        "steal_pct": round(100.0 * d[7] / total, 1),
+        "sys_pct": round(100.0 * d[2] / total, 1),
+        "user_pct": round(100.0 * (d[0] + d[1]) / total, 1),
+    }
+
+
 def corpus_parquet(spark, n_turns: int) -> str:
     # v2: + time-banded "trendalpha" bursts (transcripts.py) — the skewed
     # term stats that let block-max segment pruning demonstrate skips
@@ -60,6 +91,8 @@ def main() -> None:
     # memory scales with cluster size, like a real N-executor cluster
     mem_gb = int(os.environ.get("BENCH_MEM_GB", str(max(8, 2 * cpus))))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    cpu_before = _cpu_sample()
 
     from pyspark.sql import SparkSession
 
@@ -224,6 +257,9 @@ def main() -> None:
             "postings_bytes": postings_bytes,
         },
     }
+    host = host_conditions(cpu_before, _cpu_sample())
+    if host is not None:
+        out["host"] = host
     print(json.dumps(out))
     shutil.rmtree(base, ignore_errors=True)
     spark.stop()
