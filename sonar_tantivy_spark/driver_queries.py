@@ -399,6 +399,22 @@ def q_dd_dup_clusters(spark, sf_dir):
                          F.col("cluster").cast("long").alias("cluster"))
 
 
+def q_dd_embed_dup_clusters(spark, sf_dir):
+    """SemDeDup-style embedding duplicate clusters: connected components
+    over the verified cosine near-dup pairs (LSH-bucketed candidates →
+    exact-cosine ≥ 0.45 edges), cluster id = min vec_id.  The same
+    large-star/small-star operator as the text-side dd_dup_clusters —
+    one CC implementation serves both modalities, so their cluster
+    semantics can't drift.  Output: (vec_id, cluster) for every vector
+    in at least one near-dup pair."""
+    from sonar_tantivy_spark.operators.cc import connected_components
+
+    edges = q_dd_embed_cosine_pairs(spark, sf_dir).select("v1", "v2")
+    labels, _rounds = connected_components(edges, "v1", "v2")
+    return labels.select(F.col("node").alias("vec_id"),
+                         F.col("cluster").cast("long").alias("cluster"))
+
+
 def q_dd_simhash(spark, sf_dir):
     """16-bit SimHash over tf-weighted term hashes (md5-derived bits)."""
     p = _ft(spark, sf_dir)["postings"]
@@ -1096,6 +1112,7 @@ QUERIES = {
     "dd_dup_clusters": q_dd_dup_clusters,
     "dd_simhash": q_dd_simhash,
     "dd_embed_cosine_pairs": q_dd_embed_cosine_pairs,
+    "dd_embed_dup_clusters": q_dd_embed_dup_clusters,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_bucket": q_ann_lsh_bucket,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -1527,6 +1544,15 @@ SELECT doc AS doc_id, min(r)::BIGINT AS cluster
 FROM reach GROUP BY doc""").replace("WITH ", "WITH RECURSIVE ", 1),
         "dd_simhash": pre + _simhash_sql(),
         "dd_embed_cosine_pairs": _embed_lsh_pairs_sql(),
+        # min-label transitive closure over the same pair query (nested
+        # WITH inside the recursive CTE is valid DuckDB)
+        "dd_embed_dup_clusters": f"""WITH RECURSIVE jp AS ({_embed_lsh_pairs_sql()}),
+edges AS (SELECT v1 AS d1, v2 AS d2 FROM jp UNION SELECT v2, v1 FROM jp),
+reach(node, r) AS (
+  SELECT d1, d1 FROM edges
+  UNION
+  SELECT e.d2, r.r FROM reach r JOIN edges e ON e.d1 = r.node)
+SELECT node AS vec_id, min(r)::BIGINT AS cluster FROM reach GROUP BY node""",
         "ann_cosine_topk": _ANN_PREFIX + """SELECT vec_id, round(cos, 4) AS cos FROM c
 ORDER BY round(cos, 7) DESC, vec_id LIMIT 5""",
         "ann_lsh_bucket": _ann_lsh_sql(),
