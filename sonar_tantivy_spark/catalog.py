@@ -196,6 +196,27 @@ class Index:
                 if sort_by else s.top_k_pruned(node, limit=limit))
         return {"docs": s.retrieve(hits), "facets": {}}
 
+    def count(self, query: str | dict) -> int:
+        """Total matching-doc count — the tantivy Count-collector analog.
+        Skips scoring entirely: zero-bound segments are dropped
+        driver-side (block-max absence proofs), and the surviving
+        candidate set is counted without the top-k sort or the docs-table
+        retrieval join."""
+        node = (
+            A.parse_string(query, self.schema)
+            if isinstance(query, str)
+            else A.parse_json(query, self.schema)
+        )
+        s = self.searcher()
+        bounds = s._segment_bounds(node)
+        if bounds is not None:
+            live = {sid for sid, b in bounds.items() if b > 0.0}
+            if not live:
+                return 0
+            if len(live) < len(s.segments):
+                s = s._restricted(live)
+        return s.candidates(node).count()
+
     def explain(self, query: str | dict) -> dict:
         """Operability surface: what WOULD this query do, without running
         it.  Returns the parsed AST, the exact physical plan Spark would

@@ -32,3 +32,22 @@ def test_explain_surfaces_bounds_and_plan(spark, tmp_path):
     # the explain must NOT have executed the query: it is driver-side
     # stats only, so results afterwards still come out correct
     assert len(idx.query("first")) == 1
+
+
+def test_count_api(spark, tmp_path):
+    """Index.count — the Count-collector analog: no top-k, no retrieve,
+    zero-df short-circuits driver-side."""
+    from sonar_tantivy_spark import IndexCatalog
+
+    cat = IndexCatalog(spark, str(tmp_path))
+    idx = cat.create_index("cnt", FIXTURE_SCHEMA)
+    idx.add([{"title": "Hello world!", "body": "hi first tell me more"}])
+    idx.add([{"title": "Ola mundo!", "body": "hi second que pasa"}])
+
+    assert idx.count("hi") == 2            # across both segments
+    assert idx.count("first") == 1         # pruned to one segment
+    assert idx.count("zzznotaterm") == 0   # zero-df: no Spark job at all
+    assert idx.count({"bool": {"must": [{"term": {"body": "hi"}}],
+                               "must_not": [{"term": {"body": "second"}}]}}) == 1
+    # counts agree with the scored path's result set size
+    assert idx.count("hi") == len(idx.query("hi", limit=100))
