@@ -23,6 +23,8 @@ def main() -> None:
     turns = int(sys.argv[1]) if len(sys.argv) > 1 else 300000
     batches = int(sys.argv[2]) if len(sys.argv) > 2 else 10
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    from bench import _cpu_sample, host_conditions
+    cpu_before = _cpu_sample()
 
     from pyspark.sql import SparkSession
 
@@ -85,6 +87,9 @@ def main() -> None:
     }
     assert n_indexed == turns, (n_indexed, turns)
     assert hits, "post-stream query must return hits"
+    host = host_conditions(cpu_before, _cpu_sample())
+    if host is not None:  # read walls against host weather (BENCH/BASELINE.md)
+        out["host"] = host
     print(json.dumps(out))
     spark.stop()
     shutil.rmtree(base, ignore_errors=True)

@@ -15,6 +15,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
 n_turns = int(sys.argv[2]) if len(sys.argv) > 2 else 300000
 
+from bench import _cpu_sample, host_conditions  # noqa: E402
+
+_cpu_before = _cpu_sample()
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
@@ -133,6 +137,7 @@ stats = doclens_r.groupBy("segment_id", "field").agg(
 phases["stats_collect"] = round(time.time() - t, 2)
 
 phases["total"] = round(sum(phases.values()), 2)
-print(json.dumps({"cpus": cpus, "turns": n_turns, "n": n, "phases": phases}))
+print(json.dumps({"cpus": cpus, "turns": n_turns, "n": n, "phases": phases,
+                  "host": host_conditions(_cpu_before, _cpu_sample())}))
 shutil.rmtree(base, ignore_errors=True)
 spark.stop()
