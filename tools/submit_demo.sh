@@ -10,7 +10,7 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-INPUT="${1:-.bench_cache/transcripts_300000}"
+INPUT="${1:-.bench_cache/transcripts_v2_300000}"
 INDEX_DIR="${2:-/tmp/sonar_submit_idx}"
 
 python tools/make_pyfiles.py
