@@ -763,7 +763,10 @@ class Searcher:
         if isinstance(node, (A.AllQ, A.FuzzyQ, A.RegexQ)):
             return 1.0  # constant-score; cheap absence proof unavailable
         if isinstance(node, A.BoostQ):
-            if node.boost < 0:
+            if node.boost <= 0:
+                # boost=0 zeroes the SCORE, not the match set: a bound of
+                # 0.0 would read as an absence proof and drop segments
+                # that do contain matches (count() / low-k correctness)
                 return None
             b = self._node_bound(node.child, sid, idfs, mtf)
             return None if b is None else b * node.boost

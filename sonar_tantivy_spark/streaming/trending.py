@@ -78,17 +78,35 @@ def top_terms(counts: DataFrame, k: int = 10) -> DataFrame:
 
 
 def bursting_terms(counts: DataFrame, min_ratio: float = 4.0,
-                   min_cnt: int = 10) -> DataFrame:
+                   min_cnt: int = 10, window: str = "1 hour") -> DataFrame:
     """Burst detection over finalized windows: terms whose count in a
     window exceeds ``min_ratio`` x their trailing per-window mean
-    (previous windows only, expanding frame).  One rank-free pass over
-    the aggregated counts — the ingest-side signal that a term like
-    corpus v2's ``trendalpha`` just went hot."""
+    (previous windows only).  One rank-free pass over the aggregated
+    counts — the ingest-side signal that a term like corpus v2's
+    ``trendalpha`` just went hot.
+
+    The trailing mean is ZERO-FILLED over window gaps: it divides the
+    trailing count sum by the number of windows ELAPSED since the term's
+    first appearance (``window`` must match the duration the counts were
+    aggregated at), not by the number of windows the term happened to
+    appear in.  A sparse mean would inflate baselines for intermittent
+    terms — a term that burst once long ago and bursts identically again
+    would never be flagged; with elapsed-window normalization the quiet
+    gap correctly drags its baseline down.  No gap rows are generated:
+    the fill is pure arithmetic on the existing aggregate."""
+    import pandas as pd
     from pyspark.sql import Window
 
+    win_secs = float(pd.Timedelta(window).total_seconds())
     w = (Window.partitionBy("term").orderBy("window_start")
          .rowsBetween(Window.unboundedPreceding, -1))
-    base = F.avg("cnt").over(w)
+    wall = Window.partitionBy("term").orderBy("window_start")
+    elapsed = (
+        (F.unix_timestamp("window_start")
+         - F.unix_timestamp(F.first("window_start").over(wall)))
+        / F.lit(win_secs)
+    )
+    base = F.sum("cnt").over(w) / elapsed
     return (counts.withColumn("trailing_mean", base)
             .filter(F.col("trailing_mean").isNotNull()
                     & (F.col("cnt") >= min_cnt)

@@ -46,8 +46,14 @@ def test_count_api(spark, tmp_path):
 
     assert idx.count("hi") == 2            # across both segments
     assert idx.count("first") == 1         # pruned to one segment
-    assert idx.count("zzznotaterm") == 0   # zero-df: no Spark job at all
+    # zero-df: no postings scan / no scoring job (the termdict stats
+    # lookup is still a small Spark collect)
+    assert idx.count("zzznotaterm") == 0
     assert idx.count({"bool": {"must": [{"term": {"body": "hi"}}],
                                "must_not": [{"term": {"body": "second"}}]}}) == 1
     # counts agree with the scored path's result set size
     assert idx.count("hi") == len(idx.query("hi", limit=100))
+    # boost=0 zeroes scores but not the match set: count must NOT read
+    # the 0.0 bound as an absence proof and drop live segments
+    assert idx.count("hi^0") == 2
+    assert idx.count("first^0") == 1

@@ -85,3 +85,26 @@ def test_burst_detector_flags_planted_term(spark):
     cold = {r["term"] for r in bursting_terms(counts, min_ratio=4.0,
                                               min_cnt=10).collect()}
     assert "the" not in cold
+
+
+def test_burst_baseline_zero_fills_window_gaps(spark):
+    """A term that burst once, went quiet for 9 windows, then bursts
+    identically again MUST be flagged the second time: the trailing mean
+    divides by windows ELAPSED since first appearance (quiet gaps count
+    as zero), not by the windows the term happened to appear in — a
+    sparse mean would pin the baseline at the old burst height forever."""
+    rows = [(T0 + pd.Timedelta(hours=0, minutes=i), "flashterm seen")
+            for i in range(12)]
+    rows += [(T0 + pd.Timedelta(hours=10, minutes=i), "flashterm again")
+             for i in range(12)]
+    counts = trending_terms_batch(spark.createDataFrame(
+        pd.DataFrame(rows, columns=["ts", "text"])))
+    hot = bursting_terms(counts, min_ratio=4.0, min_cnt=10,
+                         window="1 hour").collect()
+    flagged = {(r["term"], r["window_start"]) for r in hot}
+    # second burst: trailing sum 12 over 10 elapsed windows -> mean 1.2,
+    # ratio 10x.  Sparse mean would have been 12 -> ratio 1.0, missed.
+    assert ("flashterm",
+            (T0 + pd.Timedelta(hours=10)).to_pydatetime()) in flagged
+    # first appearance has no prior window: never flagged as a "burst"
+    assert ("flashterm", T0.to_pydatetime()) not in flagged

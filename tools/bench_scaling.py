@@ -67,12 +67,14 @@ def run(cpus: int, turns: int, build_reps: int) -> dict:
 
 
 def _alu_worker(args):
+    import time
     cpu, n = args
     os.sched_setaffinity(0, {cpu})
+    t = time.time()
     s = 0
     for i in range(n):
         s += i * i
-    return s
+    return time.time() - t
 
 
 def _bw_worker(args):
@@ -99,21 +101,21 @@ def measure_ceilings(n_lo: int, n_hi: int) -> dict:
     BOOT (measured 3.3x on one boot, 1.74x on another), which is why
     the ceiling is re-measured with every run instead of quoted."""
     import multiprocessing as mp
-    import time
     ncpu = mp.cpu_count()
     out = {}
     for name, worker, work in (("alu", _alu_worker, 40_000_000),
                                ("bw", _bw_worker, 60_000_000)):
-        ratios = []
         walls = {}
         for workers in (n_lo, n_hi):
             cpus = list(range(ncpu - workers, ncpu))
-            t = time.time()
             with mp.Pool(workers) as p:
-                p.map(worker, [(c, work) for c in cpus])
-            walls[workers] = time.time() - t
-        ratios = (n_hi / walls[n_hi]) / (n_lo / walls[n_lo])
-        out[name] = round(ratios, 2)
+                elapsed = p.map(worker, [(c, work) for c in cpus])
+            # per-worker internally timed elapsed: array/setup cost (which
+            # is ALU-bound and would blend the bw probe) stays OUTSIDE the
+            # measured window; the slowest worker gates the parallel pass
+            walls[workers] = max(elapsed)
+        ratio = (n_hi / walls[n_hi]) / (n_lo / walls[n_lo])
+        out[name] = round(ratio, 2)
     return out
 
 
