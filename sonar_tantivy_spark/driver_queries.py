@@ -41,6 +41,20 @@ STEM_MAP = {w: stem(w) for w in _DOC_VOCAB if stem(w) != w}
 _CACHE: dict[str, dict] = {}
 
 
+def clear_cache() -> None:
+    """Unpersist and drop every cached full-text intermediate.  A
+    long-lived session that touches many sf_dirs would otherwise grow
+    executor storage without bound (the persisted postings / doclen /
+    termdf per sf_dir are never evicted); the contract runner calls this
+    between sf_dirs."""
+    for key in list(_CACHE):
+        t = _CACHE.pop(key)
+        for name in ("postings", "doclen", "termdf"):
+            df = t.get(name)
+            if df is not None:
+                df.unpersist()
+
+
 # ---------------------------------------------------------------- Spark side
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -299,10 +313,36 @@ def q_dd_exact_fingerprint(spark, sf_dir):
             .filter(F.col("cnt") > 1))
 
 
-def _shingles(spark, sf_dir):
-    """3-gram token shingles per doc (distinct)."""
+def _text_groups(spark, sf_dir):
+    """(doc_id, rep): exact-duplicate groups keyed by md5(text); rep =
+    min doc_id of the group.  The collapse step that removes the
+    hot-bucket quadratic from every pair generator: a crawl-scale corpus
+    contains boilerplate duplicated millions of times, and a band bucket
+    holding k mutually-identical docs would emit k(k-1)/2 pairs.
+    Instead, banding / winnowing / verification run on representatives
+    only, and members re-attach as O(k) star edges (rep, member).
+    Identical text => identical shingles / minhash signatures / winnow
+    minima, so the collapsed edge set connects exactly the same
+    components as all-pairs would (dd_dup_clusters output is unchanged
+    — pinned by tests/test_dedup_collapse.py).  Plan shape: one
+    groupBy(md5) shuffle + one equi-join back on the fingerprint; a
+    1M-member group is a 1M x 1 join, linear."""
+    d = _docs(spark, sf_dir).select("doc_id", F.md5("text").alias("tfp"))
+    reps = d.groupBy("tfp").agg(F.min("doc_id").alias("rep"))
+    return d.join(reps, on="tfp").select("doc_id", "rep")
+
+
+def _shingles(spark, sf_dir, reps=None):
+    """3-gram token shingles per doc (distinct).  With ``reps`` (a
+    (doc_id) DataFrame), only those docs are shingled — the
+    exact-dup-collapse path."""
     docs = _docs(spark, sf_dir)
-    toks = docs.select("doc_id", F.split("text", " ").alias("w"))
+    if reps is not None:
+        docs = docs.join(reps, on="doc_id")
+    # guard: sequence(0, size-3) on a <3-token doc would count DOWN
+    # (Spark's sequence auto-negates the step) and index past the array
+    toks = (docs.select("doc_id", F.split("text", " ").alias("w"))
+            .filter(F.size("w") >= 3))
     sh = toks.select(
         "doc_id",
         F.explode(
@@ -316,13 +356,13 @@ N_MINHASH = 16  # 8 bands x 2 rows
 N_BANDS = 8
 
 
-def _minhash_sigs(spark, sf_dir):
+def _minhash_sigs(spark, sf_dir, reps=None):
     """(doc_id, band, bsig): 16 MinHash values (min over shingles of
     md5(shingle||'|'||h)) grouped into 8 bands of 2 rows; a band's
     signature is the concat of its two minima.  Banding theory: a pair
     with Jaccard J collides in a band w.p. J^2, in >=1 of 8 bands w.p.
     1-(1-J^2)^8 (~0.90 at J=0.5, 1.0 for exact dups)."""
-    sh = _shingles(spark, sf_dir)
+    sh = _shingles(spark, sf_dir, reps)
     # hash fan-out as a literal-array explode: pure projection, no join
     hs = F.explode(F.array(*[F.lit(i) for i in range(N_MINHASH)])).alias("h")
     mh = (
@@ -340,29 +380,56 @@ def _minhash_sigs(spark, sf_dir):
     )
 
 
-def q_dd_minhash_bands(spark, sf_dir):
-    """MinHash+LSH candidate pairs: docs sharing a band signature, with
-    the number of agreeing bands.  Bucket-join on (band, bsig) — never an
-    all-pairs comparison."""
-    sig = _minhash_sigs(spark, sf_dir)
+def _collapsed_band_pairs(spark, sf_dir):
+    """Shared collapse-then-band plan: returns (rep_pairs, stars, reps)
+    where rep_pairs = (d1, d2, n_bands) between exact-dup
+    REPRESENTATIVES sharing a band signature, and stars = (d1=rep,
+    d2=member) edges for every non-representative member whose group
+    produced a band signature (i.e. has >= 1 shingle) — exactly the
+    groups whose members the old all-pairs plan would have paired.
+    rep < member always (rep = group min), so d1 < d2 holds."""
+    g = _text_groups(spark, sf_dir)
+    reps = g.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+    sig = _minhash_sigs(spark, sf_dir, reps)
     a, b = sig.alias("a"), sig.alias("b")
-    return (
+    rep_pairs = (
         a.join(b, on=[F.col("a.band") == F.col("b.band"),
                       F.col("a.bsig") == F.col("b.bsig"),
                       F.col("a.doc_id") < F.col("b.doc_id")])
         .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .agg(F.count("*").cast("long").alias("n_bands"))
     )
+    sig_docs = sig.select("doc_id").distinct().withColumnRenamed("doc_id", "rep")
+    stars = (g.filter(F.col("doc_id") != F.col("rep"))
+             .join(sig_docs, on="rep")
+             .select(F.col("rep").alias("d1"), F.col("doc_id").alias("d2")))
+    return rep_pairs, stars, reps
+
+
+def q_dd_minhash_bands(spark, sf_dir):
+    """MinHash+LSH candidate pairs with EXACT-DUP COLLAPSE: banding runs
+    on one representative per identical-text group; members re-attach as
+    star edges (rep, member, n_bands=8 — exact dups collide in every
+    band).  A bucket of k identical docs therefore emits k-1 edges, not
+    k(k-1)/2 — the 100 TB boilerplate case.  Bucket-join on (band,
+    bsig) between representatives — never an all-pairs comparison."""
+    rep_pairs, stars, _ = _collapsed_band_pairs(spark, sf_dir)
+    return rep_pairs.unionByName(
+        stars.withColumn("n_bands", F.lit(N_BANDS).cast("long")))
 
 
 def q_dd_jaccard_pairs(spark, sf_dir):
-    """Exact n-gram Jaccard verification, CANDIDATE-BOUNDED: only pairs
-    surfaced by the MinHash bands are verified (never the all-pairs
-    shingle self-join — at 100 TB that is O(sum df^2) on hot shingles).
-    Exact duplicates collide in every band, so J=1 pairs are never lost;
-    J>=0.5 pairs surface w.p. ~0.90 per the banding curve."""
-    cand = q_dd_minhash_bands(spark, sf_dir).select("d1", "d2")
-    sh = _shingles(spark, sf_dir)
+    """Exact n-gram Jaccard verification, CANDIDATE-BOUNDED and
+    exact-dup-collapsed: only representative pairs surfaced by the
+    MinHash bands are verified (never the all-pairs shingle self-join —
+    at 100 TB that is O(sum df^2) on hot shingles); star edges join the
+    output with jaccard = 1.0 by construction (identical text =>
+    identical shingle sets).  Exact duplicates collide in every band, so
+    J=1 pairs are never lost; J>=0.5 pairs surface w.p. ~0.90 per the
+    banding curve."""
+    rep_pairs, stars, reps = _collapsed_band_pairs(spark, sf_dir)
+    cand = rep_pairs.select("d1", "d2")
+    sh = _shingles(spark, sf_dir, reps)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("doc_id").alias("d1"), "shingle")
     b = sh.select(F.col("doc_id").alias("d2"), "shingle")
@@ -370,7 +437,7 @@ def q_dd_jaccard_pairs(spark, sf_dir):
         cand.join(a, on="d1").join(b, on=["d2", "shingle"])
         .groupBy("d1", "d2").agg(F.count("*").alias("i"))
     )
-    return (
+    verified = (
         inter.join(sizes.withColumnRenamed("doc_id", "d1")
                    .withColumnRenamed("sz", "sza"), on="d1")
         .join(sizes.withColumnRenamed("doc_id", "d2")
@@ -380,6 +447,7 @@ def q_dd_jaccard_pairs(spark, sf_dir):
         .filter(F.col("jaccard") >= 0.5)
         .select("d1", "d2", "jaccard")
     )
+    return verified.unionByName(stars.withColumn("jaccard", F.lit(1.0)))
 
 
 def q_dd_dup_clusters(spark, sf_dir):
@@ -489,14 +557,32 @@ N_LSH_TABLES = 8
 N_LSH_PLANES = 3  # per table; planes = vectors 1..24 (deterministic)
 
 
+def _vec_groups(spark, sf_dir):
+    """(vec_id, rep): exact-duplicate vector groups (grouped by the
+    embedding value itself — float equality on both engines); rep = min
+    vec_id.  Same collapse as _text_groups: mass-duplicated documents
+    carry identical embeddings, and an LSH bucket of k identical vectors
+    would emit k(k-1)/2 pairs.  At-scale swap: group by a binary hash of
+    the vector instead of the raw array to shrink the shuffle key."""
+    e = _emb(spark, sf_dir)
+    reps = e.groupBy("embedding").agg(F.min("vec_id").alias("rep"))
+    return e.join(reps, on="embedding").select("vec_id", "rep")
+
+
 def q_dd_embed_cosine_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, LSH-BUCKETED: pair only vectors
-    sharing a hyperplane-sign bucket in >=1 of 8 tables (3 planes each),
-    then verify with exact cosine >= 0.45.  Every join is an equi-join on
-    a bucket signature — never the all-pairs cross join, which is the
+    """Embedding-cosine near-dup pairs, LSH-BUCKETED and EXACT-DUP
+    COLLAPSED: only one representative per identical-vector group enters
+    the tables; members re-attach as star edges (rep, member, cos=1.0 by
+    construction), gated on the rep having a positive norm (a zero
+    vector has undefined cosine and never pairs — matches the all-pairs
+    behaviour).  Representatives pair only when sharing a
+    hyperplane-sign bucket in >=1 of 8 tables (3 planes each), then
+    verify with exact cosine >= 0.45.  Every join is an equi-join on a
+    bucket signature — never the all-pairs cross join, which is the
     100 TB killer.  At this corpus's threshold the 8x3 config surfaces
     every brute-force pair (recall measured 14/14 at sf0.01)."""
     emb = _emb(spark, sf_dir)
+    g = _vec_groups(spark, sf_dir)
     planes = {r["vec_id"]: r["embedding"] for r in
               emb.filter(F.col("vec_id").between(1, N_LSH_TABLES * N_LSH_PLANES))
               .collect()}
@@ -504,7 +590,18 @@ def q_dd_embed_cosine_pairs(spark, sf_dir):
     nrm = F.sqrt(F.aggregate(
         F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, x: acc + x))
-    e = emb.select("vec_id", v.alias("v"), nrm.alias("nrm"), "embedding")
+    rep_ids = g.filter(F.col("vec_id") == F.col("rep")).select("vec_id")
+    # zero-norm vectors have undefined cosine and can never reach the
+    # >= 0.45 filter; dropping them here avoids an ANSI divide-by-zero
+    e = (emb.join(rep_ids, on="vec_id")
+         .select("vec_id", v.alias("v"), nrm.alias("nrm"), "embedding")
+         .filter(F.col("nrm") > 0))
+    stars = (g.filter(F.col("vec_id") != F.col("rep"))
+             .join(emb.select(F.col("vec_id").alias("rep"), nrm.alias("rnrm")),
+                   on="rep")
+             .filter(F.col("rnrm") > 0)
+             .select(F.col("rep").alias("v1"), F.col("vec_id").alias("v2"),
+                     F.lit(1.0).alias("cos")))
     for t in range(N_LSH_TABLES):
         bits = [
             F.when(_dot_lit(F.col("embedding"),
@@ -530,8 +627,9 @@ def q_dd_embed_cosine_pairs(spark, sf_dir):
                       F.lit(0.0), lambda acc, x: acc + x)
     pairs = (cand.join(ea, on="v1").join(eb, on="v2")
              .select("v1", "v2", (dot / (F.col("na") * F.col("nb"))).alias("cos")))
-    return (pairs.filter(F.round("cos", 4) >= 0.45)
-            .select("v1", "v2", F.round("cos", 4).alias("cos")))
+    verified = (pairs.filter(F.round("cos", 4) >= 0.45)
+                .select("v1", "v2", F.round("cos", 4).alias("cos")))
+    return verified.unionByName(stars)
 
 
 # text analysis --------------------------------------------------------------
@@ -760,14 +858,19 @@ WINNOW_K = 4  # token-gram width of the rolling hash
 WINNOW_W = 5  # winnowing window (consecutive k-gram hashes)
 
 
-def _winnow_minima(spark, sf_dir):
+def _winnow_minima(spark, sf_dir, reps=None):
     """(doc_id, mh): the distinct selected window-min hashes per doc —
     the winnowing fingerprint SET (shared by tx_winnow_fingerprint and
     dd_winnow_pairs).  Docs shorter than k+w-1 tokens yield no windows
-    and drop out (oracle agrees)."""
+    and drop out (oracle agrees).  With ``reps`` only those docs are
+    fingerprinted (the exact-dup-collapse path of dd_winnow_pairs;
+    tx_winnow_fingerprint keeps the full corpus)."""
     from pyspark.sql import Window
 
-    d = (_docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
+    if reps is not None:
+        docs = docs.join(reps, on="doc_id")
+    d = (docs
          .select("doc_id", F.split("text", " ").alias("w"))
          .filter(F.size("w") >= WINNOW_K))
     grams = F.expr(
@@ -808,15 +911,31 @@ def q_dd_winnow_pairs(spark, sf_dir):
     substring of >= w+k-1 tokens forces one, so long-overlap pairs are
     never missed.  Plan: equi-join on the hash (window minima are
     near-unique, so no hot-key blowup), count per pair — candidate-
-    bounded like the MinHash path, never an all-pairs join."""
-    sel = _winnow_minima(spark, sf_dir)
+    bounded like the MinHash path, never an all-pairs join.
+    EXACT-DUP COLLAPSED: identical texts have identical winnow-minima
+    sets, so only one representative per md5(text) group enters the
+    hash join; members re-attach as star edges (rep, member) with
+    n_shared = the group's full fingerprint count (every selected hash
+    is shared), gated on n_shared >= 3 like any other pair — a k-member
+    boilerplate group emits k-1 edges instead of k(k-1)/2."""
+    g = _text_groups(spark, sf_dir)
+    reps = g.filter(F.col("doc_id") == F.col("rep")).select("doc_id")
+    sel = _winnow_minima(spark, sf_dir, reps)
     a = sel.select(F.col("doc_id").alias("d1"), "mh")
     b = sel.select(F.col("doc_id").alias("d2"), "mh")
-    return (a.join(b, on="mh")
-            .filter(F.col("d1") < F.col("d2"))
-            .groupBy("d1", "d2")
-            .agg(F.count("*").cast("long").alias("n_shared"))
-            .filter(F.col("n_shared") >= WINNOW_MIN_SHARED))
+    rep_pairs = (a.join(b, on="mh")
+                 .filter(F.col("d1") < F.col("d2"))
+                 .groupBy("d1", "d2")
+                 .agg(F.count("*").cast("long").alias("n_shared"))
+                 .filter(F.col("n_shared") >= WINNOW_MIN_SHARED))
+    nfp = (sel.groupBy("doc_id").agg(F.count("*").cast("long").alias("n_shared"))
+           .withColumnRenamed("doc_id", "rep"))
+    stars = (g.filter(F.col("doc_id") != F.col("rep"))
+             .join(nfp, on="rep")
+             .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+             .select(F.col("rep").alias("d1"), F.col("doc_id").alias("d2"),
+                     "n_shared"))
+    return rep_pairs.unionByName(stars)
 
 
 # multimodal plumbing ---------------------------------------------------------
@@ -1222,23 +1341,35 @@ sh AS (SELECT DISTINCT t1.doc_id, t1.raw || ' ' || t2.raw || ' ' || t3.raw AS sh
 
 
 # MinHash band signatures (16 hashes → 8 bands × 2 rows), shared by the
-# dd_minhash_bands and dd_jaccard_pairs oracles — identical math to the
-# Spark side (md5 over 'shingle|h').
-_MINHASH_SIG_SQL = f""", mh AS (
+# dd_minhash_bands / dd_jaccard_pairs / dd_dup_clusters oracles —
+# identical math to the Spark side (md5 over 'shingle|h'), with the same
+# exact-dup collapse: signatures for representatives (min doc_id per
+# md5(text) group) only; members re-attach as ``stars`` edges gated on
+# the rep having produced a signature (>= 1 shingle).
+_MINHASH_SIG_SQL = f""", grp AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+  FROM documents),
+mh AS (
   SELECT doc_id, h, min(md5(shingle || '|' || h::VARCHAR)) AS mh
   FROM sh CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS h)
+  WHERE doc_id IN (SELECT doc_id FROM grp WHERE doc_id = rep)
   GROUP BY doc_id, h),
 msig AS (
   SELECT doc_id, (h // 2)::INT AS band,
          min(CASE WHEN h % 2 = 0 THEN mh END)
            || min(CASE WHEN h % 2 = 1 THEN mh END) AS bsig
-  FROM mh GROUP BY doc_id, h // 2)"""
+  FROM mh GROUP BY doc_id, h // 2),
+stars AS (
+  SELECT rep AS d1, doc_id AS d2 FROM grp
+  WHERE doc_id <> rep AND rep IN (SELECT DISTINCT doc_id FROM msig))"""
 
 
 def _embed_lsh_pairs_sql() -> str:
     """LSH-bucketed embed-cosine pairs oracle: 8 tables x 3 planes
-    (planes = vectors 1..24), union of same-bucket pairs, exact-cosine
-    verification — mirrors q_dd_embed_cosine_pairs."""
+    (planes = vectors 1..24), union of same-bucket REPRESENTATIVE pairs
+    (exact-dup collapse: rep = min vec_id per identical embedding),
+    exact-cosine verification, plus (rep, member, 1.0) star edges gated
+    on positive rep norm — mirrors q_dd_embed_cosine_pairs."""
     sig_cols = []
     for t in range(N_LSH_TABLES):
         bits = " || ".join(
@@ -1250,18 +1381,26 @@ def _embed_lsh_pairs_sql() -> str:
         f"SELECT a.vec_id AS v1, b.vec_id AS v2 FROM sig a "
         f"JOIN sig b ON a.b{t} = b.b{t} AND a.vec_id < b.vec_id"
         for t in range(N_LSH_TABLES))
-    return f"""WITH e AS (
-  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    return f"""WITH e0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+         min(vec_id) OVER (PARTITION BY embedding) AS rep
   FROM embeddings),
-pl AS (SELECT vec_id, v FROM e
+pl AS (SELECT vec_id, v FROM e0
        WHERE vec_id BETWEEN 1 AND {N_LSH_TABLES * N_LSH_PLANES}),
+e AS (SELECT vec_id, v FROM e0 WHERE vec_id = rep),
+vstars AS (SELECT rep AS v1, vec_id AS v2 FROM e0
+           WHERE vec_id <> rep
+             AND rep IN (SELECT vec_id FROM e WHERE list_dot_product(v, v) > 0)),
 sig AS (SELECT e.vec_id, {', '.join(sig_cols)} FROM e),
 cand AS ({unions}),
 pairs AS (SELECT c.v1, c.v2,
   list_dot_product(a.v, b.v)
     / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
   FROM cand c JOIN e a ON a.vec_id = c.v1 JOIN e b ON b.vec_id = c.v2)
-SELECT v1, v2, round(cos, 4) AS cos FROM pairs WHERE round(cos, 4) >= 0.45"""
+SELECT v1, v2, cos FROM (
+  SELECT v1, v2, round(cos, 4) AS cos FROM pairs WHERE round(cos, 4) >= 0.45
+  UNION ALL
+  SELECT v1, v2, 1.0 AS cos FROM vstars)"""
 
 
 def _simhash_sql() -> str:
@@ -1287,17 +1426,26 @@ c AS (SELECT e.vec_id,
 """
 
 
-def _winnow_sel_sql() -> str:
+def _winnow_sel_sql(collapse: bool = False) -> str:
     """Shared winnowing CTEs ending in ``sel(doc_id, mh)`` — the
-    selected window-min hash set, mirroring _winnow_minima."""
+    selected window-min hash set, mirroring _winnow_minima.  With
+    ``collapse`` only exact-dup representatives (min doc_id per
+    md5(text)) are fingerprinted and a ``grp`` CTE is exposed for star
+    edges — the dd_winnow_pairs path."""
     k, w = WINNOW_K, WINNOW_W
     joins = "\n       ".join(
         f"JOIN toks t{i} ON t1.doc_id = t{i}.doc_id AND t{i}.pos = t1.pos + {i - 1}"
         for i in range(2, k + 1))
     gram = " || ' ' || ".join(f"t{i}.raw" for i in range(1, k + 1))
-    return f"""WITH splitted AS (
+    grp = """grp AS (
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+  FROM documents),
+""" if collapse else ""
+    rep_filter = ("\n    AND doc_id IN (SELECT doc_id FROM grp WHERE doc_id = rep)"
+                  if collapse else "")
+    return f"""WITH {grp}splitted AS (
   SELECT doc_id, string_split(text, ' ') AS arr FROM documents
-  WHERE len(string_split(text, ' ')) >= {k}),
+  WHERE len(string_split(text, ' ')) >= {k}{rep_filter}),
 toks AS (SELECT doc_id, unnest(arr) AS raw,
                 generate_subscripts(arr, 1) - 1 AS pos FROM splitted),
 sh AS (SELECT t1.doc_id, t1.pos, md5({gram}) AS h
@@ -1320,12 +1468,19 @@ FROM sel GROUP BY doc_id"""
 
 
 def _winnow_pairs_sql() -> str:
-    """dd_winnow_pairs oracle: pairs sharing >= WINNOW_MIN_SHARED
-    selected hashes."""
-    return _winnow_sel_sql() + f"""SELECT a.doc_id AS d1, b.doc_id AS d2,
-       count(*)::BIGINT AS n_shared
-FROM sel a JOIN sel b ON a.mh = b.mh AND a.doc_id < b.doc_id
-GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}"""
+    """dd_winnow_pairs oracle: representative pairs sharing >=
+    WINNOW_MIN_SHARED selected hashes, plus exact-dup star edges
+    (rep, member, n_fp of the group) under the same >= threshold."""
+    return _winnow_sel_sql(collapse=True) + f""", nfp AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM sel GROUP BY doc_id)
+SELECT d1, d2, n_shared FROM (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS n_shared
+  FROM sel a JOIN sel b ON a.mh = b.mh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+  UNION ALL
+  SELECT g.rep AS d1, g.doc_id AS d2, f.n AS n_shared
+  FROM grp g JOIN nfp f ON f.doc_id = g.rep
+  WHERE g.doc_id <> g.rep AND f.n >= {WINNOW_MIN_SHARED})"""
 
 
 def _ann_ivf_sql() -> str:
@@ -1501,11 +1656,14 @@ GROUP BY 1""",
   SELECT doc_id, md5(string_agg(term, ',' ORDER BY term)) AS fingerprint
   FROM postings GROUP BY doc_id)
 GROUP BY fingerprint HAVING count(*) > 1""",
-        "dd_minhash_bands": pre + _MINHASH_SIG_SQL + """
-SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS n_bands
-FROM msig a JOIN msig b
-  ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
-GROUP BY a.doc_id, b.doc_id""",
+        "dd_minhash_bands": pre + _MINHASH_SIG_SQL + f"""
+SELECT d1, d2, n_bands FROM (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS n_bands
+  FROM msig a JOIN msig b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  UNION ALL
+  SELECT d1, d2, {N_BANDS}::BIGINT AS n_bands FROM stars)""",
         "dd_jaccard_pairs": pre + _MINHASH_SIG_SQL + """,
 cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
           FROM msig a JOIN msig b
@@ -1516,9 +1674,12 @@ inter AS (SELECT c.d1, c.d2, count(*) AS i
           JOIN sh a ON a.doc_id = c.d1
           JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
           GROUP BY c.d1, c.d2)
-SELECT d1, d2, round(i / (sa.sz + sb.sz - i), 4) AS jaccard
-FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
-WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5""",
+SELECT d1, d2, jaccard FROM (
+  SELECT d1, d2, round(i / (sa.sz + sb.sz - i), 4) AS jaccard
+  FROM inter JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+  WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5
+  UNION ALL
+  SELECT d1, d2, 1.0 AS jaccard FROM stars)""",
         # recursive CTE = the oracle for the iterative min-label CC;
         # WITH -> WITH RECURSIVE on the shared prefix
         "dd_dup_clusters": (pre + _MINHASH_SIG_SQL + """,
@@ -1534,7 +1695,8 @@ inter AS (SELECT c.d1, c.d2, count(*) AS i
 jp AS (SELECT d1, d2
        FROM inter JOIN sizes sa ON sa.doc_id = d1
                   JOIN sizes sb ON sb.doc_id = d2
-       WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5),
+       WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5
+       UNION ALL SELECT d1, d2 FROM stars),
 edges AS (SELECT d1, d2 FROM jp UNION SELECT d2 AS d1, d1 AS d2 FROM jp),
 reach(doc, r) AS (
   SELECT d1, d1 FROM edges

@@ -101,6 +101,8 @@ def main():
         else:
             n_fail += 1
     print(f"\n{n_pass} pass, {n_fail} fail")
+    from sonar_tantivy_spark import driver_queries
+    driver_queries.clear_cache()
     spark.stop()
     sys.exit(1 if n_fail else 0)
 
