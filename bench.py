@@ -13,7 +13,11 @@ Env:
 
 The corpus is the deterministic transcript table (FIXTURES.md §B, seed
 42), cached as parquet under .bench_cache/ so repeated runs measure the
-engine, not the generator.  The two-cluster-size scaling evidence
+engine, not the generator.  Runs are WEATHER-GATED: an attempt recorded
+while the host is oversubscribed (sys%% / steal%% over the
+BENCH_MAX_SYS_PCT / BENCH_MAX_STEAL_PCT thresholds) is retried up to
+BENCH_ATTEMPTS times; the final attempt is stamped "degraded": true so
+the round artifact can never silently be a weather measurement.  The two-cluster-size scaling evidence
 (north_rule) is produced by tools/bench_scaling.py, which runs THIS
 build at two parallelism levels in separate processes and writes
 BENCH/BASELINE.md.
@@ -79,7 +83,46 @@ def corpus_parquet(spark, n_turns: int) -> str:
     return path
 
 
+# Weather gate: a bench line recorded during host oversubscription is
+# noise, not a measurement (r3's round artifact was ~2-3x inflated at
+# sys=24.2%).  An attempt whose host telemetry exceeds these shares is
+# retried; the final attempt is stamped "degraded": true so no reader
+# mistakes weather for a regression.
+MAX_SYS_PCT = float(os.environ.get("BENCH_MAX_SYS_PCT", "10"))
+MAX_STEAL_PCT = float(os.environ.get("BENCH_MAX_STEAL_PCT", "5"))
+MAX_ATTEMPTS = int(os.environ.get("BENCH_ATTEMPTS", "3"))
+RETRY_WAIT_S = float(os.environ.get("BENCH_RETRY_WAIT", "60"))
+
+
+def _weather_ok(host: dict | None) -> bool:
+    if host is None:
+        return True  # no telemetry — cannot gate
+    return (host.get("sys_pct", 0.0) <= MAX_SYS_PCT
+            and host.get("steal_pct", 0.0) <= MAX_STEAL_PCT)
+
+
 def main() -> None:
+    for attempt in range(1, MAX_ATTEMPTS + 1):
+        out = run_attempt()
+        host = out.get("host")
+        if _weather_ok(host):
+            break
+        if attempt < MAX_ATTEMPTS:
+            print(f"[bench] attempt {attempt}: degraded host window "
+                  f"{host} — retrying in {RETRY_WAIT_S:.0f}s",
+                  file=sys.stderr)
+            time.sleep(RETRY_WAIT_S)
+        else:
+            out["degraded"] = True
+            out["degraded_reason"] = (
+                f"host exceeded sys<={MAX_SYS_PCT}% / steal<={MAX_STEAL_PCT}% "
+                f"on all {MAX_ATTEMPTS} attempts; wall-times are weather-"
+                f"inflated (BENCH/BASELINE.md 'Host weather')")
+    out["attempt"] = attempt
+    print(json.dumps(out))
+
+
+def run_attempt() -> dict:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     n_turns = int(os.environ.get("BENCH_TURNS", "300000"))
@@ -260,9 +303,9 @@ def main() -> None:
     host = host_conditions(cpu_before, _cpu_sample())
     if host is not None:
         out["host"] = host
-    print(json.dumps(out))
     shutil.rmtree(base, ignore_errors=True)
     spark.stop()
+    return out
 
 
 if __name__ == "__main__":
