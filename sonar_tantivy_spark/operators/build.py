@@ -68,6 +68,54 @@ _PERDOC_TYPE = T.StructType(
 )
 
 
+BLOCK_DOCS = 4096  # docids per block-max block (see block_docs())
+
+
+def block_docs() -> int:
+    """Docids per block-max block.  tantivy keeps one max-tf per posting
+    BLOCK (128 docs); the Spark analog keeps one per docid range so the
+    query planner can skip ranges of a big compacted segment that
+    provably cannot reach the top-k cutoff — the within-segment
+    granularity segment-level bounds lose at scale (few huge segments
+    after compaction).  Env STSPARK_BLOCK_DOCS overrides (tests use
+    small blocks on tiny corpora)."""
+    import os
+
+    try:
+        return max(1, int(os.environ.get("STSPARK_BLOCK_DOCS", BLOCK_DOCS)))
+    except ValueError:
+        return BLOCK_DOCS
+
+
+def termdict_from_postings(postings_df: DataFrame) -> DataFrame:
+    """Aggregate the termdict — df / max_tf / total_tf plus the
+    per-block max-tf map (blk = docid // block_docs()) — from a postings
+    DataFrame.  Shared by the build pipeline and both merge paths so
+    compacted segments carry the same block-max metadata as fresh ones.
+    Two-level aggregation: the per-block partial combines map-side, the
+    second level folds blocks into one map row per (segment, field,
+    term)."""
+    bd = block_docs()
+    tf1 = F.coalesce(F.col("tf"), F.lit(1))
+    b1 = (
+        postings_df
+        .withColumn("blk", (F.col("docid") / F.lit(bd)).cast("int"))
+        .groupBy("segment_id", "field", "term", "blk")
+        .agg(F.count("*").cast("long").alias("df_b"),
+             F.max(tf1).alias("mtf_b"),
+             F.sum(tf1).cast("long").alias("ttf_b"))
+    )
+    return (
+        b1.groupBy("segment_id", "field", "term")
+        .agg(F.sum("df_b").cast("long").alias("df"),
+             F.max("mtf_b").alias("max_tf"),
+             F.sum("ttf_b").cast("long").alias("total_tf"),
+             F.map_from_entries(
+                 F.sort_array(F.collect_list(F.struct("blk", "mtf_b"))))
+             .alias("block_mtf"))
+    )
+
+
 def make_tokenize_udf(tokenizer: str):
     """Arrow-vectorized analyzer: string column → struct(terms, poss)."""
 
@@ -420,11 +468,7 @@ def build_segments(
             doclens.sortWithinPartitions("segment_id", "field", "docid"),
             epoch, "doclens",
         )
-        termdict = postings_r.groupBy("segment_id", "field", "term").agg(
-            F.count("*").cast("long").alias("df"),
-            F.max(F.coalesce(F.col("tf"), F.lit(1))).alias("max_tf"),
-            F.sum(F.coalesce(F.col("tf"), F.lit(1))).cast("long").alias("total_tf"),
-        )
+        termdict = termdict_from_postings(postings_r)
         storage.write_table(
             termdict.sortWithinPartitions("segment_id", "field", "term"),
             epoch, "termdict",
@@ -505,7 +549,8 @@ def build_segments(
             tables = {t: storage.segment_dir(epoch, t, sid)
                       for t in ("docs", "postings", "doclens", "termdict")}
         meta = {"segment_id": sid, "max_doc": max_doc,
-                "field_stats": field_stats, "tables": tables, "epoch": epoch}
+                "field_stats": field_stats, "tables": tables, "epoch": epoch,
+                "block_docs": block_docs()}
         if tsbucket_fmt is not None:
             meta["tsbucket_fmt"] = tsbucket_fmt
         metas.append(meta)

@@ -72,6 +72,7 @@ def connected_components(edges: DataFrame, src: str = "a",
     tests/test_cc.py."""
     cur = _canon(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
     cur = cur.localCheckpoint(eager=True)
+    cur_n = cur.count()
     rounds = 0
     while True:
         if rounds >= MAX_ROUNDS:
@@ -84,9 +85,18 @@ def connected_components(edges: DataFrame, src: str = "a",
         nxt = _small_star(_large_star(cur))
         nxt = nxt.localCheckpoint(eager=True)
         rounds += 1
-        # exact convergence: consecutive canonical star sets identical
-        diff = (cur.exceptAll(nxt).unionByName(nxt.exceptAll(cur))).count()
-        prev, cur = cur, nxt
+        # exact convergence: consecutive canonical star sets identical.
+        # Cheap guard first (VERDICT r3): on non-final rounds the edge
+        # counts almost always differ, and a count() over a checkpointed
+        # set is a fraction of the two exceptAll shuffles — only run the
+        # symmetric difference when the counts tie (count equality alone
+        # is NOT identity, so the exact check still decides).
+        diff = 1
+        nxt_n = nxt.count()
+        if cur_n == nxt_n:
+            diff = (cur.exceptAll(nxt)
+                    .unionByName(nxt.exceptAll(cur))).count()
+        prev, cur, cur_n = cur, nxt, nxt_n
         prev.unpersist()
         if diff == 0:
             break

@@ -100,14 +100,16 @@ def compact_to(index, target_segments: int = 1) -> list[dict]:
         rebased("doclens").sortWithinPartitions("segment_id", "field", "docid"),
         epoch, "doclens",
     )
-    td = storage.load_table(spark, "termdict", segs)
-    merged_td = (
-        td.withColumn("segment_id", new_sid_col)
-        .groupBy("segment_id", "field", "term")
-        .agg(F.sum("df").cast("long").alias("df"),
-             F.max("max_tf").alias("max_tf"),
-             F.sum("total_tf").cast("long").alias("total_tf"))
-    )
+    # termdict re-aggregates from the WRITTEN merged postings (not the
+    # old termdicts): docids were rebased, so the per-block max-tf maps
+    # must be rebuilt on the new docid space — one columnar aggregate
+    # over (segment_id, field, term, docid, tf), the same cost class as
+    # the build's own termdict job.
+    from sonar_tantivy_spark.operators.build import (block_docs,
+                                                     termdict_from_postings)
+
+    merged_td = termdict_from_postings(
+        storage.read_epoch_table(spark, epoch, "postings"))
     storage.write_table(
         merged_td.repartitionByRange(
             max(1, spark.sparkContext.defaultParallelism),
@@ -126,6 +128,7 @@ def compact_to(index, target_segments: int = 1) -> list[dict]:
                        for t in ("docs", "postings", "doclens", "termdict")}
             if hasattr(storage, "segment_dir") else {},
             "epoch": epoch,
+            "block_docs": block_docs(),
         }
         fmts = {s.get("tsbucket_fmt") for s in chunk}
         if len(fmts) == 1 and None not in fmts:
@@ -309,15 +312,13 @@ def compact(index, segment_ids: list[str] | None = None) -> dict:
     storage.write_table(
         rebased("doclens").sortWithinPartitions("field", "docid"), epoch, "doclens"
     )
-    # termdict re-aggregates across the merged segments (sort-merge on term)
-    td = storage.load_table(spark, "termdict", run)
-    merged_td = (
-        td.groupBy("field", "term")
-        .agg(F.sum("df").cast("long").alias("df"),
-             F.max("max_tf").alias("max_tf"),
-             F.sum("total_tf").cast("long").alias("total_tf"))
-        .withColumn("segment_id", F.lit(new_sid))
-    )
+    # termdict re-aggregates from the WRITTEN merged postings so the
+    # per-block max-tf maps are rebuilt on the rebased docid space
+    from sonar_tantivy_spark.operators.build import (block_docs,
+                                                     termdict_from_postings)
+
+    merged_td = termdict_from_postings(
+        storage.read_epoch_table(spark, epoch, "postings"))
     storage.write_table(
         merged_td.repartitionByRange(
             max(1, spark.sparkContext.defaultParallelism), "field", "term"
@@ -332,7 +333,8 @@ def compact(index, segment_ids: list[str] | None = None) -> dict:
         tables = {t: storage.segment_dir(epoch, t, new_sid)
                   for t in ("docs", "postings", "doclens", "termdict")}
     meta = {"segment_id": new_sid, "max_doc": max_doc,
-            "field_stats": field_stats, "tables": tables, "epoch": epoch}
+            "field_stats": field_stats, "tables": tables, "epoch": epoch,
+            "block_docs": block_docs()}
     fmts = {s.get("tsbucket_fmt") for s in run}
     if len(fmts) == 1 and None not in fmts:
         meta["tsbucket_fmt"] = next(iter(fmts))

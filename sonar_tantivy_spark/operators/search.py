@@ -51,6 +51,25 @@ from sonar_tantivy_spark.plans.schema import IndexSchema
 # — at cluster scale a row cap alone admits tens of MB per query.
 _BYTES_PER_KEY = 16
 _BCAST_KEY_BYTES_CAP = 8 << 20  # 8 MiB → ≤ ~512k keys
+# Rare-term broadcast guard, ONE rule for the phrase and scored-bool
+# paths (they used ad-hoc 8×/32× spreads until r4).  Swept on planted
+# skew corpora at 160k and 640k docs (tools/sweep_skew_guard.py): the
+# guard's cost is a second tiny scan of the rare postings plus a
+# broadcast build; its win is the hot-side BYTES kept out of the
+# aggregation exchange.  The sweep shows the crossover is governed by
+# those absolute bytes, NOT by the df ratio: phrase (positions-carrying
+# rows, ~64 B on the exchange) breaks even at hot df ≈ 100k, the bool
+# path's narrow (segment, docid, score) rows (~16 B) need ~4× more
+# rows.  So the guard fires when (a) the rare side broadcasts under the
+# byte cap, (b) the spread is ≥ 8× (below that the semi-join filters
+# too little to matter at any size), and (c) the estimated exchange
+# savings clear _SKEW_MIN_SAVED_BYTES — which at 100 TB scale is
+# cleared by any real needle-AND-haystack query and at pytest scale
+# correctly keeps the guard off.
+_SKEW_SPREAD = 8
+_SKEW_MIN_SAVED_BYTES = 6 << 20
+_PHRASE_ROW_BYTES = 64  # (segment, docid, positions[]) exchange row
+_BOOL_ROW_BYTES = 16    # (segment, docid, score) exchange row
 
 
 class Searcher:
@@ -94,7 +113,15 @@ class Searcher:
             else:
                 self._tables[name] = self.storage.load_table(
                     self.spark, name, self.segments)
-        return self._tables[name]
+        df = self._tables[name]
+        if name == "postings":
+            # block-granular WAND predicate (set by top_k_pruned on a
+            # restricted searcher): (segment_id, docid-range) disjuncts
+            # that reach the parquet reader as row-group prunable filters
+            pred = getattr(self, "_block_pred", None)
+            if pred is not None:
+                df = df.filter(pred)
+        return df
 
     def _empty(self) -> DataFrame:
         # JVM-side empty relation (spark.range(0)), NOT createDataFrame([]):
@@ -227,10 +254,13 @@ class Searcher:
             tdfs = {t: dfs[(node.field, t)] for t in uterms}
             rare = min(uterms, key=lambda t: tdfs[t])
             if tdfs[rare] * _BYTES_PER_KEY <= _BCAST_KEY_BYTES_CAP \
-                    and tdfs[rare] * 8 <= max(tdfs.values()):
-                rare_keys = p.filter(
-                    (F.col("field") == node.field) & (F.col("term") == rare)
-                ).select("segment_id", "docid")
+                    and tdfs[rare] * _SKEW_SPREAD <= max(tdfs.values()) \
+                    and max(tdfs.values()) * _PHRASE_ROW_BYTES \
+                    >= _SKEW_MIN_SAVED_BYTES:
+                # reuse the term-set-filtered scan: the broadcast build
+                # reads the same relation narrowed to the rare term
+                rare_keys = scan.filter(
+                    F.col("term") == rare).select("segment_id", "docid")
                 scan = scan.join(F.broadcast(rare_keys),
                                  on=["segment_id", "docid"], how="left_semi")
         agg = (
@@ -445,9 +475,12 @@ class Searcher:
             dfs_all = [dfs[q] for q in pairs]
             rare = min(must_pairs, key=lambda q: dfs[q])
             if dfs[rare] * _BYTES_PER_KEY <= _BCAST_KEY_BYTES_CAP \
-                    and dfs[rare] * 32 <= max(dfs_all):
+                    and dfs[rare] * _SKEW_SPREAD <= max(dfs_all) \
+                    and max(dfs_all) * _BOOL_ROW_BYTES \
+                    >= _SKEW_MIN_SAVED_BYTES:
                 rf, rt = rare
-                rare_keys = p.filter(
+                # reuse the cond-filtered scan narrowed to the rare pair
+                rare_keys = p.filter(cond).filter(
                     (F.col("field") == rf) & (F.col("term") == rt)
                 ).select("segment_id", "docid")
                 scored = scored.join(F.broadcast(rare_keys),
@@ -630,25 +663,47 @@ class Searcher:
     def seg_max_tfs(self, pairs: set[tuple[str, str]]) -> dict:
         """(field, term) → {segment_id: max_tf}; one pushdown-filtered
         termdict scan for the misses, memoized per searcher snapshot (a
-        repeated query never re-reads the termdict)."""
+        repeated query never re-reads the termdict).  The same scan also
+        fills the per-BLOCK max-tf cache (termdict ``block_mtf`` column,
+        written since the block-granular WAND build) consumed by
+        seg_block_mtfs — one lookup job serves both granularities."""
         cache = getattr(self, "_mtf_cache", None)
         if cache is None:
             cache = self._mtf_cache = {}
+        bcache = getattr(self, "_bmtf_cache", None)
+        if bcache is None:
+            bcache = self._bmtf_cache = {}
         missing = {p for p in pairs if p not in cache}
         if missing and self.segments:
             td = self._table("termdict")
+            has_blocks = "block_mtf" in td.columns
+            cols = ["segment_id", "field", "term", "max_tf"]
+            if has_blocks:
+                cols.append("block_mtf")
             rows = (
                 td.filter(F.col("field").isin(sorted({f for f, _ in missing}))
                           & F.col("term").isin(sorted({t for _, t in missing})))
-                .select("segment_id", "field", "term", "max_tf").collect()
+                .select(*cols).collect()
             )
             for p in missing:
                 cache[p] = {}
+                bcache[p] = {}
             for r in rows:
                 p = (r["field"], r["term"])
                 if p in missing:
                     cache[p][r["segment_id"]] = int(r["max_tf"])
+                    if has_blocks and r["block_mtf"] is not None:
+                        bcache[p][r["segment_id"]] = {
+                            int(b): int(m) for b, m in r["block_mtf"].items()}
         return {p: cache.get(p, {}) for p in pairs}
+
+    def seg_block_mtfs(self, pairs: set[tuple[str, str]]) -> dict:
+        """(field, term) → {segment_id: {block: max_tf}} from the cache
+        warmed by seg_max_tfs (empty maps when the index predates the
+        block-granular termdict)."""
+        self.seg_max_tfs(pairs)
+        bcache = getattr(self, "_bmtf_cache", {})
+        return {p: bcache.get(p, {}) for p in pairs}
 
     def _segment_bounds(self, node: A.Node) -> dict[str, float] | None:
         """Per-segment upper bound of ``node``'s score, or None when the
@@ -772,6 +827,144 @@ class Searcher:
             return None if b is None else b * node.boost
         return None
 
+    def _term_cover(self, node: A.Node) -> bool:
+        """True when every possible match of ``node`` must contain at
+        least one collected (field, term) pair — the applicability
+        condition for block-granular pruning: only then is the union of
+        blocks where a query term appears guaranteed to contain every
+        candidate doc.  Range/All/Fuzzy/Regex clauses can match docs
+        holding none of the collected terms, so they break cover unless
+        a covered must-clause constrains the match set."""
+        if isinstance(node, (A.TermQ, A.PhraseQ)):
+            return True
+        if isinstance(node, A.BoostQ):
+            return self._term_cover(node.child)
+        if isinstance(node, A.BoolQ):
+            if any(self._term_cover(c) for c in node.must):
+                return True
+            return bool(node.should) and not node.must and \
+                all(self._term_cover(c) for c in node.should)
+        return False
+
+    def _prune_units(self, node: A.Node, live: list[str],
+                     bounds: dict[str, float], idfs: dict):
+        """(units, blocks_total, blocks_zero) — the pruning units of a
+        scored query at the FINEST boundable granularity.  A unit is
+        ``(sid, blk, lo, hi, bound)``: one docid block (blk =
+        docid // block_docs, per-block max-tf from the termdict, bounded
+        by the same _node_bound math) when the segment carries block
+        metadata AND the query is term-covered; else the whole segment
+        (blk/lo/hi = None, segment bound).  Zero-bound blocks are
+        absence PROOFS (a required term never appears in the block) and
+        are dropped here, counted in ``blocks_zero``.  Units are emitted
+        in (segment, block) order so downstream stable sorts reproduce
+        the segment-granular behavior exactly when every segment is a
+        single block.  Mirrors tantivy's per-posting-block max-tf skips
+        (reference: searcher.search behind
+        /root/reference/src-rust/index.rs:260) at the docid-range
+        granularity parquet row-group stats can actually prune."""
+        by_id = getattr(self, "_seg_by_id", None)
+        if by_id is None:
+            by_id = self._seg_by_id = {
+                s["segment_id"]: s for s in self.segments}
+        cover = self._term_cover(node)
+        pairs = collect_terms(node)
+        bmtf = self.seg_block_mtfs(pairs) if cover else {}
+        units: list[tuple] = []
+        btotal = bzero = 0
+        for sid in live:
+            bd = by_id[sid].get("block_docs")
+            seg_maps = {p: bmtf.get(p, {}).get(sid) for p in pairs} \
+                if cover else {}
+            if not cover or not bd or \
+                    all(m is None for m in seg_maps.values()):
+                units.append((sid, None, None, None, bounds[sid]))
+                continue
+            blks = sorted({b for m in seg_maps.values() if m for b in m})
+            bunits = []
+            unboundable = False
+            for b in blks:
+                mtf_b = {((sid, b), f, t):
+                         (seg_maps.get((f, t)) or {}).get(b, 0)
+                         for (f, t) in pairs}
+                bound = self._node_bound(node, (sid, b), idfs, mtf_b)
+                if bound is None:
+                    unboundable = True
+                    break
+                if bound <= 0.0:
+                    continue  # absence proof: a must-term misses the block
+                bunits.append((sid, b, b * bd, (b + 1) * bd - 1, bound))
+            if unboundable:
+                units.append((sid, None, None, None, bounds[sid]))
+                continue
+            btotal += len(blks)
+            bzero += len(blks) - len(bunits)
+            units.extend(bunits)
+        return units, btotal, bzero
+
+    @staticmethod
+    def _units_pred(units: list[tuple], complement: dict | None = None,
+                    max_ranges: int = 64):
+        """(predicate | None, partial) — OR of per-segment membership /
+        docid-range disjuncts selecting exactly the given units.  Block
+        units of one segment merge into sorted docid ranges; when a
+        segment needs more than ``max_ranges`` disjuncts the predicate
+        degrades to ``segment AND NOT <complement's ranges>`` (the
+        complement = the ranges this scan must EXCLUDE, i.e. the probe's
+        units — over-scanning sub-θ blocks is correct, double-scanning
+        probed docids would duplicate rows), keeping the Catalyst
+        expression tree bounded no matter how many blocks a 100×-scale
+        segment holds.  ``partial`` is False when every unit is a whole
+        segment (predicate adds nothing over segment restriction)."""
+        by_seg: dict[str, list] = {}
+        for u in units:
+            by_seg.setdefault(u[0], []).append(u)
+        parts = []
+        partial = False
+        for sid, us in by_seg.items():
+            if any(u[1] is None for u in us):
+                parts.append(F.col("segment_id") == F.lit(sid))
+                continue
+            partial = True
+            ranges: list[list[int]] = []
+            for _, _, lo, hi, _ in sorted(us, key=lambda u: u[2]):
+                if ranges and ranges[-1][1] + 1 == lo:
+                    ranges[-1][1] = hi
+                else:
+                    ranges.append([lo, hi])
+            seg_eq = F.col("segment_id") == F.lit(sid)
+            comp = (complement or {}).get(sid)
+            if len(ranges) > max_ranges:
+                if comp is not None:
+                    # NOT <probed ranges>: over-scans sub-θ blocks
+                    # (harmless — their docs provably miss the cutoff)
+                    # but still excludes probed docids exactly
+                    npred = None
+                    for lo, hi in comp:
+                        r = (F.col("docid") >= F.lit(lo)) & \
+                            (F.col("docid") <= F.lit(hi))
+                        npred = r if npred is None else (npred | r)
+                    parts.append(seg_eq & ~npred)
+                else:
+                    # nothing probed in this segment: widen to the hull
+                    # (pure over-scan of dropped blocks, still exact)
+                    lo, hi = ranges[0][0], ranges[-1][1]
+                    parts.append(seg_eq & (F.col("docid") >= F.lit(lo))
+                                 & (F.col("docid") <= F.lit(hi)))
+                continue
+            rpred = None
+            for lo, hi in ranges:
+                r = (F.col("docid") >= F.lit(lo)) & \
+                    (F.col("docid") <= F.lit(hi))
+                rpred = r if rpred is None else (rpred | r)
+            parts.append(seg_eq & rpred)
+        if not parts:
+            return None, partial
+        pred = parts[0]
+        for p in parts[1:]:
+            pred = pred | p
+        return pred, partial
+
     def top_k_pruned(self, node: A.Node, limit: int = 10) -> DataFrame:
         """Block-max-WAND-style top-k — the DEFAULT scored-query path.
 
@@ -788,16 +981,24 @@ class Searcher:
            is asserted in tests; the win is that hot-term queries never
            scan segments that cannot reach the cutoff.
 
+        Pruning is UNIT-granular: a unit is one docid BLOCK when the
+        segment carries block-max metadata and the query is term-covered
+        (within-segment pruning — the granularity that still
+        discriminates when compaction leaves few huge segments), else
+        the whole segment.  When every segment is a single block the
+        behavior is bit-identical to segment-granular pruning.
+
         ``self.last_prune`` records {segments_total, segments_skipped,
-        theta} for benchmarking.  Falls back to the exact plan for
-        unboundable shapes or single-segment indexes.
+        theta, blocks_total, blocks_skipped} for benchmarking.  Falls
+        back to the exact plan for unboundable shapes.
         """
         import math as _math
 
         stats = {"segments_total": len(self.segments),
-                 "segments_skipped": 0, "theta": 0.0}
+                 "segments_skipped": 0, "theta": 0.0,
+                 "blocks_total": 0, "blocks_skipped": 0}
         self.last_prune = stats
-        if len(self.segments) < 2:
+        if not self.segments:
             return self.top_k(node, limit=limit)
         bounds = self._segment_bounds(node)
         if bounds is None:
@@ -807,39 +1008,77 @@ class Searcher:
         if not live:
             stats["segments_skipped"] = len(self.segments)
             return self.with_global_docid(self._empty())
-        # probe gating: the θ-probe only pays off when the live bounds
+        pairs = collect_terms(node)
+        idfs = {p: bm25.idf(d, self.num_docs)
+                for p, d in self.term_dfs(pairs).items() if d > 0}
+        units, btotal, bzero = self._prune_units(node, live, bounds, idfs)
+        stats["blocks_total"], stats["blocks_skipped"] = btotal, bzero
+        if not units:
+            stats["segments_skipped"] = len(self.segments)
+            return self.with_global_docid(self._empty())
+        live_segs: list[str] = []
+        seen: set[str] = set()
+        for u in units:
+            if u[0] not in seen:
+                seen.add(u[0])
+                live_segs.append(u[0])
+        stats["segments_skipped"] = len(self.segments) - len(live_segs)
+        # probe gating: the θ-probe only pays off when the unit bounds
         # DISCRIMINATE (skewed term stats / zone maps).  On uniform bounds
         # θ can never beat the minimum bound, so run the plain one-job
-        # plan over the live segments — zero overhead for uniform corpora,
-        # while zone-map zero-bound skips still apply.
-        lb_max, lb_min = max(bounds[s] for s in live), \
-            min(bounds[s] for s in live)
-        stats["segments_skipped"] = len(self.segments) - len(live)
-        if len(live) < 2 or (lb_max - lb_min) < 0.05 * lb_max:
-            if stats["segments_skipped"] == 0:
+        # plan over the live units — zero overhead for uniform corpora,
+        # while absence-proof skips (zero-bound segments AND blocks)
+        # still apply.
+        ub = [u[4] for u in units]
+        u_max, u_min = max(ub), min(ub)
+        if len(units) < 2 or (u_max - u_min) < 0.05 * u_max:
+            if stats["segments_skipped"] == 0 and bzero == 0:
                 return self.top_k(node, limit=limit)
-            return self._restricted(set(live)).top_k(node, limit=limit)
-        order = sorted(live, key=lambda sid: -bounds[sid])
-        n_probe = max(1, _math.ceil(len(order) / 4))
+            sub = self._restricted(set(live_segs))
+            if bzero:
+                pred, partial = self._units_pred(units)
+                if partial and pred is not None:
+                    sub._block_pred = pred
+            return sub.top_k(node, limit=limit)
+        order = sorted(units, key=lambda u: -u[4])
+        n_probe = max(1, min(_math.ceil(len(order) / 4), 32))
         probe = order[:n_probe]
-        probe_df = self._restricted(set(probe)).top_k(node, limit=limit)
+        probe_ranges: dict[str, list] = {}
+        for sid, b, lo, hi, _ in probe:
+            if b is not None:
+                probe_ranges.setdefault(sid, []).append([lo, hi])
+        psub = self._restricted({u[0] for u in probe})
+        ppred, ppartial = self._units_pred(probe)
+        if ppartial and ppred is not None:
+            psub._block_pred = ppred
+        probe_df = psub.top_k(node, limit=limit)
         probe_rows = probe_df.collect()
         theta = min(r["score"] for r in probe_rows) \
             if len(probe_rows) >= limit else 0.0
         stats["theta"] = theta
-        survivors = [sid for sid in order[n_probe:] if bounds[sid] >= theta]
-        stats["segments_skipped"] = \
-            len(self.segments) - n_probe - len(survivors)
+        rest = order[n_probe:]
+        survivors = [u for u in rest if u[4] >= theta]
+        stats["blocks_skipped"] = bzero + sum(
+            1 for u in rest if u[1] is not None and u[4] < theta)
+        scanned = {u[0] for u in probe} | {u[0] for u in survivors}
+        stats["segments_skipped"] = len(self.segments) - len(scanned)
         if not survivors:
-            # θ ruled out every unprobed segment: the collected probe
-            # rows ARE the global top-k — sort driver-side, no extra job
+            # θ ruled out every unprobed unit: the collected probe rows
+            # ARE the global top-k — sort driver-side, no extra job
             rows = sorted(probe_rows,
                           key=lambda r: (-r["score"], r["docid_g"]))[:limit]
             return (self.spark.createDataFrame(rows, probe_df.schema)
                     if rows else probe_df)
         out = (self.spark.createDataFrame(probe_rows, probe_df.schema)
                if probe_rows else None)
-        surv_df = self._restricted(set(survivors)).top_k(node, limit=limit)
+        ssub = self._restricted({u[0] for u in survivors})
+        spred, spartial = self._units_pred(survivors, complement=probe_ranges)
+        # the predicate is MANDATORY whenever a probed segment also has
+        # surviving block units — rescanning probed docids would emit
+        # duplicate rows into the union
+        if spartial and spred is not None:
+            ssub._block_pred = spred
+        surv_df = ssub.top_k(node, limit=limit)
         out = surv_df if out is None else out.unionByName(surv_df)
         return out.orderBy(F.desc("score"), F.asc("docid_g")).limit(limit)
 
