@@ -1206,6 +1206,143 @@ def q_ev_json_props(spark, sf_dir):
                  F.max("k").alias("k_max")))
 
 
+PARA_W = 10          # paragraph-proxy width (corpus has no newlines)
+QUOTA_K = 25         # per-source quota for pl_domain_quota
+QUOTA_SALT = 8       # salt fan-out for the two-phase exact top-K
+XENT_GRAM = 3        # word n-gram order for the corpus LM
+ZSCORE_THRESH = 2.0  # |z| flag threshold for ev_zscore_anomaly
+
+
+def q_dd_para_dup(spark, sf_dir):
+    """Paragraph-level exact dedup signal (RefinedWeb-style): split each
+    document into paragraphs, hash each one, count cross-document
+    occurrences, and report every document's duplicated-paragraph
+    fraction.  The synthetic corpus is newline-free, so contiguous
+    10-word segments stand in for ``\\n\\n`` paragraphs; at real scale
+    the splitter is ``split(text, '\\n\\n')`` and nothing else changes.
+
+    Plan shape: one documents scan -> in-row md5 per segment (no
+    explode until the hash, so shuffle width is 32 hex chars per
+    paragraph, not the text) -> hash-agg on the paragraph hash ->
+    equi-join back -> per-doc hash-agg.  Hot boilerplate paragraphs are
+    the skew case: the count side is pre-aggregated to one row per
+    distinct hash, so the join fans out only on the document side where
+    the rows genuinely exist, and AQE skew-join splits oversized
+    partitions."""
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
+    n = F.size("w")
+    idx = F.sequence(F.lit(0), F.floor((n - 1) / PARA_W).cast("int"))
+    paras = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice("w", i * PARA_W + 1,
+                                                      PARA_W))))
+    s = d.select("doc_id", F.explode(paras).alias("ph"))
+    c = s.groupBy("ph").agg(F.count_distinct("doc_id").alias("nd"))
+    return (s.join(c, "ph")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_paras"),
+                 F.round(F.avg(F.when(F.col("nd") > 1, 1.0).otherwise(0.0)),
+                         4).alias("dup_para_frac")))
+
+
+def q_pl_domain_quota(spark, sf_dir):
+    """Per-domain quota sampling: keep at most QUOTA_K documents per
+    source, chosen by a deterministic hash order (md5 of doc_id) so the
+    sample is reproducible and unbiased by ingestion order — the
+    standard per-domain cap of web-corpus curation (C4/mC4 keep-at-most
+    pattern).
+
+    Exact two-phase top-K so no single reducer ever sorts a whole
+    domain: phase 1 ranks within (source, salt) — any one sort
+    partition holds ~1/QUOTA_SALT of even the hottest domain — and
+    keeps K rows per salt; phase 2 ranks the surviving
+    <= QUOTA_SALT*K rows per source.  Identical output to a
+    single-window rank (the oracle), partitioning-invariant, and the
+    phase-2 shuffle carries only K*S rows per domain regardless of
+    domain size."""
+    from pyspark.sql import Window
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "source",
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+        F.pmod(F.hash("doc_id"), F.lit(QUOTA_SALT)).alias("salt"))
+    w1 = Window.partitionBy("source", "salt").orderBy("h", "doc_id")
+    s1 = (d.withColumn("r1", F.row_number().over(w1))
+          .filter(F.col("r1") <= QUOTA_K))
+    w2 = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (s1.withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") <= QUOTA_K)
+            .select("doc_id", "source",
+                    F.col("rk").cast("long").alias("rank_in_source")))
+
+
+def q_tx_lm_xent(spark, sf_dir):
+    """Perplexity-proxy quality score (CCNet-style, with the corpus
+    itself as the language model): each document's cross-entropy under
+    the corpus word-trigram distribution.  Low xent = typical text,
+    high xent = outlier — the shape of the KenLM-perplexity filter
+    with the LM replaced by an in-corpus trigram table so the operator
+    is self-contained and oracle-checkable.
+
+    Two hash-aggs and one equi-join on the gram string.  At scale the
+    trigram-count table is vocabulary-sized (bounded by distinct grams,
+    not corpus rows) -> broadcastable; the per-doc aggregation is
+    map-side combinable.  Docs shorter than the gram order are
+    excluded (no grams, no distribution)."""
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
+    n = F.size("w")
+    grams = F.transform(
+        F.sequence(F.lit(1), n - (XENT_GRAM - 1)),
+        lambda i: F.concat_ws(" ", F.slice("w", i, XENT_GRAM)))
+    g = (d.filter(n >= XENT_GRAM)
+         .select("doc_id", F.explode(grams).alias("gram")))
+    counts = g.groupBy("gram").agg(F.count("*").cast("double").alias("c"))
+    tot = counts.agg(F.sum("c").alias("ct"))
+    return (g.join(counts, "gram").crossJoin(F.broadcast(tot))
+            .select("doc_id", F.log(F.col("c") / F.col("ct")).alias("lp"))
+            .groupBy("doc_id")
+            .agg(F.round(-F.avg("lp"), 4).alias("xent"),
+                 F.count("*").cast("long").alias("n_grams")))
+
+
+def q_ev_zscore_anomaly(spark, sf_dir):
+    """Daily per-type volume anomaly detection: z-score each
+    (event_type, day) count against that type's all-days mean/stddev,
+    flag |z| >= 2.  The ops-monitoring staple over event streams; two
+    hash-aggs plus a window over the tiny (type, day) rollup — the raw
+    table is touched once, all heavy lifting is map-side combinable,
+    and the window partitions are days-per-type (never data-sized)."""
+    from pyspark.sql import Window
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    day = (F.floor(_epoch_naive(F.col("ts")) / 86400) * 86400).cast("long")
+    daily = (ev.groupBy(day.alias("day_epoch"), "event_type")
+             .agg(F.count("*").cast("long").alias("cnt")))
+    w = Window.partitionBy("event_type")
+    mu = F.avg("cnt").over(w)
+    sd = F.stddev_samp("cnt").over(w)
+    z = F.when(sd > 0, (F.col("cnt") - mu) / sd).otherwise(F.lit(0.0))
+    return daily.select(
+        "event_type", "day_epoch", "cnt",
+        F.round(z, 4).alias("z"),
+        (F.abs(z) >= ZSCORE_THRESH).alias("is_anomaly"))
+
+
+def q_tx_normalize(spark, sf_dir):
+    """Unicode normalization pass (NFC + control strip + whitespace
+    squash) via the vectorized Arrow UDF in functions/textnorm.py —
+    the mandatory stage-0 of a cleaning pipeline, here reporting
+    whether each doc changed and its normalized length.  Map-only; the
+    UDF runs once per Arrow batch, not per row.  (The synthetic corpus
+    is already clean ASCII, so `changed` is expected all-false here —
+    the messy-input behavior is pinned by tests/test_textnorm.py
+    against the pure-Python reference.)"""
+    from sonar_tantivy_spark.functions import textnorm
+    d = _docs(spark, sf_dir)
+    norm = textnorm.normalize_text(F.col("text"))
+    return d.select(
+        "doc_id",
+        (norm != F.col("text")).alias("changed"),
+        F.length(norm).cast("long").alias("n_chars_norm"))
+
+
 QUERIES = {
     "ft_term_bm25": q_ft_term_bm25,
     "ft_bool_must": q_ft_bool_must,
@@ -1258,6 +1395,11 @@ QUERIES = {
     "pl_pack_sequences": q_pl_pack_sequences,
     "pl_chunk_docs": q_pl_chunk_docs,
     "ev_json_props": q_ev_json_props,
+    "dd_para_dup": q_dd_para_dup,
+    "pl_domain_quota": q_pl_domain_quota,
+    "tx_lm_xent": q_tx_lm_xent,
+    "ev_zscore_anomaly": q_ev_zscore_anomaly,
+    "tx_normalize": q_tx_normalize,
 }
 
 
@@ -1894,4 +2036,60 @@ round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS k_avg,
 min(json_extract_string(props, '$.k')::BIGINT) AS k_min,
 max(json_extract_string(props, '$.k')::BIGINT) AS k_max
 FROM events GROUP BY event_type""",
+        "dd_para_dup": f"""WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(0, (len(w) - 1) // {PARA_W}),
+           i -> md5(array_to_string(
+                  w[i * {PARA_W} + 1 :
+                    least((i + 1) * {PARA_W}, len(w))], ' ')))) AS ph
+  FROM d),
+c AS (SELECT ph, count(DISTINCT doc_id) AS nd FROM s GROUP BY ph)
+SELECT s.doc_id, count(*)::BIGINT AS n_paras,
+       round(avg(CASE WHEN c.nd > 1 THEN 1.0 ELSE 0.0 END), 4)
+         AS dup_para_frac
+FROM s JOIN c USING (ph) GROUP BY s.doc_id""",
+        "pl_domain_quota": f"""SELECT doc_id, source, rank_in_source
+FROM (SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(doc_id::VARCHAR), doc_id)
+               AS rank_in_source
+      FROM documents)
+WHERE rank_in_source <= {QUOTA_K}""",
+        "tx_lm_xent": f"""WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, len(w) - {XENT_GRAM - 1}),
+           i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS gram
+  FROM d WHERE len(w) >= {XENT_GRAM}),
+c AS (SELECT gram, count(*)::DOUBLE AS c FROM g GROUP BY gram),
+t AS (SELECT sum(c) AS ct FROM c)
+SELECT g.doc_id, round(-avg(ln(c.c / t.ct)), 4) AS xent,
+       count(*)::BIGINT AS n_grams
+FROM g JOIN c USING (gram) CROSS JOIN t
+GROUP BY g.doc_id""",
+        "ev_zscore_anomaly": f"""WITH daily AS (
+  SELECT (floor(epoch(ts) / 86400) * 86400)::BIGINT AS day_epoch,
+         event_type, count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2),
+z AS (
+  SELECT event_type, day_epoch, cnt,
+         CASE WHEN stddev_samp(cnt) OVER (PARTITION BY event_type) > 0
+              THEN (cnt - avg(cnt) OVER (PARTITION BY event_type))
+                   / stddev_samp(cnt) OVER (PARTITION BY event_type)
+              ELSE 0.0 END AS zraw
+  FROM daily)
+SELECT event_type, day_epoch, cnt, round(zraw, 4) AS z,
+       abs(zraw) >= {ZSCORE_THRESH} AS is_anomaly
+FROM z""",
+        "tx_normalize": """SELECT doc_id,
+trim(regexp_replace(regexp_replace(nfc_normalize(text),
+     '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+     '\\s+', ' ', 'g')) <> text AS changed,
+length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
+     '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
+     '\\s+', ' ', 'g')))::BIGINT AS n_chars_norm
+FROM documents""",
     }
