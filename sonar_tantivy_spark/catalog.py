@@ -258,6 +258,74 @@ class Index:
         s = self.searcher()
         return s.top_k_pruned(node, limit=limit)
 
+    def more_like_this(
+        self,
+        docid: int,
+        field: str,
+        *,
+        top_terms: int = 5,
+        min_df: int = 2,
+        limit: int = DEFAULT_QUERY_LIMIT,
+    ) -> list[dict]:
+        """Find documents similar to the one at global ``docid``:
+        Lucene/Elasticsearch MoreLikeThis re-expressed as pure query
+        composition.  BEYOND-REFERENCE extension; everything it touches
+        is existing machinery, so the scores are plain BM25.
+
+        1. Read the seed doc's (term, tf) rows — ONE pushdown-filtered
+           postings scan (segment + docid + field equality predicates,
+           so parquet reads a handful of row groups).
+        2. Rank its terms by tf·idf, deterministic tie-break on the
+           term string; keep ``top_terms``.  Terms with df < ``min_df``
+           are skipped first (Lucene MLT's minDocFreq): the seed's
+           df-1 terms are its highest-idf terms but can never match
+           any OTHER document, so keeping them would crowd the seed
+           query with no-ops.
+        3. Run the should-OR of those terms through the normal
+           block-max-pruned top-k path and drop the seed itself.
+        """
+        from pyspark.sql import functions as F
+
+        from sonar_tantivy_spark.functions import bm25
+
+        s = self.searcher()
+        # global docid → (segment, local docid): bases are cumulative
+        sid, local = None, None
+        for seg_id, base in sorted(s.bases.items(), key=lambda kv: kv[1]):
+            if docid >= base:
+                sid, local = seg_id, docid - base
+        if sid is None:
+            raise KeyError(f"docid {docid} out of range")
+        p = s._table("postings")
+        if p is None:
+            return []
+        seed = (
+            p.filter((F.col("segment_id") == sid)
+                     & (F.col("docid") == local)
+                     & (F.col("field") == field))
+            .select("term", "tf").collect()
+        )
+        if not seed:
+            return []
+        dfs = s.term_dfs({(field, r["term"]) for r in seed})
+        ranked = sorted(
+            ((int(r["tf"] or 1)
+              * bm25.idf(dfs.get((field, r["term"]), 0), s.num_docs),
+              r["term"]) for r in seed
+             if dfs.get((field, r["term"]), 0) >= min_df),
+            key=lambda x: (-x[0], x[1]),
+        )
+        if not ranked:
+            return []
+        node = A.BoolQ(
+            should=[A.TermQ(field, t) for _, t in ranked[:top_terms]])
+        hits = (
+            s.top_k_pruned(node, limit=limit + 1)
+            .filter(F.col("docid_g") != docid)
+            .orderBy(F.desc("score"), F.asc("docid_g")).limit(limit)
+        )
+        return s.retrieve(hits)
+
 
 class IndexCatalog:
     """Named indexes under one base path (index.rs:18-21, 49-87)."""

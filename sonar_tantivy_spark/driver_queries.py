@@ -1206,6 +1206,71 @@ def q_ev_json_props(spark, sf_dir):
                  F.max("k").alias("k_max")))
 
 
+SLOP = 1             # window slack for ft_phrase_slop
+MLT_TERMS = 3        # seed terms for ft_more_like_this
+
+
+def q_ft_prefix(spark, sf_dir):
+    """Prefix query (``b*``): constant-score match straight off the
+    postings with a StartsWith predicate — no termdict expansion, the
+    predicate pushes to the parquet scan (engine analog:
+    search.py _cand_prefix)."""
+    p = _ft(spark, sf_dir)["postings"]
+    return (p.filter(F.col("term").startswith("b"))
+            .select("doc_id").distinct().orderBy("doc_id"))
+
+
+def q_ft_phrase_slop(spark, sf_dir):
+    """Sloppy phrase ``"value table"~1`` — ordered within-window match:
+    a position q of the second term survives iff some position p of the
+    first satisfies p < q <= p + 1 + slop; phrase-tf = surviving-q
+    count.  Same single-scan chain as the engine's _cand_phrase slop
+    branch, scored like an exact phrase (idf sum over the terms)."""
+    t = _ft(spark, sf_dir)
+    p = t["postings"]
+    a = p.filter(F.col("term") == "valu").select(
+        "doc_id", F.col("positions").alias("pa"))
+    b = p.filter(F.col("term") == "tabl").select(
+        "doc_id", F.col("positions").alias("pb"))
+    j = a.join(b, on="doc_id").withColumn(
+        "m", F.filter(
+            F.col("pb"),
+            lambda q: F.exists(
+                F.col("pa"), lambda pp: (q > pp) & (q <= pp + 1 + SLOP))),
+    ).filter(F.size("m") > 0)
+    n, avgdl = float(t["N"]), t["avgdl"]
+    dfs = {r["term"]: r["df"] for r in
+           t["termdf"].filter(F.col("term").isin("valu", "tabl")).collect()}
+    idf_sum = sum(bm25.idf(dfs[x], t["N"]) for x in ("valu", "tabl"))
+    j = j.join(t["doclen"], on="doc_id")
+    tf = F.size("m").cast("double")
+    denom = tf + F.lit(K1) * (
+        F.lit(1.0 - B) + F.lit(B / avgdl) * F.col("dl").cast("double"))
+    return _topk(j.select(
+        "doc_id", (F.lit(idf_sum * (K1 + 1.0)) * tf / denom).alias("score")))
+
+
+def q_ft_more_like_this(spark, sf_dir):
+    """MoreLikeThis as query composition: rank seed doc 0's terms by
+    tf*idf (rounded to 7, term-asc tie-break, df >= 2 — a df-1 term can
+    only ever match the seed itself), take the top 3, score their
+    should-OR with BM25 over everyone else, top-10.  Engine analog:
+    catalog.py Index.more_like_this."""
+    t = _ft(spark, sf_dir)
+    seed_tf = {r["term"]: int(r["tf"]) for r in
+               t["postings"].filter(F.col("doc_id") == 0)
+               .select("term", "tf").collect()}
+    dfs = {r["term"]: int(r["df"]) for r in t["termdf"].collect()}
+    ranked = sorted(
+        ((round(tf * bm25.idf(dfs[term], t["N"]), 7), term)
+         for term, tf in seed_tf.items() if dfs[term] >= 2),
+        key=lambda x: (-x[0], x[1]))
+    top = [term for _, term in ranked[:MLT_TERMS]]
+    sc = _scored(spark, sf_dir).filter(
+        F.col("term").isin(top) & (F.col("doc_id") != 0))
+    return _topk(sc.groupBy("doc_id").agg(F.sum("score").alias("score")))
+
+
 PARA_W = 10          # paragraph-proxy width (corpus has no newlines)
 QUOTA_K = 25         # per-source quota for pl_domain_quota
 QUOTA_SALT = 8       # salt fan-out for the two-phase exact top-K
@@ -1395,6 +1460,9 @@ QUERIES = {
     "pl_pack_sequences": q_pl_pack_sequences,
     "pl_chunk_docs": q_pl_chunk_docs,
     "ev_json_props": q_ev_json_props,
+    "ft_prefix": q_ft_prefix,
+    "ft_phrase_slop": q_ft_phrase_slop,
+    "ft_more_like_this": q_ft_more_like_this,
     "dd_para_dup": q_dd_para_dup,
     "pl_domain_quota": q_pl_domain_quota,
     "tx_lm_xent": q_tx_lm_xent,
@@ -2036,6 +2104,31 @@ round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS k_avg,
 min(json_extract_string(props, '$.k')::BIGINT) AS k_min,
 max(json_extract_string(props, '$.k')::BIGINT) AS k_max
 FROM events GROUP BY event_type""",
+        "ft_prefix": pre + """SELECT DISTINCT doc_id FROM postings
+WHERE term LIKE 'b%' ORDER BY doc_id""",
+        "ft_phrase_slop": pre + f""", adj AS (
+  SELECT a.doc_id, count(DISTINCT b.pos) AS ptf FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id
+             AND b.pos > a.pos AND b.pos <= a.pos + {1 + SLOP}
+  WHERE a.term = 'valu' AND b.term = 'tabl' GROUP BY a.doc_id),
+idfs AS (SELECT sum(ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5))) AS idf_sum
+         FROM tdf t CROSS JOIN stats s WHERE t.term IN ('valu', 'tabl'))
+SELECT j.doc_id,
+       round(i.idf_sum * 2.2 * j.ptf
+             / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 4) AS score
+FROM adj j JOIN dlq q USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
+ORDER BY round(i.idf_sum * 2.2 * j.ptf
+               / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 7) DESC, j.doc_id
+LIMIT 10""",
+        "ft_more_like_this": pre + f""", seedw AS (
+  SELECT p.term, round(p.tf * ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5)), 7) AS w
+  FROM postings p JOIN tdf t USING (term) CROSS JOIN stats s
+  WHERE p.doc_id = 0 AND t.df >= 2),
+seed AS (SELECT term FROM seedw ORDER BY w DESC, term LIMIT {MLT_TERMS})
+SELECT doc_id, round(sum(score), 4) AS score FROM scored
+WHERE term IN (SELECT term FROM seed) AND doc_id <> 0
+GROUP BY doc_id
+ORDER BY round(sum(score), 7) DESC, doc_id LIMIT 10""",
         "dd_para_dup": f"""WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 s AS (

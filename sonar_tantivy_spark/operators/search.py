@@ -191,6 +191,8 @@ class Searcher:
             return self._cand_fuzzy(node)
         if isinstance(node, A.RegexQ):
             return self._cand_regex(node)
+        if isinstance(node, A.PrefixQ):
+            return self._cand_prefix(node)
         if isinstance(node, A.RangeQ):
             return self._cand_range(node)
         if isinstance(node, A.AllQ):
@@ -278,11 +280,26 @@ class Searcher:
         # adjacency chain: positions of term_i must equal p0+i; repeated
         # phrase terms read the same positions array at different offsets
         match = F.element_at(F.col("__pos"), F.lit(terms[0]))
+        slop = int(getattr(node, "slop", 0) or 0)
         for t in terms[1:]:
-            match = F.array_intersect(
-                F.transform(match, lambda x: x + 1),
-                F.element_at(F.col("__pos"), F.lit(t)),
-            )
+            if slop == 0:
+                match = F.array_intersect(
+                    F.transform(match, lambda x: x + 1),
+                    F.element_at(F.col("__pos"), F.lit(t)),
+                )
+            else:
+                # sloppy chain (ordered within-window): keep positions q
+                # of the next term with p < q <= p + 1 + slop for some
+                # surviving p.  slop=0 would reduce to the intersect
+                # above; the quadratic per-pair work is bounded by
+                # per-doc tf, and the plan stays the same single
+                # scan + one aggregation exchange.
+                prev = match
+                match = F.filter(
+                    F.element_at(F.col("__pos"), F.lit(t)),
+                    lambda q: F.exists(
+                        prev, lambda p: (q > p) & (q <= p + 1 + slop)),
+                )
         agg = agg.withColumn("__m", match).filter(F.size("__m") > 0)
         idf_sum = sum(bm25.idf(dfs[(node.field, t)], self.num_docs) for t in terms)
         return agg.select(
@@ -339,6 +356,25 @@ class Searcher:
         cand = p.filter(F.col("field") == node.field).join(
             F.broadcast(terms_df), on="term", how="left_semi"
         )
+        return (
+            cand.select("segment_id", "docid").distinct()
+            .withColumn("score", F.lit(1.0))
+        )
+
+    def _cand_prefix(self, node: A.PrefixQ) -> DataFrame | None:
+        """Constant-score prefix match, straight off the POSTINGS scan —
+        no termdict expansion join at all.  ``StartsWith`` is a
+        pushdown-able parquet predicate and postings are sorted by
+        (field, term) within every segment file, so the scan skips all
+        row groups whose term min/max excludes the prefix range — the
+        reason this beats compiling to RegexQ (termdict scan + semi
+        join) and the shape that survives a 100x scale-up: cost tracks
+        the prefix's posting volume, not the dictionary size."""
+        p = self._table("postings")
+        if p is None or not node.prefix:
+            return None
+        cand = p.filter((F.col("field") == node.field)
+                        & F.col("term").startswith(node.prefix))
         return (
             cand.select("segment_id", "docid").distinct()
             .withColumn("score", F.lit(1.0))
@@ -815,7 +851,7 @@ class Searcher:
             return total + should_sum  # must_not only shrinks the match set
         if isinstance(node, A.RangeQ):
             return self._range_bound(node, sid)  # zone-map absence proof
-        if isinstance(node, (A.AllQ, A.FuzzyQ, A.RegexQ)):
+        if isinstance(node, (A.AllQ, A.FuzzyQ, A.RegexQ, A.PrefixQ)):
             return 1.0  # constant-score; cheap absence proof unavailable
         if isinstance(node, A.BoostQ):
             if node.boost <= 0:

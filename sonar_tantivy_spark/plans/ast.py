@@ -40,6 +40,24 @@ class TermQ(Node):
 class PhraseQ(Node):
     field: str
     terms: list[str]
+    # ordered within-window slop: each successive term must appear at a
+    # position p_prev < p <= p_prev + 1 + slop.  slop=0 is the exact
+    # adjacent phrase.  BEYOND-REFERENCE extension (the reference's
+    # toshi DSL exposes no slop); the order-preserving pin is deliberate
+    # and documented — Lucene-style transposing slop is NOT implemented.
+    slop: int = 0
+
+
+@dataclass
+class PrefixQ(Node):
+    """``foo*`` — constant-score prefix match over the term dictionary.
+    BEYOND-REFERENCE extension (tantivy's QueryParser has no prefix
+    syntax; its API-level automaton queries are the analog).  The
+    prefix is lowercased but NOT stemmed (analyzing a fragment would
+    corrupt it — the Lucene wildcard rule)."""
+
+    field: str
+    prefix: str
 
 
 @dataclass
@@ -101,6 +119,17 @@ def _term_or_bool(schema: IndexSchema, field: str, value: str) -> Node:
     return BoolQ(should=[TermQ(field, t) for t in terms])
 
 
+def _prefix_node(schema: IndexSchema, field: str, value: str) -> Node:
+    """Prefix fragments are case-folded to match the dictionary's
+    lowercased terms but never stemmed (the Lucene wildcard rule: an
+    analyzer would rewrite the fragment).  Raw-tokenized fields keep
+    the fragment verbatim."""
+    if not value:
+        raise QueryError("empty prefix")
+    tok = schema.tokenizer_for(field)
+    return PrefixQ(field, value if tok == "raw" else value.lower())
+
+
 # ---------------------------------------------------------------- JSON DSL
 
 
@@ -118,13 +147,20 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
     if kind == "phrase":
         (field, spec), = body.items()
         terms = spec["terms"] if isinstance(spec, dict) else list(spec)
+        slop = int(spec.get("slop", 0)) if isinstance(spec, dict) else 0
+        if slop < 0:
+            raise QueryError("phrase slop must be >= 0")
         fdef = schema.field(field)
         if fdef is None or not fdef.has_positions:
             raise QueryError(f"field {field!r} does not record positions")
         analyzed: list[str] = []
         for t in terms:
             analyzed.extend(_analyze_one(schema, field, t))
-        return PhraseQ(field, analyzed)
+        return PhraseQ(field, analyzed, slop=slop)
+    if kind == "prefix":
+        (field, value), = body.items()
+        value = value["value"] if isinstance(value, dict) else str(value)
+        return _prefix_node(schema, field, value)
     if kind == "bool":
         node = BoolQ()
         for key, dst in (("must", node.must), ("must_not", node.must_not),
@@ -233,8 +269,17 @@ def _lex_query(q: str) -> list[tuple]:
                 j += 1
             if j >= n:
                 raise QueryError("unterminated phrase quote")
-            toks.append(("phrase", "".join(buf)))
             i = j + 1
+            slop = 0
+            if i < n and q[i] == "~":  # "a b"~2 — sloppy phrase
+                k = i + 1
+                while k < n and q[k].isdigit():
+                    k += 1
+                if k == i + 1:
+                    raise QueryError(f"expected number after '~' at {i}")
+                slop = int(q[i + 1:k])
+                i = k
+            toks.append(("phrase", "".join(buf), slop))
             continue
         if c in "[{":
             close = "]" if c == "[" else "}"
@@ -253,10 +298,12 @@ def _lex_query(q: str) -> list[tuple]:
         # bare word: term / field-prefix / AND / OR / NOT, with \ escapes
         buf = []
         saw_escape = False
+        last_escaped = False
         j = i
         while j < n and not q[j].isspace() and q[j] not in _WORD_BREAK:
             if q[j] == "\\" and j + 1 < n:
                 saw_escape = True
+                last_escaped = True
                 j += 1
                 buf.append(q[j])
                 j += 1
@@ -264,12 +311,14 @@ def _lex_query(q: str) -> list[tuple]:
             if q[j] == ":":
                 toks.append(("field", "".join(buf)))
                 buf = []
+                last_escaped = False
                 j += 1
                 # the value may be a phrase/range → restart outer loop
                 if j < n and (q[j] in '"[{' or q[j].isspace()):
                     break
                 continue
             buf.append(q[j])
+            last_escaped = False
             j += 1
         word = "".join(buf)
         i = j
@@ -277,6 +326,9 @@ def _lex_query(q: str) -> list[tuple]:
             continue
         if not saw_escape and word in ("AND", "OR", "NOT"):
             toks.append((word.lower(),))
+        elif word.endswith("*") and not last_escaped and len(word) > 1:
+            # trailing unescaped '*' → prefix query; '\*' stays literal
+            toks.append(("prefix", word[:-1]))
         else:
             toks.append(("term", word))
     return toks
@@ -286,6 +338,7 @@ def _clause_node(schema: IndexSchema, fields: list[str], tok: tuple) -> Node | N
     """One primary (term / phrase / range) over one-or-more fields."""
     kind = tok[0]
     if kind == "phrase":
+        slop = tok[2] if len(tok) > 2 else 0
         parts: list[Node] = []
         for f in fields:
             terms = _analyze_one(schema, f, tok[1])
@@ -293,11 +346,14 @@ def _clause_node(schema: IndexSchema, fields: list[str], tok: tuple) -> Node | N
                 fdef = schema.field(f)
                 if fdef is None or not fdef.has_positions:
                     raise QueryError(f"field {f!r} does not record positions")
-                parts.append(PhraseQ(f, terms))
+                parts.append(PhraseQ(f, terms, slop=slop))
             elif len(terms) == 1:
                 parts.append(TermQ(f, terms[0]))
         if not parts:
             return None
+        return parts[0] if len(parts) == 1 else BoolQ(should=parts)
+    if kind == "prefix":
+        parts = [_prefix_node(schema, f, tok[1]) for f in fields]
         return parts[0] if len(parts) == 1 else BoolQ(should=parts)
     if kind == "range":
         lo, hi, lo_incl, hi_incl = tok[1], tok[2], tok[3], tok[4]
@@ -387,7 +443,7 @@ def _parse_clauses(toks: list[tuple], pos: int, schema: IndexSchema,
                 push(sub)
                 continue
             if i + 1 >= len(toks) or toks[i + 1][0] not in (
-                    "term", "phrase", "range"):
+                    "term", "phrase", "range", "prefix"):
                 raise QueryError(f"field {fname!r} has no value")
             push(_clause_node(schema, [fname], toks[i + 1]))
             i += 2

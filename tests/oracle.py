@@ -75,6 +75,8 @@ class OracleIndex:
             return self._score_range(node)
         if isinstance(node, A.AllQ):
             return {d: 1.0 for d in range(self.N)}
+        if isinstance(node, A.PrefixQ):
+            return self._score_prefix(node)
         if isinstance(node, A.BoostQ):
             return {d: s * node.boost for d, s in self.score(node.child).items()}
         raise NotImplementedError(type(node).__name__)
@@ -91,13 +93,32 @@ class OracleIndex:
             common &= set(pl)
         idf_sum = sum(self.idf(node.field, t) for t in terms)
         avgdl = self.avgdl(node.field)
+        slop = int(getattr(node, "slop", 0) or 0)
         out = {}
         for d in common:
             match = set(plists[0][d])
             for i in range(1, len(terms)):
-                match = {p + 1 for p in match} & set(plists[i][d])
+                if slop == 0:
+                    match = {p + 1 for p in match} & set(plists[i][d])
+                else:
+                    # ordered within-window: q survives iff some prior
+                    # position p has p < q <= p + 1 + slop
+                    match = {
+                        q for q in plists[i][d]
+                        if any(p < q <= p + 1 + slop for p in match)
+                    }
             if match:
                 out[d] = bm25.score(len(match), self._dl(node.field, d), avgdl, idf_sum)
+        return out
+
+    def _score_prefix(self, node: A.PrefixQ) -> dict[int, float]:
+        """Constant-score 1.0 for every doc holding >= 1 dictionary term
+        with the prefix (search.py _cand_prefix semantics)."""
+        out: dict[int, float] = {}
+        for (field, term), plist in self.postings.items():
+            if field == node.field and term.startswith(node.prefix):
+                for d in plist:
+                    out[d] = 1.0
         return out
 
     def _score_bool(self, node: A.BoolQ) -> dict[int, float]:
