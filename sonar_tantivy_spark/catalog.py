@@ -129,7 +129,8 @@ class Index:
         cache key is the full segment list (not just the opstamp):
         compaction swaps segments without moving the opstamp."""
         m = self.storage.manifest()
-        key = (m["opstamp"], tuple(s["segment_id"] for s in m["segments"]))
+        key = (m["opstamp"], m.get("del_opstamp", 0),
+               tuple(s["segment_id"] for s in m["segments"]))
         cached = getattr(self, "_searcher", None)
         if cached is not None and getattr(cached, "_cache_key", None) == key:
             return cached
@@ -257,6 +258,102 @@ class Index:
         )
         s = self.searcher()
         return s.top_k_pruned(node, limit=limit)
+
+    # ------------------------------------------------------------ deletes
+    # BEYOND-REFERENCE: tantivy exposes delete_term but the reference
+    # never wired it (no delete handler in main.rs:34-43).  Semantics
+    # pinned here (documented deviations from tantivy, which re-densifies
+    # docids at merge):
+    #   * visibility: immediate on commit — every query/count/facet path
+    #     anti-joins the tombstone set (search.py _without_tombstones).
+    #   * docids are STABLE forever: compaction purges deleted rows but
+    #     never re-densifies, so global docids and the bit-identity of
+    #     surviving hits hold across delete+compact.
+    #   * BM25 stats: num_docs/avgdl are docid-space stats and do NOT
+    #     shrink on delete (scores of surviving docs never move until a
+    #     compaction); per-term dfs DO reclaim at compaction because the
+    #     termdict re-aggregates from live postings.
+    def _commit_tombstones(self, cand: DataFrame) -> int:
+        """Persist (segment_id, docid) tombstones idempotently; returns
+        the number of NEWLY deleted docs."""
+        from pyspark.sql import functions as F
+
+        s = self.searcher()
+        live = cand.select("segment_id", "docid").distinct()
+        t = s._tombstones()
+        if t is not None:
+            live = live.join(t, on=["segment_id", "docid"], how="left_anti")
+        live = live.persist()
+        try:
+            n = live.count()
+            if n == 0:
+                return 0
+            epoch = f"{self.storage.new_epoch()}del"
+            self.storage.write_table(live, epoch, "tombstones")
+        finally:
+            live.unpersist()
+        m = self.storage.manifest()
+        m.setdefault("tombstones", []).append({"epoch": epoch, "n": int(n)})
+        m["del_opstamp"] = int(m.get("del_opstamp", 0)) + 1
+        if hasattr(self.storage, "_write_json"):
+            self.storage._write_json("manifest.json", m)
+        else:
+            self.storage._manifest = m
+        return int(n)
+
+    def delete_docs(self, docids: list[int]) -> int:
+        """Delete by GLOBAL docid (the ``docid`` field of query hits).
+        Driver-side list — for mass deletions use delete_term /
+        delete_by_query, which stay distributed end-to-end."""
+        if not docids:
+            return 0
+        s = self.searcher()
+        ordered = sorted(s.bases.items(), key=lambda kv: kv[1])
+        rows = []
+        for d in docids:
+            sid = None
+            for seg_id, base in ordered:
+                if d >= base:
+                    sid, local = seg_id, d - base
+            if sid is not None:
+                rows.append((sid, local))
+        if not rows:
+            return 0
+        df = self.spark.createDataFrame(rows, "segment_id string, docid long")
+        return self._commit_tombstones(df)
+
+    def delete_term(self, field: str, term: str) -> int:
+        """tantivy ``delete_term`` analog: tombstone every doc whose
+        ``field`` contains the EXACT indexed term (pass the analyzed
+        form — a Term, not query text; tantivy semantics)."""
+        from pyspark.sql import functions as F  # noqa: F401
+
+        s = self.searcher()
+        p = s._postings_for(field, term)
+        if p is None:
+            return 0
+        return self._commit_tombstones(p.select("segment_id", "docid"))
+
+    def delete_by_query(self, query: str | dict) -> int:
+        """Tombstone every doc matching a full query (string grammar or
+        JSON DSL) — the generalization tantivy gained as
+        delete_query; free here because deletion consumes the same
+        candidate compilation as search."""
+        node = (
+            A.parse_string(query, self.schema)
+            if isinstance(query, str)
+            else A.parse_json(query, self.schema)
+        )
+        s = self.searcher()
+        return self._commit_tombstones(
+            s.candidates(node).select("segment_id", "docid"))
+
+    def num_deleted(self) -> int:
+        """Live tombstone count (rows for already-compacted segments
+        excluded)."""
+        s = self.searcher()
+        t = s._tombstones()
+        return 0 if t is None else t.count()
 
     def more_like_this(
         self,

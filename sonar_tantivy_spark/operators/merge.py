@@ -72,8 +72,14 @@ def compact_to(index, target_segments: int = 1) -> list[dict]:
     new_sid_col = F.element_at(F.create_map(*sid_pairs), F.col("segment_id"))
     off_col = F.element_at(F.create_map(*off_pairs), F.col("segment_id"))
 
+    tomb = _tombstones_for(index, {s["segment_id"] for s in segs})
+
     def rebased(table: str):
         df = storage.load_table(spark, table, segs)
+        if tomb is not None:
+            # purge deleted rows (tantivy reclaims at merge); docids are
+            # NOT re-densified, so surviving global ids stay stable
+            df = df.join(tomb, on=["segment_id", "docid"], how="left_anti")
         return (
             df.withColumn("docid", (off_col + F.col("docid")).cast("long"))
             .withColumn("segment_id", new_sid_col)
@@ -108,15 +114,19 @@ def compact_to(index, target_segments: int = 1) -> list[dict]:
     from sonar_tantivy_spark.operators.build import (block_docs,
                                                      termdict_from_postings)
 
-    merged_td = termdict_from_postings(
-        storage.read_epoch_table(spark, epoch, "postings"))
-    storage.write_table(
-        merged_td.repartitionByRange(
-            max(1, spark.sparkContext.defaultParallelism),
-            "segment_id", "field", "term"
-        ).sortWithinPartitions("field", "term"),
-        epoch, "termdict",
-    )
+    any_postings = any(
+        _segment_has_data(storage, epoch, "postings", new_sids[ci])
+        for ci in range(len(chunks)))
+    if any_postings:
+        merged_td = termdict_from_postings(
+            storage.read_epoch_table(spark, epoch, "postings"))
+        storage.write_table(
+            merged_td.repartitionByRange(
+                max(1, spark.sparkContext.defaultParallelism),
+                "segment_id", "field", "term"
+            ).sortWithinPartitions("field", "term"),
+            epoch, "termdict",
+        )
 
     metas = []
     for ci, chunk in enumerate(chunks):
@@ -125,7 +135,8 @@ def compact_to(index, target_segments: int = 1) -> list[dict]:
             "max_doc": sum(s["max_doc"] for s in chunk),
             "field_stats": _merge_field_stats(chunk),
             "tables": {t: storage.segment_dir(epoch, t, new_sids[ci])
-                       for t in ("docs", "postings", "doclens", "termdict")}
+                       for t in ("docs", "postings", "doclens", "termdict")
+                       if _segment_has_data(storage, epoch, t, new_sids[ci])}
             if hasattr(storage, "segment_dir") else {},
             "epoch": epoch,
             "block_docs": block_docs(),
@@ -136,6 +147,12 @@ def compact_to(index, target_segments: int = 1) -> list[dict]:
         metas.append(meta)
     manifest["segments"] = metas
     _retire_epochs(manifest, segs)
+    # every old segment was replaced and its deleted rows purged: the
+    # whole tombstone ledger is now inert — drop it so vacuum can
+    # reclaim the tombstone epochs and queries skip the anti-join
+    if manifest.get("tombstones"):
+        manifest["tombstones"] = []
+        manifest["del_opstamp"] = int(manifest.get("del_opstamp", 0)) + 1
     if hasattr(storage, "_write_json"):
         storage._write_json("manifest.json", manifest)
     else:
@@ -163,6 +180,28 @@ def tiered_compact(index, max_segments: int) -> dict | None:
     sizes = [s["max_doc"] for s in segs]
     best = min(range(n - w + 1), key=lambda i: sum(sizes[i:i + w]))
     return compact(index, [s["segment_id"] for s in segs[best:best + w]])
+
+
+def _segment_has_data(storage, epoch: str, table: str, sid: str) -> bool:
+    """Did the merge write any rows for this (segment, table)?  False
+    for a fully-tombstoned chunk — its meta becomes a GHOST (max_doc
+    kept so later segments' docid bases don't shift; no table paths, so
+    readers skip it and schema inference never sees an empty dir)."""
+    if hasattr(storage, "segment_dir"):
+        return os.path.isdir(storage.segment_dir(epoch, table, sid))
+    df = storage._tables.get((epoch, table))
+    return df is not None and bool(
+        df.filter(F.col("segment_id") == sid).take(1))
+
+
+def _tombstones_for(index, run_sids: set[str]):
+    """Tombstone rows touching the segments being merged (None when the
+    index has no delete ledger) — merge purges these rows so the new
+    segments carry no deletes."""
+    t = index.searcher()._tombstones()
+    if t is None:
+        return None
+    return t.filter(F.col("segment_id").isin(sorted(run_sids)))
 
 
 def _retire_epochs(manifest: dict, replaced_segments: list[dict]) -> None:
@@ -232,11 +271,16 @@ def vacuum(index) -> list[str]:
     if not os.path.isdir(data_dir):
         return []
     live: set[str] = set()
-    for s in storage.manifest()["segments"]:
+    manifest = storage.manifest()
+    for s in manifest["segments"]:
         for path in s.get("tables", {}).values():
             # <root>/data/<epoch>/<table>/segment_id=<sid>
             rel = os.path.relpath(path, data_dir)
             live.add(rel.split(os.sep)[0])
+    # tombstone epochs stay live while the delete ledger references
+    # them (a full compaction clears the ledger, then vacuum reclaims)
+    for t in manifest.get("tombstones", []):
+        live.add(t["epoch"])
     removed = []
     for epoch_dir in sorted(os.listdir(data_dir)):
         if epoch_dir not in live:
@@ -283,8 +327,12 @@ def compact(index, segment_ids: list[str] | None = None) -> dict:
         pairs.extend([F.lit(sid), F.lit(off)])
     off_col = F.element_at(F.create_map(*pairs), F.col("segment_id"))
 
+    tomb = _tombstones_for(index, {s["segment_id"] for s in run})
+
     def rebased(table: str):
         df = storage.load_table(spark, table, run)
+        if tomb is not None:
+            df = df.join(tomb, on=["segment_id", "docid"], how="left_anti")
         return (
             df.withColumn("docid", (off_col + F.col("docid")).cast("long"))
             .withColumn("segment_id", F.lit(new_sid))
@@ -317,21 +365,23 @@ def compact(index, segment_ids: list[str] | None = None) -> dict:
     from sonar_tantivy_spark.operators.build import (block_docs,
                                                      termdict_from_postings)
 
-    merged_td = termdict_from_postings(
-        storage.read_epoch_table(spark, epoch, "postings"))
-    storage.write_table(
-        merged_td.repartitionByRange(
-            max(1, spark.sparkContext.defaultParallelism), "field", "term"
-        ).sortWithinPartitions("field", "term"),
-        epoch, "termdict",
-    )
+    if _segment_has_data(storage, epoch, "postings", new_sid):
+        merged_td = termdict_from_postings(
+            storage.read_epoch_table(spark, epoch, "postings"))
+        storage.write_table(
+            merged_td.repartitionByRange(
+                max(1, spark.sparkContext.defaultParallelism), "field", "term"
+            ).sortWithinPartitions("field", "term"),
+            epoch, "termdict",
+        )
 
     field_stats = _merge_field_stats(run)
 
     tables = {}
     if hasattr(storage, "segment_dir"):
         tables = {t: storage.segment_dir(epoch, t, new_sid)
-                  for t in ("docs", "postings", "doclens", "termdict")}
+                  for t in ("docs", "postings", "doclens", "termdict")
+                  if _segment_has_data(storage, epoch, t, new_sid)}
     meta = {"segment_id": new_sid, "max_doc": max_doc,
             "field_stats": field_stats, "tables": tables, "epoch": epoch,
             "block_docs": block_docs()}
@@ -343,6 +393,10 @@ def compact(index, segment_ids: list[str] | None = None) -> dict:
     new_segs = segs[:start] + [meta] + segs[start + len(run):]
     manifest["segments"] = new_segs
     _retire_epochs(manifest, run)
+    if manifest.get("tombstones") and len(run) == len(segs):
+        # full-index merge: every tombstoned row was purged above
+        manifest["tombstones"] = []
+        manifest["del_opstamp"] = int(manifest.get("del_opstamp", 0)) + 1
     if hasattr(storage, "_write_json"):
         storage._write_json("manifest.json", manifest)
     else:

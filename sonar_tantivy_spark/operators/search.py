@@ -89,6 +89,12 @@ class Searcher:
             acc += s["max_doc"]
         self.num_docs = acc
         self._tables: dict[str, DataFrame | None] = {}
+        # tombstone ledger: [{"epoch": ..., "n": ...}] manifest entries
+        # (catalog.py delete_docs/delete_term); rows for retired
+        # segment_ids are inert (filtered against live bases)
+        self.tombstone_meta = self.manifest.get("tombstones", [])
+        self._tomb_df: DataFrame | None = None
+        self._tomb_loaded = False
 
     # ---------------------------------------------------------------- stats
     def avgdl(self, field: str) -> float:
@@ -167,11 +173,49 @@ class Searcher:
         denom = tf + F.lit(bm25.K1) * (F.lit(1.0 - bm25.B) + F.lit(bm25.B / avgdl) * dl)
         return (F.lit(idf * (bm25.K1 + 1.0)) * tf / denom).alias("score")
 
+    # ----------------------------------------------------------- tombstones
+    def _tombstones(self) -> DataFrame | None:
+        """(segment_id, docid) rows deleted since the last full
+        compaction, filtered to live segments; None when the index has
+        no deletes (the common case — zero per-query overhead)."""
+        if self._tomb_loaded:
+            return self._tomb_df
+        self._tomb_loaded = True
+        if self.tombstone_meta:
+            parts = [
+                self.storage.read_epoch_table(self.spark, e["epoch"],
+                                              "tombstones")
+                .select("segment_id", "docid")
+                for e in self.tombstone_meta
+            ]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            self._tomb_df = df.filter(
+                F.col("segment_id").isin(list(self.bases)))
+        return self._tomb_df
+
+    def _without_tombstones(self, cand: DataFrame) -> DataFrame:
+        """Anti-join the delete set — tantivy's alive-bitset filter at
+        the scorer level.  Applied ONCE at the top of every candidate
+        compilation (equivalent: deleted docs can never appear in any
+        clause's output, and BM25 stats don't depend on the match set).
+        Broadcast when the ledger's total row count fits the byte cap;
+        at larger delete volumes it degrades to a shuffled anti-join
+        and the real fix is a compaction."""
+        t = self._tombstones()
+        if t is None:
+            return cand
+        n = sum(e.get("n", 0) for e in self.tombstone_meta)
+        if n * _BYTES_PER_KEY <= _BCAST_KEY_BYTES_CAP:
+            t = F.broadcast(t)
+        return cand.join(t, on=["segment_id", "docid"], how="left_anti")
+
     # -------------------------------------------------------- candidate sets
     def candidates(self, node: A.Node, dfs: dict | None = None) -> DataFrame:
         """Compile to DF(segment_id, docid, score) with unique (seg, docid)."""
         out = self._cand_opt(node, dfs)
-        return self._empty() if out is None else out
+        return self._empty() if out is None else self._without_tombstones(out)
 
     def _cand_opt(self, node: A.Node, dfs: dict | None = None) -> DataFrame | None:
         """Like ``candidates`` but returns None for a provably-empty clause
@@ -686,6 +730,9 @@ class Searcher:
         sub.segments = [s for s in self.segments if s["segment_id"] in keep]
         sub.bases = {sid: b for sid, b in self.bases.items() if sid in keep}
         sub.num_docs = self.num_docs
+        sub.tombstone_meta = self.tombstone_meta
+        sub._tomb_df = None
+        sub._tomb_loaded = False
         sub._tables = {}
         sub._parent = self  # reuse loaded tables (see _table)
         sub._df_cache = dict(getattr(self, "_df_cache", {}))
@@ -1059,22 +1106,49 @@ class Searcher:
                 seen.add(u[0])
                 live_segs.append(u[0])
         stats["segments_skipped"] = len(self.segments) - len(live_segs)
-        # probe gating: the θ-probe only pays off when the unit bounds
-        # DISCRIMINATE (skewed term stats / zone maps).  On uniform bounds
-        # θ can never beat the minimum bound, so run the plain one-job
-        # plan over the live units — zero overhead for uniform corpora,
-        # while absence-proof skips (zero-bound segments AND blocks)
-        # still apply.
-        ub = [u[4] for u in units]
-        u_max, u_min = max(ub), min(ub)
-        if len(units) < 2 or (u_max - u_min) < 0.05 * u_max:
+        # probe gating: the θ-probe costs a SECOND Spark job (probe +
+        # survivors), so it must only fire when the bound distribution
+        # shows real skip POTENTIAL.  A raw spread test is not enough:
+        # block-granular max-tf bounds are noisy on uniform corpora
+        # (small blocks → high max-tf variance), so multi-term queries
+        # showed >5% spread, fired the probe, and skipped ~nothing —
+        # paying 2x latency for zero benefit (measured: q3_or 1.33s
+        # plain vs 2.90s probed, 5/80 blocks skipped).  The separating
+        # signal is BIMODALITY, not spread: BM25 saturation compresses
+        # all bounds toward idf·(k1+1) (max-tf 1 already bounds at
+        # ~0.77 of max-tf 6), so uniform noise forms one tight cluster
+        # with tiny adjacent gaps, while a genuine hot band splits the
+        # sorted bounds with one large gap.  Probe only when the
+        # largest adjacent gap is ≥10% of the max bound AND at least a
+        # quarter of the units sit below it (θ must have enough mass
+        # to rule out to repay the second job).  Absence-proof skips
+        # (zero-bound segments AND blocks) already applied above and
+        # stay unconditional.
+        ub = sorted((u[4] for u in units), reverse=True)
+        u_max = ub[0]
+        gap, gap_idx = 0.0, 0
+        for i in range(1, len(ub)):
+            g = ub[i - 1] - ub[i]
+            if g > gap:
+                gap, gap_idx = g, i
+        below_gap = len(ub) - gap_idx if gap_idx else 0
+        if len(units) < 2 or gap < 0.1 * u_max \
+                or below_gap < max(2, len(units) // 4):
             if stats["segments_skipped"] == 0 and bzero == 0:
                 return self.top_k(node, limit=limit)
             sub = self._restricted(set(live_segs))
-            if bzero:
+            # absence-proof block predicate: zero-bound blocks contain
+            # no matches, so skipping them is an I/O optimization, not
+            # a correctness need — only pay the OR-of-docid-ranges
+            # predicate when the dead mass is worth it (a sparse 5/80
+            # predicate measured SLOWER than scanning through the dead
+            # blocks: q4_must 0.81s vs 0.50s)
+            if bzero >= max(2, btotal // 4):
                 pred, partial = self._units_pred(units)
                 if partial and pred is not None:
                     sub._block_pred = pred
+            else:
+                stats["blocks_skipped"] = 0
             return sub.top_k(node, limit=limit)
         order = sorted(units, key=lambda u: -u[4])
         n_probe = max(1, min(_math.ceil(len(order) / 4), 32))

@@ -148,7 +148,11 @@ class FsStorage:
         """
         by_base: dict[str, list[str]] = {}
         for s in segments:
-            part_dir = s["tables"][table]
+            # ghost segments (fully-deleted content purged at merge)
+            # keep max_doc for stable docid bases but carry no data
+            part_dir = s["tables"].get(table)
+            if part_dir is None:
+                continue
             base = os.path.dirname(part_dir.rstrip("/"))
             by_base.setdefault(base, []).append(s["segment_id"])
         out: DataFrame | None = None
