@@ -41,9 +41,10 @@ def oracle(corpus):
 
 
 def gen_node(rng: random.Random, depth: int = 0) -> A.Node:
-    kinds = ["term", "term", "term", "phrase", "fuzzy", "range", "bool"]
+    kinds = ["term", "term", "term", "phrase", "fuzzy", "range", "bool",
+             "prefix", "slop"]
     if depth >= 2:
-        kinds = ["term", "term", "phrase", "range"]
+        kinds = ["term", "term", "phrase", "range", "prefix"]
     kind = rng.choice(kinds)
     if kind == "term":
         if rng.random() < 0.15:
@@ -51,6 +52,11 @@ def gen_node(rng: random.Random, depth: int = 0) -> A.Node:
         return A.TermQ("text", rng.choice(TERMS))
     if kind == "phrase":
         return A.PhraseQ("text", ["hello", "world"])
+    if kind == "slop":
+        return A.PhraseQ("text", ["hello", "world"],
+                         slop=rng.choice([1, 2, 4]))
+    if kind == "prefix":
+        return A.PrefixQ("text", rng.choice(["hel", "wor", "wba", "zzz"]))
     if kind == "fuzzy":
         return A.FuzzyQ("text", "helo", 1, rng.random() < 0.5)
     if kind == "range":
