@@ -234,6 +234,10 @@ def run_attempt() -> dict:
         # time-banded bursty term: per-segment max_tf discriminates, so
         # the block-max θ-probe must skip the cold segments (scored path)
         "q15_trend": {"term": {"text": "trendalpha"}},
+        # round-4 surfaces: prefix pushes StringStartsWith into the
+        # postings scan; sloppy phrase reuses the single-scan plan
+        "q16_prefix": "hell*",
+        "q17_slop": '"hello world"~2',
     }
     # query phase: modest shuffle fan-out wins for k=10 result sets.
     # top_k_pruned IS the default path (Index.query/query_df) — bench it,

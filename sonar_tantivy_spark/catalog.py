@@ -273,6 +273,11 @@ class Index:
     #     shrink on delete (scores of surviving docs never move until a
     #     compaction); per-term dfs DO reclaim at compaction because the
     #     termdict re-aggregates from live postings.
+    #   * concurrency: manifest commits are read-modify-write — same
+    #     single-writer assumption as add_df/compaction (and as the
+    #     reference's single-process writer, index.rs:167-193).  Don't
+    #     interleave deletes with a live streaming-ingest sink from
+    #     another thread.
     def _commit_tombstones(self, cand: DataFrame) -> int:
         """Persist (segment_id, docid) tombstones idempotently; returns
         the number of NEWLY deleted docs."""
