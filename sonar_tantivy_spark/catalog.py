@@ -152,6 +152,9 @@ class Index:
         results = s.retrieve(hits)
         if snippet_field:
             terms = collect_positive_terms(node).get(snippet_field, set())
+            # expansion clauses (prefix/regex/fuzzy) highlight their
+            # matched dictionary terms, capped best-effort
+            terms = terms | s.expand_snippet_terms(node, snippet_field)
             tok = self.schema.tokenizer_for(snippet_field)
             for r in results:
                 vals = r["doc"].get(snippet_field, [])

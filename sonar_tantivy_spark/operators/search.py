@@ -173,6 +173,51 @@ class Searcher:
         denom = tf + F.lit(bm25.K1) * (F.lit(1.0 - bm25.B) + F.lit(bm25.B / avgdl) * dl)
         return (F.lit(idf * (bm25.K1 + 1.0)) * tf / denom).alias("score")
 
+    # ------------------------------------------------------------ snippets
+    def expand_snippet_terms(self, node: A.Node, field: str,
+                             cap: int = 64) -> set[str]:
+        """Dictionary terms the EXPANSION clauses (prefix / regex /
+        fuzzy) of ``node`` can match on ``field`` — so snippets can
+        highlight them (collect_positive_terms only sees literal
+        terms).  One pushdown-filtered termdict scan per clause,
+        capped: highlighting is best-effort, and a broad ``a*`` must
+        not collect an unbounded dictionary slice driver-side.
+        must_not clauses never highlight (tantivy semantics)."""
+        clauses: list[A.Node] = []
+
+        def walk(n: A.Node) -> None:
+            if isinstance(n, (A.PrefixQ, A.RegexQ, A.FuzzyQ)) \
+                    and n.field == field:
+                clauses.append(n)
+            elif isinstance(n, A.BoolQ):
+                for c in n.must + n.should:  # must_not: skip
+                    walk(c)
+            elif isinstance(n, A.BoostQ):
+                walk(n.child)
+
+        walk(node)
+        if not clauses:
+            return set()
+        td = self._table("termdict")
+        if td is None:
+            return set()
+        out: set[str] = set()
+        for c in clauses:
+            terms = td.filter(F.col("field") == field)
+            if isinstance(c, A.PrefixQ):
+                terms = terms.filter(F.col("term").startswith(c.prefix))
+            elif isinstance(c, A.RegexQ):
+                terms = terms.filter(
+                    F.col("term").rlike("^(?:" + c.pattern + ")$"))
+            else:  # FuzzyQ — JVM prefilter is exact for transposition=False
+                # and a superset otherwise (fine for highlighting)
+                terms = terms.filter(
+                    F.levenshtein(F.col("term"), F.lit(c.term))
+                    <= c.distance + (1 if c.transposition else 0))
+            out.update(r["term"] for r in
+                       terms.select("term").distinct().limit(cap).collect())
+        return out
+
     # ----------------------------------------------------------- tombstones
     def _tombstones(self) -> DataFrame | None:
         """(segment_id, docid) rows deleted since the last full

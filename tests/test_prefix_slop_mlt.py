@@ -191,3 +191,30 @@ def test_more_like_this_self_similarity(index):
     got = index.more_like_this(0, "text", limit=5)
     assert 0 < len(got) <= 5
     assert all(h["score"] > 0 for h in got)
+
+
+# ------------------------------------------------- snippet expansion
+def test_snippet_highlights_expansion_matches(spark, tmp_path):
+    """Prefix / fuzzy / regex queries highlight the dictionary terms
+    they matched (termdict expansion), not nothing."""
+    cat = IndexCatalog(spark, str(tmp_path))
+    schema = [{"name": "body", "type": "text",
+               "options": {"indexing": {"record": "position",
+                                        "tokenizer": "en_stem"},
+                           "stored": True}}]
+    idx = cat.create_index("sn", schema)
+    idx.add_df(spark.createDataFrame(
+        [("the quick brown fox",), ("a quill pen",)], "body string"),
+        order_cols=["body"])
+    hits = idx.query("qui*", snippet_field="body", limit=10)
+    snips = sorted(h["snippet"] for h in hits)
+    assert any("<b>quick</b>" in s for s in snips), snips
+    assert any("<b>quill</b>" in s for s in snips), snips
+    fuzzy = idx.query_json({"query": {"fuzzy": {"body": {"value": "quick",
+                                                         "distance": 1}}},
+                            "limit": 10})
+    hit = idx.query("quick", snippet_field="body")[0]
+    assert "<b>quick</b>" in hit["snippet"]
+    # must_not expansion clauses never highlight
+    hits = idx.query("fox -quil*", snippet_field="body", limit=10)
+    assert all("<b>quill</b>" not in (h["snippet"] or "") for h in hits)
