@@ -917,9 +917,19 @@ class Searcher:
         if isinstance(node, A.PhraseQ):
             if not node.terms:
                 return 0.0
-            m = min(mtf.get((sid, node.field, t), 0) for t in node.terms)
-            if m == 0:
-                return 0.0  # phrase freq <= min per-term tf
+            mtfs = [mtf.get((sid, node.field, t), 0) for t in node.terms]
+            if min(mtfs) == 0:
+                return 0.0  # absence proof holds for any slop
+            # exact phrase (slop=0): the adjacency chain pins a distinct
+            # position of EVERY term per match, so phrase freq <= min
+            # per-term tf.  Sloppy phrase scores the surviving-position
+            # count of the LAST term (_cand_phrase __m), and one
+            # predecessor position can validate up to 1+slop successor
+            # positions — min over all terms is NOT an upper bound there;
+            # the surviving set is a subset of the last term's postings,
+            # so its max_tf is.
+            slop = int(getattr(node, "slop", 0) or 0)
+            m = mtfs[-1] if slop > 0 else min(mtfs)
             idf_sum = sum(idfs.get((node.field, t), 0.0) for t in node.terms)
             denom = m + bm25.K1 * (1.0 - bm25.B)
             return idf_sum * (bm25.K1 + 1.0) * m / denom
