@@ -317,13 +317,18 @@ class Index:
             return 0
         s = self.searcher()
         ordered = sorted(s.bases.items(), key=lambda kv: kv[1])
+        max_docs = {seg["segment_id"]: int(seg["max_doc"])
+                    for seg in s.segments}
         rows = []
         for d in docids:
             sid = None
             for seg_id, base in ordered:
                 if d >= base:
                     sid, local = seg_id, d - base
-            if sid is not None:
+            # bound-check against the owning segment's max_doc: an
+            # out-of-range docid (>= num_docs) must be a no-op, not a
+            # phantom tombstone inflating the delete count / num_deleted
+            if sid is not None and local < max_docs.get(sid, 0):
                 rows.append((sid, local))
         if not rows:
             return 0

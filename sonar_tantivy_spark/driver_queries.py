@@ -1347,21 +1347,27 @@ def q_tx_lm_xent(spark, sf_dir):
     with the LM replaced by an in-corpus trigram table so the operator
     is self-contained and oracle-checkable.
 
-    Two hash-aggs and one equi-join on the gram string.  At scale the
-    trigram-count table is vocabulary-sized (bounded by distinct grams,
-    not corpus rows) -> broadcastable; the per-doc aggregation is
-    map-side combinable.  Docs shorter than the gram order are
-    excluded (no grams, no distribution)."""
+    Two hash-aggs and one equi-join on ``xxhash64(gram)``.  The
+    trigram-count table is NOT broadcastable at scale — distinct
+    word-trigrams grow ~linearly with corpus size — so the join is a
+    shuffle equi-join (AQE still broadcasts it at small SF); hashing
+    the gram to 64 bits BEFORE the aggs keeps full gram strings out of
+    both shuffles (8-byte keys vs ~30-byte strings; collision odds at
+    even 10^12 distinct grams are ~n²/2^65, far below the corpus's own
+    bit-error rate).  The per-doc aggregation is map-side combinable.
+    Docs shorter than the gram order are excluded (no grams, no
+    distribution)."""
     d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
     n = F.size("w")
     grams = F.transform(
         F.sequence(F.lit(1), n - (XENT_GRAM - 1)),
         lambda i: F.concat_ws(" ", F.slice("w", i, XENT_GRAM)))
     g = (d.filter(n >= XENT_GRAM)
-         .select("doc_id", F.explode(grams).alias("gram")))
-    counts = g.groupBy("gram").agg(F.count("*").cast("double").alias("c"))
+         .select("doc_id", F.explode(grams).alias("gram"))
+         .select("doc_id", F.xxhash64("gram").alias("gh")))
+    counts = g.groupBy("gh").agg(F.count("*").cast("double").alias("c"))
     tot = counts.agg(F.sum("c").alias("ct"))
-    return (g.join(counts, "gram").crossJoin(F.broadcast(tot))
+    return (g.join(counts, "gh").crossJoin(F.broadcast(tot))
             .select("doc_id", F.log(F.col("c") / F.col("ct")).alias("lp"))
             .groupBy("doc_id")
             .agg(F.round(-F.avg("lp"), 4).alias("xent"),

@@ -58,7 +58,9 @@ FEATURE_SCHEMA = T.StructType(
         T.StructField("n_bytes", T.LongType(), False),
         T.StructField("sha1", T.StringType(), False),
         T.StructField("n_frames", T.IntegerType(), False),
-        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+        # nullable: a null payload yields a null feature on the real-
+        # decoder path (the stub path still always emits a vector)
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
     ]
 )
 
@@ -128,10 +130,15 @@ def extract_features(
                 raise NotImplementedError(
                     "real decoders exist only for images (PIL); "
                     "audio/video decode plugs in here")
+            # null payloads: the stub path guards with (b or b"") and
+            # resize_images masks notna(); the real path must too —
+            # PIL.open(bytes(None)) would TypeError and kill the task.
+            # A null image has no pixels: feature is None, not zeros.
             feat = (pdf["payload"].map(
                         lambda b: _stub_feature(b or b"", dim).tolist())
                     if decode_stub else
-                    pdf["payload"].map(real_feature))
+                    pdf["payload"].map(
+                        lambda b: None if b is None else real_feature(b)))
             out = {
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],

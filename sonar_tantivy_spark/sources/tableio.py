@@ -162,7 +162,15 @@ class FsStorage:
                 .parquet(base)
                 .filter(F.col("segment_id").isin(sids))
             )
-            out = df if out is None else out.unionByName(df)
+            # allowMissingColumns: table schemas EVOLVE (termdict grew a
+            # block_mtf column in r4) and epochs are immutable — an index
+            # built before the change that gains new segments afterward
+            # has mixed-schema epochs; a strict union would throw
+            # AnalysisException on every query.  Nulls flow into the
+            # readers' existing column-is-absent/None fallbacks
+            # (e.g. seg_max_tfs' block_mtf-is-None branch).
+            out = df if out is None else out.unionByName(
+                df, allowMissingColumns=True)
         return out
 
 

@@ -89,6 +89,18 @@ def test_delete_idempotent(idx):
     assert idx.query("gamma") == []
 
 
+def test_delete_docs_out_of_range_is_noop(idx):
+    """An out-of-range global docid (>= num_docs) or a negative one must
+    be ignored, NOT written as a phantom tombstone inflating the delete
+    count and num_deleted (ADVICE r4)."""
+    n = len(DOCS)
+    assert idx.delete_docs([n, n + 5, 10_000, -1]) == 0
+    assert idx.num_deleted() == 0
+    # mixed valid + invalid: only the valid docid lands
+    assert idx.delete_docs([1, n + 99]) == 1
+    assert idx.num_deleted() == 1
+
+
 def test_delete_by_query(idx):
     n = idx.delete_by_query("tag:drop")
     assert n == 2

@@ -72,3 +72,16 @@ def test_extract_features_real_grayscale(spark):
     assert len(feat) == 4
     for got, want in zip(feat, luma):
         assert abs(got - want) <= 1.5 / 255.0, (feat, luma)
+
+
+def test_extract_features_real_null_payload(spark):
+    # ADVICE r4: a null payload must yield a null feature, not a
+    # TypeError from bytes(None)/Image.open killing the whole task
+    rows = [(1, "image", bytearray(_png2x2()), "image/png", 2, 2, None),
+            (2, "image", None, "image/png", None, None, None)]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in
+           extract_features(media, dim=4, decode_stub=False).collect()}
+    assert out[1]["feature"] is not None and len(out[1]["feature"]) == 4
+    assert out[2]["feature"] is None
+    assert out[2]["n_bytes"] == 0 and out[2]["n_frames"] == 1
