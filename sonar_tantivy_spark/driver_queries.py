@@ -1207,6 +1207,8 @@ def q_ev_json_props(spark, sf_dir):
 
 
 SLOP = 1             # window slack for ft_phrase_slop
+USLOP = 2            # window slack for ft_phrase_slop_unordered (>=2
+                     # so transposed "tabl valu" occurrences match)
 MLT_TERMS = 3        # seed terms for ft_more_like_this
 
 
@@ -1237,6 +1239,39 @@ def q_ft_phrase_slop(spark, sf_dir):
             F.col("pb"),
             lambda q: F.exists(
                 F.col("pa"), lambda pp: (q > pp) & (q <= pp + 1 + SLOP))),
+    ).filter(F.size("m") > 0)
+    n, avgdl = float(t["N"]), t["avgdl"]
+    dfs = {r["term"]: r["df"] for r in
+           t["termdf"].filter(F.col("term").isin("valu", "tabl")).collect()}
+    idf_sum = sum(bm25.idf(dfs[x], t["N"]) for x in ("valu", "tabl"))
+    j = j.join(t["doclen"], on="doc_id")
+    tf = F.size("m").cast("double")
+    denom = tf + F.lit(K1) * (
+        F.lit(1.0 - B) + F.lit(B / avgdl) * F.col("dl").cast("double"))
+    return _topk(j.select(
+        "doc_id", (F.lit(idf_sum * (K1 + 1.0)) * tf / denom).alias("score")))
+
+
+def q_ft_phrase_slop_unordered(spark, sf_dir):
+    """Transposing sloppy phrase ``{"terms": ["value", "table"],
+    "slop": 2, "in_order": false}`` — Lucene 2-term rule: a position q
+    of the second term survives iff some position p of the first has
+    q != p and |q - (p + 1)| <= slop (a transposition costs 2);
+    phrase-tf = surviving-q count.  Same single-scan chain as the
+    engine's _cand_phrase unordered branch."""
+    t = _ft(spark, sf_dir)
+    p = t["postings"]
+    a = p.filter(F.col("term") == "valu").select(
+        "doc_id", F.col("positions").alias("pa"))
+    b = p.filter(F.col("term") == "tabl").select(
+        "doc_id", F.col("positions").alias("pb"))
+    j = a.join(b, on="doc_id").withColumn(
+        "m", F.filter(
+            F.col("pb"),
+            lambda q: F.exists(
+                F.col("pa"),
+                lambda pp: (q != pp) & (q >= pp + 1 - USLOP)
+                & (q <= pp + 1 + USLOP))),
     ).filter(F.size("m") > 0)
     n, avgdl = float(t["N"]), t["avgdl"]
     dfs = {r["term"]: r["df"] for r in
@@ -1468,6 +1503,7 @@ QUERIES = {
     "ev_json_props": q_ev_json_props,
     "ft_prefix": q_ft_prefix,
     "ft_phrase_slop": q_ft_phrase_slop,
+    "ft_phrase_slop_unordered": q_ft_phrase_slop_unordered,
     "ft_more_like_this": q_ft_more_like_this,
     "dd_para_dup": q_dd_para_dup,
     "pl_domain_quota": q_pl_domain_quota,
@@ -2116,6 +2152,20 @@ WHERE term LIKE 'b%' ORDER BY doc_id""",
   SELECT a.doc_id, count(DISTINCT b.pos) AS ptf FROM toks a
   JOIN toks b ON a.doc_id = b.doc_id
              AND b.pos > a.pos AND b.pos <= a.pos + {1 + SLOP}
+  WHERE a.term = 'valu' AND b.term = 'tabl' GROUP BY a.doc_id),
+idfs AS (SELECT sum(ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5))) AS idf_sum
+         FROM tdf t CROSS JOIN stats s WHERE t.term IN ('valu', 'tabl'))
+SELECT j.doc_id,
+       round(i.idf_sum * 2.2 * j.ptf
+             / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 4) AS score
+FROM adj j JOIN dlq q USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
+ORDER BY round(i.idf_sum * 2.2 * j.ptf
+               / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 7) DESC, j.doc_id
+LIMIT 10""",
+        "ft_phrase_slop_unordered": pre + f""", adj AS (
+  SELECT a.doc_id, count(DISTINCT b.pos) AS ptf FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id
+             AND b.pos <> a.pos AND abs(b.pos - a.pos - 1) <= {USLOP}
   WHERE a.term = 'valu' AND b.term = 'tabl' GROUP BY a.doc_id),
 idfs AS (SELECT sum(ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5))) AS idf_sum
          FROM tdf t CROSS JOIN stats s WHERE t.term IN ('valu', 'tabl'))

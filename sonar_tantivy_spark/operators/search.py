@@ -370,13 +370,14 @@ class Searcher:
         # phrase terms read the same positions array at different offsets
         match = F.element_at(F.col("__pos"), F.lit(terms[0]))
         slop = int(getattr(node, "slop", 0) or 0)
+        in_order = bool(getattr(node, "in_order", True))
         for t in terms[1:]:
             if slop == 0:
                 match = F.array_intersect(
                     F.transform(match, lambda x: x + 1),
                     F.element_at(F.col("__pos"), F.lit(t)),
                 )
-            else:
+            elif in_order:
                 # sloppy chain (ordered within-window): keep positions q
                 # of the next term with p < q <= p + 1 + slop for some
                 # surviving p.  slop=0 would reduce to the intersect
@@ -388,6 +389,20 @@ class Searcher:
                     F.element_at(F.col("__pos"), F.lit(t)),
                     lambda q: F.exists(
                         prev, lambda p: (q > p) & (q <= p + 1 + slop)),
+                )
+            else:
+                # Lucene-style transposing window (in_order=False): keep
+                # q with |q - (p + 1)| <= slop and q != p — for 2-term
+                # phrases exactly Lucene's matchLength rule ("b a"
+                # matches "a b"~2, never ~1); documented per-pair
+                # generalization for k > 2 (plans/ast.py).  Same plan
+                # shape as the ordered chain.
+                prev = match
+                match = F.filter(
+                    F.element_at(F.col("__pos"), F.lit(t)),
+                    lambda q: F.exists(
+                        prev, lambda p: (q != p)
+                        & (q >= p + 1 - slop) & (q <= p + 1 + slop)),
                 )
         agg = agg.withColumn("__m", match).filter(F.size("__m") > 0)
         idf_sum = sum(bm25.idf(dfs[(node.field, t)], self.num_docs) for t in terms)

@@ -40,12 +40,24 @@ class TermQ(Node):
 class PhraseQ(Node):
     field: str
     terms: list[str]
-    # ordered within-window slop: each successive term must appear at a
-    # position p_prev < p <= p_prev + 1 + slop.  slop=0 is the exact
-    # adjacent phrase.  BEYOND-REFERENCE extension (the reference's
-    # toshi DSL exposes no slop); the order-preserving pin is deliberate
-    # and documented — Lucene-style transposing slop is NOT implemented.
+    # BEYOND-REFERENCE extension (the reference's toshi DSL exposes no
+    # slop).  Two pinned slop semantics, selected by ``in_order``:
+    #
+    # in_order=True (default, the string grammar's ``"a b"~N``):
+    #   ordered within-window — each successive term must appear at a
+    #   position p_prev < q <= p_prev + 1 + slop.
+    # in_order=False (JSON/API only): Lucene-style transposing slop —
+    #   each successive term within |q - (p_prev + 1)| <= slop and
+    #   q != p_prev.  For two terms this is EXACTLY Lucene's
+    #   SloppyPhraseScorer matchLength rule: "b a" matches "a b"~2
+    #   (a transposition costs 2) but never "a b"~1.  For k > 2 the
+    #   per-adjacent-pair window is this engine's documented
+    #   generalization (Lucene's k-term greedy repositioning is not
+    #   reproduced).
+    #
+    # slop=0 is the exact adjacent phrase under either mode.
     slop: int = 0
+    in_order: bool = True
 
 
 @dataclass
@@ -148,6 +160,8 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
         (field, spec), = body.items()
         terms = spec["terms"] if isinstance(spec, dict) else list(spec)
         slop = int(spec.get("slop", 0)) if isinstance(spec, dict) else 0
+        in_order = bool(spec.get("in_order", True)) \
+            if isinstance(spec, dict) else True
         if slop < 0:
             raise QueryError("phrase slop must be >= 0")
         fdef = schema.field(field)
@@ -156,7 +170,7 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
         analyzed: list[str] = []
         for t in terms:
             analyzed.extend(_analyze_one(schema, field, t))
-        return PhraseQ(field, analyzed, slop=slop)
+        return PhraseQ(field, analyzed, slop=slop, in_order=in_order)
     if kind == "prefix":
         (field, value), = body.items()
         value = value["value"] if isinstance(value, dict) else str(value)

@@ -100,12 +100,20 @@ class OracleIndex:
             for i in range(1, len(terms)):
                 if slop == 0:
                     match = {p + 1 for p in match} & set(plists[i][d])
-                else:
+                elif getattr(node, "in_order", True):
                     # ordered within-window: q survives iff some prior
                     # position p has p < q <= p + 1 + slop
                     match = {
                         q for q in plists[i][d]
                         if any(p < q <= p + 1 + slop for p in match)
+                    }
+                else:
+                    # transposing window (Lucene 2-term rule):
+                    # |q - (p + 1)| <= slop and q != p
+                    match = {
+                        q for q in plists[i][d]
+                        if any(q != p and abs(q - p - 1) <= slop
+                               for p in match)
                     }
             if match:
                 out[d] = bm25.score(len(match), self._dl(node.field, d), avgdl, idf_sum)

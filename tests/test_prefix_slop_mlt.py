@@ -93,6 +93,10 @@ PARITY = {
         "must": [{"phrase": {"text": {"terms": ["hello", "world"],
                                       "slop": 2}}}],
         "should": [{"term": {"text": "needle"}}]}},
+    "slop2_unordered": {"phrase": {"text": {
+        "terms": ["hello", "world"], "slop": 2, "in_order": False}}},
+    "slop3_unordered": {"phrase": {"text": {
+        "terms": ["world", "hello"], "slop": 3, "in_order": False}}},
     "prefix_in_bool": {"bool": {
         "must": [{"term": {"text": "hello"}},
                  {"prefix": {"text": "wor"}}]}},
@@ -143,6 +147,51 @@ def test_slop_respects_order(spark, tmp_path):
     hits = idx.query('"alpha beta"~5', limit=10)
     bodies = sorted(h["doc"]["body"][0] for h in hits)
     assert bodies == ["alpha beta", "alpha gap beta"]  # never "beta alpha"
+
+
+def test_unordered_slop_lucene_transposition_cost(spark, tmp_path):
+    """in_order=False pins the Lucene 2-term rule: a transposition
+    costs 2 slop — "beta alpha" matches "alpha beta"~2 unordered but
+    NEVER ~1; ordered mode never matches it at any slop."""
+    cat = IndexCatalog(spark, str(tmp_path))
+    schema = [{"name": "body", "type": "text",
+               "options": {"indexing": {"record": "position",
+                                        "tokenizer": "en_stem"},
+                           "stored": True}}]
+    idx = cat.create_index("u", schema)
+    idx.add_df(spark.createDataFrame(
+        [("alpha beta",), ("beta alpha",), ("beta gap alpha",),
+         ("alpha gap beta",)], "body string"), order_cols=["body"])
+
+    def bodies(slop, in_order):
+        q = {"phrase": {"body": {"terms": ["alpha", "beta"], "slop": slop,
+                                 "in_order": in_order}}}
+        res = idx.query_json({"query": q, "limit": 10})
+        return sorted(h["doc"]["body"][0] for h in res["docs"])
+
+    assert bodies(1, False) == ["alpha beta", "alpha gap beta"]
+    assert bodies(2, False) == ["alpha beta", "alpha gap beta",
+                                "beta alpha"]
+    # "beta gap alpha": q at p-2 → |q-p-1| = 3
+    assert bodies(3, False) == ["alpha beta", "alpha gap beta",
+                                "beta alpha", "beta gap alpha"]
+    assert bodies(5, True) == ["alpha beta", "alpha gap beta"]
+    # slop=0 unordered IS the exact phrase (either mode)
+    assert bodies(0, False) == bodies(0, True) == ["alpha beta"]
+
+
+def test_unordered_slop_pruned_parity(index):
+    """top_k_pruned == top_k for unordered slop (the last-term max_tf
+    bound covers the unordered surviving set too)."""
+    s = index.searcher()
+    node = A.parse_json(
+        {"phrase": {"text": {"terms": ["world", "hello"], "slop": 2,
+                             "in_order": False}}}, index.schema)
+    def rows(df):
+        return [(int(r["docid_g"]), round(float(r["score"]), 9))
+                for r in df.collect()]
+    assert rows(s.top_k_pruned(node, limit=10)) == \
+        rows(s.top_k(node, limit=10))
 
 
 # --------------------------------------------------------- plan shapes

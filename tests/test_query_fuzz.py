@@ -54,7 +54,8 @@ def gen_node(rng: random.Random, depth: int = 0) -> A.Node:
         return A.PhraseQ("text", ["hello", "world"])
     if kind == "slop":
         return A.PhraseQ("text", ["hello", "world"],
-                         slop=rng.choice([1, 2, 4]))
+                         slop=rng.choice([1, 2, 4]),
+                         in_order=rng.random() < 0.5)
     if kind == "prefix":
         return A.PrefixQ("text", rng.choice(["hel", "wor", "wba", "zzz"]))
     if kind == "fuzzy":
