@@ -140,6 +140,21 @@ def q_ft_bool_should(spark, sf_dir):
     return _topk(s.groupBy("doc_id").agg(F.sum("score").alias("score")))
 
 
+def q_ft_bool_msm(spark, sf_dir):
+    """Bool should-OR of ('tabl', 'row', 'hash') with
+    minimum_should_match=2 (round-5 surface; toshi BoolQuery carries
+    the field, semantics are the ES/Lucene contract): a doc matches iff
+    >= 2 of the clauses match; score stays the plain sum over ALL
+    matching clauses.  Engine analog: search.py _cand_bool(_terms_fast)
+    __smc counting."""
+    s = _scored(spark, sf_dir).filter(
+        F.col("term").isin("tabl", "row", "hash"))
+    return _topk(
+        s.groupBy("doc_id")
+        .agg(F.sum("score").alias("score"), F.count("*").alias("nm"))
+        .filter(F.col("nm") >= 2).drop("nm"))
+
+
 def q_ft_must_not(spark, sf_dir):
     s = _scored(spark, sf_dir)
     pos = s.filter(F.col("term") == "tabl").select("doc_id", "score")
@@ -1308,7 +1323,24 @@ def q_ft_more_like_this(spark, sf_dir):
 
 PARA_W = 10          # paragraph-proxy width (corpus has no newlines)
 QUOTA_K = 25         # per-source quota for pl_domain_quota
-QUOTA_SALT = 8       # salt fan-out for the two-phase exact top-K
+QUOTA_SALT = 8       # MINIMUM salt fan-out for the two-phase exact
+                     # top-K; the effective fan-out scales with the
+                     # cluster (see _quota_salt) so the hottest domain
+                     # puts ~|domain|/parallelism rows through any one
+                     # phase-1 sort partition at any cluster size
+
+
+def _quota_salt(spark) -> int:
+    """Salt fan-out for the two-phase quota: max(QUOTA_SALT,
+    defaultParallelism).  The OUTPUT is salt-invariant — phase 1 keeps
+    the top-K of every salt bucket, a superset of the global top-K, so
+    phase 2's result equals the single-window rank for ANY fan-out —
+    which is what lets the fan-out track cluster size instead of being
+    pinned by the oracle."""
+    try:
+        return max(QUOTA_SALT, int(spark.sparkContext.defaultParallelism))
+    except Exception:
+        return QUOTA_SALT
 XENT_GRAM = 3        # word n-gram order for the corpus LM
 ZSCORE_THRESH = 2.0  # |z| flag threshold for ev_zscore_anomaly
 
@@ -1353,17 +1385,21 @@ def q_pl_domain_quota(spark, sf_dir):
 
     Exact two-phase top-K so no single reducer ever sorts a whole
     domain: phase 1 ranks within (source, salt) — any one sort
-    partition holds ~1/QUOTA_SALT of even the hottest domain — and
-    keeps K rows per salt; phase 2 ranks the surviving
-    <= QUOTA_SALT*K rows per source.  Identical output to a
-    single-window rank (the oracle), partitioning-invariant, and the
-    phase-2 shuffle carries only K*S rows per domain regardless of
-    domain size."""
+    partition holds ~1/salt of even the hottest domain — and keeps K
+    rows per salt; phase 2 ranks the surviving <= salt*K rows per
+    source.  Identical output to a single-window rank (the oracle) for
+    ANY fan-out (phase 1 keeps a superset of the global top-K), so the
+    fan-out scales with the cluster (_quota_salt: max(8,
+    defaultParallelism)) instead of being a fixed constant that would
+    leave |domain|/8 rows in one phase-1 partition at 1000 executors;
+    the phase-2 shuffle still carries only K*salt rows per domain
+    regardless of domain size."""
     from pyspark.sql import Window
+    salt_n = _quota_salt(spark)
     d = _docs(spark, sf_dir).select(
         "doc_id", "source",
         F.md5(F.col("doc_id").cast("string")).alias("h"),
-        F.pmod(F.hash("doc_id"), F.lit(QUOTA_SALT)).alias("salt"))
+        F.pmod(F.hash("doc_id"), F.lit(salt_n)).alias("salt"))
     w1 = Window.partitionBy("source", "salt").orderBy("h", "doc_id")
     s1 = (d.withColumn("r1", F.row_number().over(w1))
           .filter(F.col("r1") <= QUOTA_K))
@@ -1453,6 +1489,7 @@ QUERIES = {
     "ft_term_bm25": q_ft_term_bm25,
     "ft_bool_must": q_ft_bool_must,
     "ft_bool_should": q_ft_bool_should,
+    "ft_bool_msm": q_ft_bool_msm,
     "ft_must_not": q_ft_must_not,
     "ft_phrase": q_ft_phrase,
     "ft_all": q_ft_all,
@@ -1831,6 +1868,10 @@ WHERE a.term = 'tabl' AND b.term = 'row'
 ORDER BY round(a.score + b.score, 7) DESC, a.doc_id LIMIT 10""",
         "ft_bool_should": pre + """SELECT doc_id, round(sum(score), 4) AS score
 FROM scored WHERE term IN ('tabl', 'row') GROUP BY doc_id
+ORDER BY round(sum(score), 7) DESC, doc_id LIMIT 10""",
+        "ft_bool_msm": pre + """SELECT doc_id, round(sum(score), 4) AS score
+FROM scored WHERE term IN ('tabl', 'row', 'hash') GROUP BY doc_id
+HAVING count(*) >= 2
 ORDER BY round(sum(score), 7) DESC, doc_id LIMIT 10""",
         "ft_must_not": pre + """SELECT doc_id, round(score, 4) AS score FROM scored
 WHERE term = 'tabl'

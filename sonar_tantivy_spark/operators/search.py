@@ -571,6 +571,9 @@ class Searcher:
         if any(dfs.get(p, 0) == 0 for p in must_pairs):
             return None  # a zero-df must empties the conjunction
         should_pairs = [p for p in should_pairs if dfs.get(p, 0) > 0]
+        msm = int(getattr(node, "min_should", 0) or 0)
+        if msm > len(should_pairs):
+            return None  # fewer live shoulds than the minimum → no match
         pairs = must_pairs + should_pairs
         if not pairs:
             return None
@@ -628,11 +631,16 @@ class Searcher:
                                      how="left_semi")
         out = (
             scored.groupBy("segment_id", "docid")
-            .agg(F.sum("score").alias("score"), F.sum("__m").alias("__nm"))
+            .agg(F.sum("score").alias("score"), F.sum("__m").alias("__nm"),
+                 F.count("*").alias("__nt"))
         )
         if must_pairs:
             out = out.filter(F.col("__nm") == len(must_pairs))
-        out = out.drop("__nm")
+        if msm > 0:
+            # matched-should count = total matched pairs − matched musts
+            # (postings are unique per (field, term, docid))
+            out = out.filter(F.col("__nt") - F.col("__nm") >= msm)
+        out = out.drop("__nm", "__nt")
         for c in node.must_not:
             mn = self._cand_opt(c, dfs)
             if mn is not None:
@@ -653,6 +661,9 @@ class Searcher:
                    if s is not None]
         mnots = [m for m in (self._cand_opt(c, dfs) for c in node.must_not)
                  if m is not None]
+        msm = int(getattr(node, "min_should", 0) or 0)
+        if msm > len(shoulds):
+            return None  # fewer live shoulds than the minimum → no match
 
         if musts:
             out = musts[0]
@@ -662,20 +673,35 @@ class Searcher:
                 out = out.withColumn(
                     "score", F.col("score") + F.col(f"__s{i}")
                 ).drop(f"__s{i}")
-            # optional shoulds contribute score to docs already matching musts
+            # optional shoulds contribute score to docs already matching
+            # musts; with minimum_should_match, count the non-null joins
+            if msm > 0:
+                out = out.withColumn("__smc", F.lit(0))
             for i, s in enumerate(shoulds):
                 s = s.withColumnRenamed("score", f"__o{i}")
                 out = out.join(s, on=["segment_id", "docid"], how="left")
+                if msm > 0:
+                    out = out.withColumn(
+                        "__smc", F.col("__smc")
+                        + F.col(f"__o{i}").isNotNull().cast("int"))
                 out = out.withColumn(
                     "score", F.col("score") + F.coalesce(F.col(f"__o{i}"), F.lit(0.0))
                 ).drop(f"__o{i}")
+            if msm > 0:
+                out = out.filter(F.col("__smc") >= msm).drop("__smc")
         elif shoulds:
             out = shoulds[0]
             if len(shoulds) > 1:  # single clause is already (seg, docid)-unique
                 for s in shoulds[1:]:
                     out = out.unionByName(s)
+                # each clause's candidate set is (seg, docid)-unique, so
+                # the row count IS the matched-should count
                 out = out.groupBy("segment_id", "docid").agg(
-                    F.sum("score").alias("score"))
+                    F.sum("score").alias("score"),
+                    F.count("*").alias("__smc"))
+                if msm > 0:
+                    out = out.filter(F.col("__smc") >= msm)
+                out = out.drop("__smc")
         else:
             return None  # only-must_not (or all-empty) matches nothing ⟨tantivy⟩
 
@@ -958,11 +984,17 @@ class Searcher:
                     return 0.0  # a must-clause provably can't match here
                 total += b
             should_sum = 0.0
+            should_live = 0  # clauses not PROVABLY absent (bound != 0)
             for c in node.should:
                 b = self._node_bound(c, sid, idfs, mtf)
                 if b is None:
                     return None
+                if b != 0.0:
+                    should_live += 1
                 should_sum += b
+            msm = int(getattr(node, "min_should", 0) or 0)
+            if 0 < msm and should_live < msm:
+                return 0.0  # can't reach minimum_should_match here
             if not node.must:
                 return should_sum  # 0.0 when every should is absent
             return total + should_sum  # must_not only shrinks the match set

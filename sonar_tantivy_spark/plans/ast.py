@@ -105,6 +105,13 @@ class BoolQ(Node):
     must: list[Node] = dc_field(default_factory=list)
     must_not: list[Node] = dc_field(default_factory=list)
     should: list[Node] = dc_field(default_factory=list)
+    # minimum_should_match (toshi BoolQuery carries the field in its
+    # DSL; semantics here are the ES/Lucene contract): a doc matches
+    # only if >= min_should SHOULD clauses match.  0 = default Lucene
+    # behavior (shoulds optional when musts exist, >=1 required when
+    # they don't).  Ignored when there are no should clauses (ES rule).
+    # Scoring is unchanged — every matching clause contributes.
+    min_should: int = 0
 
 
 @dataclass
@@ -181,6 +188,10 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
                          ("should", node.should)):
             for sub in body.get(key, []) or []:
                 dst.append(parse_json(sub, schema))
+        msm = int(body.get("minimum_should_match", 0))
+        if msm < 0:
+            raise QueryError("minimum_should_match must be >= 0")
+        node.min_should = msm if node.should else 0  # ES: no shoulds → ignored
         return node
     if kind == "fuzzy":
         (field, spec), = body.items()

@@ -133,6 +133,11 @@ class OracleIndex:
         musts = [self.score(c) for c in node.must]
         shoulds = [self.score(c) for c in node.should]
         mnots = [self.score(c) for c in node.must_not]
+        msm = int(getattr(node, "min_should", 0) or 0)
+        smc: dict[int, int] = defaultdict(int)
+        for s in shoulds:
+            for d in s:
+                smc[d] += 1
         if musts:
             keys = set(musts[0])
             for m in musts[1:]:
@@ -150,6 +155,8 @@ class OracleIndex:
             out = dict(out)
         else:
             return {}
+        if msm > 0:
+            out = {d: v for d, v in out.items() if smc[d] >= msm}
         for mn in mnots:
             for d in mn:
                 out.pop(d, None)

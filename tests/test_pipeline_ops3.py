@@ -100,6 +100,18 @@ def test_domain_quota_caps_every_source(spark):
     assert per_src and all(v <= dq.QUOTA_K for v in per_src.values())
 
 
+def test_domain_quota_salt_invariant(spark, monkeypatch):
+    """The effective salt fan-out scales with the cluster
+    (_quota_salt), so the OUTPUT must be identical at any fan-out —
+    phase 1 keeps a superset of the global top-K per bucket."""
+    def run(n):
+        monkeypatch.setattr(dq, "_quota_salt", lambda _s: n)
+        return sorted((r["doc_id"], r["source"], r["rank_in_source"])
+                      for r in dq.QUERIES["pl_domain_quota"](
+                          spark, SF).collect())
+    assert run(1) == run(3) == run(64)
+
+
 # ----------------------------------------------------------- tx_lm_xent
 def test_lm_xent_bruteforce(spark):
     """xent matches -mean(ln p(gram)) under the corpus trigram

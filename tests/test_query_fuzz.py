@@ -69,6 +69,8 @@ def gen_node(rng: random.Random, depth: int = 0) -> A.Node:
         node.must.append(gen_node(rng, depth + 1))
     for _ in range(rng.randint(0, 1)):
         node.must_not.append(gen_node(rng, depth + 1))
+    if rng.random() < 0.3:
+        node.min_should = rng.randint(1, len(node.should))
     if rng.random() < 0.25:
         return A.BoostQ(node, rng.choice([0.5, 2.0]))
     return node

@@ -1,7 +1,14 @@
 """Local replica of the driver's correctness gate: run every
 ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at
 sf0.01, compare row count, column names/types, and order-insensitive
-values.  Usage: python tools/verify_contract.py [sf_dir] [name ...]"""
+values.  Usage: python tools/verify_contract.py [sf_dir] [name ...]
+
+A FULL run (no name filter) also writes ``CORRECTNESS_LOCAL.json`` at
+the repo root: per-query pass/fail plus the registered-query manifest,
+git HEAD, and timestamp.  The driver's CORRECTNESS_r{N}.json went stale
+two rounds running (r3 == r4 byte-identical while the registry grew);
+this artifact makes staleness detectable at a glance — compare its
+``registered`` list against the driver file's keys."""
 
 from __future__ import annotations
 
@@ -58,6 +65,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -68,10 +76,13 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"ok": False, "err": f"spark: {e}"}
             n_fail += 1
             continue
         if name not in oracles:
             print(f"pass {name}: rows-only ({len(srows)} rows, no oracle)")
+            results[name] = {"ok": True, "rows": len(srows),
+                             "mode": "rows-only"}
             n_pass += 1
             continue
         try:
@@ -80,6 +91,7 @@ def main():
             drows = res.fetchall()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            results[name] = {"ok": False, "err": f"duckdb: {e}"}
             n_fail += 1
             continue
         sc, sr = norm_rows(scols, srows)
@@ -100,7 +112,35 @@ def main():
             n_pass += 1
         else:
             n_fail += 1
+        results[name] = {"ok": ok, "rows": len(sr),
+                         "wall_s": round(time.time() - t0, 1)}
     print(f"\n{n_pass} pass, {n_fail} fail")
+    if not only:
+        import json
+        import subprocess
+
+        try:
+            head = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))).stdout.strip()
+        except OSError:
+            head = "unknown"
+        art = {
+            "sf_dir": sf_dir,
+            "git_head": head,
+            "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "registered": sorted(qs),
+            "n_pass": n_pass,
+            "n_fail": n_fail,
+            "results": results,
+        }
+        out = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "CORRECTNESS_LOCAL.json")
+        with open(out, "w") as f:
+            json.dump(art, f, indent=1, sort_keys=True)
+        print(f"wrote {out} ({len(results)} queries)")
     from sonar_tantivy_spark import driver_queries
     driver_queries.clear_cache()
     spark.stop()
