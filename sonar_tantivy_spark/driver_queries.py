@@ -1445,6 +1445,46 @@ def q_tx_lm_xent(spark, sf_dir):
                  F.count("*").cast("long").alias("n_grams")))
 
 
+def q_pl_split_hash(spark, sf_dir):
+    """Deterministic train/val/test split (90/5/5) by content-free hash
+    of the doc key — the standard leakage-safe split for training
+    corpora: membership depends only on doc_id, so re-runs, re-shards,
+    and incremental arrivals land every doc in the same split with no
+    global coordination.  Map-only, zero shuffle at any scale.
+
+    The bucket is the first 4 hex chars of md5(doc_id) compared
+    LEXICALLY against hex literals (equal-length hex strings sort like
+    their values — 0xE666/65536 = 0.8999.., 0xF333/65536 = 0.9500..),
+    which keeps the Spark plan and the DuckDB oracle bit-identical
+    without a shared integer-hash function."""
+    d = _docs(spark, sf_dir)
+    h4 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    split = (F.when(h4 < "e666", "train")
+             .when(h4 < "f333", "val")
+             .otherwise("test"))
+    return d.select("doc_id", split.alias("split"), h4.alias("bucket"))
+
+
+NGRAM_TOP = 50       # corpus-level top-N bigrams for tx_ngram_freq
+
+
+def q_tx_ngram_freq(spark, sf_dir):
+    """Corpus-level bigram frequency table, top-50 — the corpus-stats
+    staple behind vocabulary builds, collocation mining, and
+    boilerplate spotting.  Explode adjacent word pairs → one hash-agg
+    (map-side combinable: the shuffle carries (gram, partial-count),
+    never rows) → TakeOrdered 50.  At 100 TB the agg width is the
+    distinct-bigram count, not the corpus; the final top-N is a k=50
+    TakeOrderedAndProject, not a global sort."""
+    d = _docs(spark, sf_dir).select(F.split("text", " ").alias("w"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("w") - 1),
+        lambda i: F.concat_ws(" ", F.slice("w", i, 2)))
+    g = d.filter(F.size("w") >= 2).select(F.explode(grams).alias("gram"))
+    return (g.groupBy("gram").agg(F.count("*").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("gram")).limit(NGRAM_TOP))
+
+
 def q_ev_zscore_anomaly(spark, sf_dir):
     """Daily per-type volume anomaly detection: z-score each
     (event_type, day) count against that type's all-days mean/stddev,
@@ -1547,6 +1587,8 @@ QUERIES = {
     "tx_lm_xent": q_tx_lm_xent,
     "ev_zscore_anomaly": q_ev_zscore_anomaly,
     "tx_normalize": q_tx_normalize,
+    "pl_split_hash": q_pl_split_hash,
+    "tx_ngram_freq": q_tx_ngram_freq,
 }
 
 
@@ -2282,4 +2324,19 @@ length(trim(regexp_replace(regexp_replace(nfc_normalize(text),
      '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]', '', 'g'),
      '\\s+', ' ', 'g')))::BIGINT AS n_chars_norm
 FROM documents""",
+        "pl_split_hash": """SELECT doc_id,
+CASE WHEN substring(md5(doc_id::VARCHAR), 1, 4) < 'e666' THEN 'train'
+     WHEN substring(md5(doc_id::VARCHAR), 1, 4) < 'f333' THEN 'val'
+     ELSE 'test' END AS split,
+substring(md5(doc_id::VARCHAR), 1, 4) AS bucket
+FROM documents""",
+        "tx_ngram_freq": f"""WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+t AS (SELECT doc_id, unnest(w) AS tok,
+             generate_subscripts(w, 1) AS pos FROM d),
+g AS (
+  SELECT a.tok || ' ' || b.tok AS gram
+  FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
+SELECT gram, count(*)::BIGINT AS cnt FROM g GROUP BY gram
+ORDER BY cnt DESC, gram LIMIT {NGRAM_TOP}""",
     }

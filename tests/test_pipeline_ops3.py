@@ -220,3 +220,38 @@ def test_normalize_driver_query_clean_corpus(spark):
     assert rows and all(not r["changed"] for r in rows)
     for r in rows:
         assert r["n_chars_norm"] == len(texts[r["doc_id"]])
+
+
+# ------------------------------------------------------- pl_split_hash
+def test_split_hash_deterministic_and_sane(spark):
+    rows = dq.QUERIES["pl_split_hash"](spark, SF).collect()
+    again = dq.QUERIES["pl_split_hash"](spark, SF).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    frac = {}
+    for r in rows:
+        frac[r["split"]] = frac.get(r["split"], 0) + 1
+    n = sum(frac.values())
+    assert set(frac) <= {"train", "val", "test"}
+    # 90/5/5 within generous binomial slack at sf0.01 (500 docs)
+    assert 0.8 <= frac["train"] / n <= 0.97
+    # the split is a pure function of doc_id: bucket agrees with md5
+    import hashlib
+    for r in rows[:20]:
+        assert r["bucket"] == hashlib.md5(
+            str(r["doc_id"]).encode()).hexdigest()[:4]
+
+
+# ------------------------------------------------------- tx_ngram_freq
+def test_ngram_freq_bruteforce(spark):
+    import collections
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("text").collect()
+    cnt = collections.Counter()
+    for r in docs:
+        w = r["text"].split(" ")
+        for i in range(len(w) - 1):
+            cnt[w[i] + " " + w[i + 1]] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:dq.NGRAM_TOP]
+    got = [(r["gram"], r["cnt"])
+           for r in dq.QUERIES["tx_ngram_freq"](spark, SF).collect()]
+    assert got == want
