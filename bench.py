@@ -238,6 +238,14 @@ def run_attempt() -> dict:
         # postings scan; sloppy phrase reuses the single-scan plan
         "q16_prefix": "hell*",
         "q17_slop": '"hello world"~2',
+        # round-5 surfaces: transposing slop (Lucene in_order=false) and
+        # minimum_should_match (counting stays inside the one-scan agg)
+        "q18_slop_unordered": {"phrase": {"text": {
+            "terms": ["world", "hello"], "slop": 2, "in_order": False}}},
+        "q19_msm": {"bool": {"should": [{"term": {"text": "hello"}},
+                                        {"term": {"text": "world"}},
+                                        {"term": {"text": "mundo"}}],
+                             "minimum_should_match": 2}},
     }
     # query phase: modest shuffle fan-out wins for k=10 result sets.
     # top_k_pruned IS the default path (Index.query/query_df) — bench it,

@@ -1055,6 +1055,7 @@ class Searcher:
         cover = self._term_cover(node)
         pairs = collect_terms(node)
         bmtf = self.seg_block_mtfs(pairs) if cover else {}
+        smtf = self.seg_max_tfs(pairs) if pairs else {}
         units: list[tuple] = []
         btotal = bzero = 0
         for sid in live:
@@ -1063,7 +1064,15 @@ class Searcher:
                 if cover else {}
             if not cover or not bd or \
                     all(m is None for m in seg_maps.values()):
-                units.append((sid, None, None, None, bounds[sid]))
+                # unit element 5 is the LIVE-TERM SIGNATURE: the set of
+                # query (field, term) pairs present in the unit.  The
+                # probe gate compares bounds only within one signature
+                # class (see top_k_pruned) — a bound gap between units
+                # holding different term SETS is compositional, not a
+                # tf burst, and θ almost never clears it.
+                sig = frozenset(
+                    p for p in pairs if smtf.get(p, {}).get(sid, 0) > 0)
+                units.append((sid, None, None, None, bounds[sid], sig))
                 continue
             blks = sorted({b for m in seg_maps.values() if m for b in m})
             bunits = []
@@ -1078,9 +1087,13 @@ class Searcher:
                     break
                 if bound <= 0.0:
                     continue  # absence proof: a must-term misses the block
-                bunits.append((sid, b, b * bd, (b + 1) * bd - 1, bound))
+                sig = frozenset(
+                    p for p in pairs if mtf_b.get(((sid, b),) + p, 0) > 0)
+                bunits.append((sid, b, b * bd, (b + 1) * bd - 1, bound, sig))
             if unboundable:
-                units.append((sid, None, None, None, bounds[sid]))
+                sig = frozenset(
+                    p for p in pairs if smtf.get(p, {}).get(sid, 0) > 0)
+                units.append((sid, None, None, None, bounds[sid], sig))
                 continue
             btotal += len(blks)
             bzero += len(blks) - len(bunits)
@@ -1112,7 +1125,7 @@ class Searcher:
                 continue
             partial = True
             ranges: list[list[int]] = []
-            for _, _, lo, hi, _ in sorted(us, key=lambda u: u[2]):
+            for _, _, lo, hi, *_ in sorted(us, key=lambda u: u[2]):
                 if ranges and ranges[-1][1] + 1 == lo:
                     ranges[-1][1] = hi
                 else:
@@ -1234,8 +1247,39 @@ class Searcher:
             if g > gap:
                 gap, gap_idx = g, i
         below_gap = len(ub) - gap_idx if gap_idx else 0
+
+        # signature refinement (round 5): the gap must exist WITHIN one
+        # live-term-signature class, not merely BETWEEN classes.  A
+        # cross-class gap is compositional — e.g. bool-should with a
+        # rare third term under minimum_should_match splits the bounds
+        # into {all 3 terms live} vs {2 live} clusters 40% apart, but θ
+        # (a real k-th score, where tf≈1 and dl≈avgdl) sits BELOW the
+        # 2-term cluster's saturation bound, so the probe paid a second
+        # job to skip ~nothing (measured: q19_msm 2.89s probed vs 1.49s
+        # plain, 2/77 blocks skipped).  A genuine burst varies max_tf
+        # WITHIN one signature (q15_trend: same term everywhere, tf 8
+        # vs 1), where real burst scores approach the bound and θ
+        # clears the cold cluster.  Single-signature queries (term,
+        # phrase, must-conjunctions after absence proofs) reduce to the
+        # round-4 gate exactly.
+        def _bimodal(vals: list) -> bool:
+            if len(vals) < 2:
+                return False
+            vs = sorted(vals, reverse=True)
+            g, gi = 0.0, 0
+            for i in range(1, len(vs)):
+                d = vs[i - 1] - vs[i]
+                if d > g:
+                    g, gi = d, i
+            below = len(vs) - gi if gi else 0
+            return g >= 0.1 * vs[0] and below >= max(2, len(vs) // 4)
+
+        by_sig: dict = {}
+        for u in units:
+            by_sig.setdefault(u[5], []).append(u[4])
+        sig_bimodal = any(_bimodal(v) for v in by_sig.values())
         if len(units) < 2 or gap < 0.1 * u_max \
-                or below_gap < max(2, len(units) // 4):
+                or below_gap < max(2, len(units) // 4) or not sig_bimodal:
             if stats["segments_skipped"] == 0 and bzero == 0:
                 return self.top_k(node, limit=limit)
             sub = self._restricted(set(live_segs))
@@ -1256,7 +1300,7 @@ class Searcher:
         n_probe = max(1, min(_math.ceil(len(order) / 4), 32))
         probe = order[:n_probe]
         probe_ranges: dict[str, list] = {}
-        for sid, b, lo, hi, _ in probe:
+        for sid, b, lo, hi, *_ in probe:
             if b is not None:
                 probe_ranges.setdefault(sid, []).append([lo, hi])
         psub = self._restricted({u[0] for u in probe})
