@@ -155,6 +155,20 @@ def q_ft_bool_msm(spark, sf_dir):
         .filter(F.col("nm") >= 2).drop("nm"))
 
 
+def q_ft_bool_filter(spark, sf_dir):
+    """Bool must 'tabl' + FILTER 'hash' (round-5 surface; ES filter
+    context, toshi reserves the key): the filter constrains the match
+    set but contributes nothing to the score — hits score exactly as
+    the bare term query.  Engine analog: search.py _cand_bool
+    _apply_filters (left-semi join, filter never enters the scoring
+    aggregation)."""
+    t = _ft(spark, sf_dir)
+    s = _scored(spark, sf_dir).filter(F.col("term") == "tabl") \
+        .select("doc_id", "score")
+    fl = t["postings"].filter(F.col("term") == "hash").select("doc_id")
+    return _topk(s.join(fl, on="doc_id", how="left_semi"))
+
+
 def q_ft_must_not(spark, sf_dir):
     s = _scored(spark, sf_dir)
     pos = s.filter(F.col("term") == "tabl").select("doc_id", "score")
@@ -1530,6 +1544,7 @@ QUERIES = {
     "ft_bool_must": q_ft_bool_must,
     "ft_bool_should": q_ft_bool_should,
     "ft_bool_msm": q_ft_bool_msm,
+    "ft_bool_filter": q_ft_bool_filter,
     "ft_must_not": q_ft_must_not,
     "ft_phrase": q_ft_phrase,
     "ft_all": q_ft_all,
@@ -1915,6 +1930,10 @@ ORDER BY round(sum(score), 7) DESC, doc_id LIMIT 10""",
 FROM scored WHERE term IN ('tabl', 'row', 'hash') GROUP BY doc_id
 HAVING count(*) >= 2
 ORDER BY round(sum(score), 7) DESC, doc_id LIMIT 10""",
+        "ft_bool_filter": pre + """SELECT doc_id, round(score, 4) AS score
+FROM scored WHERE term = 'tabl'
+  AND doc_id IN (SELECT doc_id FROM postings WHERE term = 'hash')
+ORDER BY round(score, 7) DESC, doc_id LIMIT 10""",
         "ft_must_not": pre + """SELECT doc_id, round(score, 4) AS score FROM scored
 WHERE term = 'tabl'
   AND doc_id NOT IN (SELECT doc_id FROM postings WHERE term = 'slow')

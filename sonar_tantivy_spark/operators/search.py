@@ -559,6 +559,8 @@ class Searcher:
         when the shape doesn't qualify (caller falls back)."""
         if not (node.must or node.should):
             return False
+        if getattr(node, "filter", None):
+            return False  # filter clauses take the general semi-join path
         for c in node.must + node.should:
             if not isinstance(c, A.TermQ):
                 return False
@@ -664,6 +666,18 @@ class Searcher:
         msm = int(getattr(node, "min_should", 0) or 0)
         if msm > len(shoulds):
             return None  # fewer live shoulds than the minimum → no match
+        filts = [self._cand_opt(c, dfs)
+                 for c in getattr(node, "filter", [])]
+        if getattr(node, "filter", []) and any(f is None for f in filts):
+            return None  # an empty filter clause empties the conjunction
+
+        def _apply_filters(df: DataFrame) -> DataFrame:
+            # non-scoring constraints: LEFT-SEMI joins — the filter
+            # candidates never enter the scoring aggregation
+            for f in filts:
+                df = df.join(f.select("segment_id", "docid"),
+                             on=["segment_id", "docid"], how="left_semi")
+            return df
 
         if musts:
             out = musts[0]
@@ -673,6 +687,7 @@ class Searcher:
                 out = out.withColumn(
                     "score", F.col("score") + F.col(f"__s{i}")
                 ).drop(f"__s{i}")
+            out = _apply_filters(out)  # shrink before the should joins
             # optional shoulds contribute score to docs already matching
             # musts; with minimum_should_match, count the non-null joins
             if msm > 0:
@@ -689,6 +704,21 @@ class Searcher:
                 ).drop(f"__o{i}")
             if msm > 0:
                 out = out.filter(F.col("__smc") >= msm).drop("__smc")
+        elif shoulds and filts and msm == 0:
+            # Lucene rule: a required (filter) clause makes shoulds
+            # purely optional — the match set is the filter
+            # intersection, shoulds only add score
+            out = filts[0].select("segment_id", "docid")
+            for f in filts[1:]:
+                out = out.join(f.select("segment_id", "docid"),
+                               on=["segment_id", "docid"], how="left_semi")
+            out = out.withColumn("score", F.lit(0.0))
+            for i, s in enumerate(shoulds):
+                s = s.withColumnRenamed("score", f"__o{i}")
+                out = out.join(s, on=["segment_id", "docid"], how="left")
+                out = out.withColumn(
+                    "score", F.col("score") + F.coalesce(F.col(f"__o{i}"), F.lit(0.0))
+                ).drop(f"__o{i}")
         elif shoulds:
             out = shoulds[0]
             if len(shoulds) > 1:  # single clause is already (seg, docid)-unique
@@ -702,6 +732,15 @@ class Searcher:
                 if msm > 0:
                     out = out.filter(F.col("__smc") >= msm)
                 out = out.drop("__smc")
+            out = _apply_filters(out)
+        elif filts:
+            # only-filter bool: matches the filter intersection with
+            # constant score 0.0 (ES filter-context semantics)
+            out = filts[0].select("segment_id", "docid")
+            for f in filts[1:]:
+                out = out.join(f.select("segment_id", "docid"),
+                               on=["segment_id", "docid"], how="left_semi")
+            out = out.withColumn("score", F.lit(0.0))
         else:
             return None  # only-must_not (or all-empty) matches nothing ⟨tantivy⟩
 
@@ -983,6 +1022,13 @@ class Searcher:
                 if b == 0.0:
                     return 0.0  # a must-clause provably can't match here
                 total += b
+            for c in getattr(node, "filter", []):
+                # filters add NO score, so an unboundable filter is
+                # simply ignorable (it only shrinks the match set) —
+                # but a 0.0 bound is still an absence PROOF
+                b = self._node_bound(c, sid, idfs, mtf)
+                if b == 0.0:
+                    return 0.0
             should_sum = 0.0
             should_live = 0  # clauses not PROVABLY absent (bound != 0)
             for c in node.should:
@@ -996,6 +1042,12 @@ class Searcher:
             if 0 < msm and should_live < msm:
                 return 0.0  # can't reach minimum_should_match here
             if not node.must:
+                if getattr(node, "filter", []) and should_sum == 0.0:
+                    # filter-only bool (or all shoulds absent with
+                    # msm=0): real matches exist at score 0.0 — a 0.0
+                    # return would read as an absence PROOF and drop
+                    # units that do match; unboundable instead
+                    return None
                 return should_sum  # 0.0 when every should is absent
             return total + should_sum  # must_not only shrinks the match set
         if isinstance(node, A.RangeQ):
@@ -1025,9 +1077,15 @@ class Searcher:
         if isinstance(node, A.BoostQ):
             return self._term_cover(node.child)
         if isinstance(node, A.BoolQ):
-            if any(self._term_cover(c) for c in node.must):
+            if any(self._term_cover(c)
+                   for c in node.must + getattr(node, "filter", [])):
                 return True
-            return bool(node.should) and not node.must and \
+            # shoulds cover only when every match must contain one:
+            # required iff there is no must/filter clause (Lucene rule)
+            # — minimum_should_match >= 1 also forces one
+            required = (not node.must and not getattr(node, "filter", [])) \
+                or int(getattr(node, "min_should", 0) or 0) >= 1
+            return bool(node.should) and required and \
                 all(self._term_cover(c) for c in node.should)
         return False
 
@@ -1508,7 +1566,8 @@ def collect_terms(node: A.Node) -> set[tuple[str, str]]:
     elif isinstance(node, A.PhraseQ):
         out.update((node.field, t) for t in node.terms)
     elif isinstance(node, A.BoolQ):
-        for c in node.must + node.must_not + node.should:
+        for c in (node.must + node.must_not + node.should
+                  + getattr(node, "filter", [])):
             out.update(collect_terms(c))
     elif isinstance(node, A.BoostQ):
         out.update(collect_terms(node.child))

@@ -105,6 +105,12 @@ class BoolQ(Node):
     must: list[Node] = dc_field(default_factory=list)
     must_not: list[Node] = dc_field(default_factory=list)
     should: list[Node] = dc_field(default_factory=list)
+    # filter clauses (ES filter context; the toshi DSL reserves the
+    # key): mandatory like must but contribute NOTHING to the score.
+    # In the Spark plans they compile to left-semi joins — the filter
+    # candidates never enter the scoring aggregation at all, which is
+    # exactly why a user reaches for filter over must at scale.
+    filter: list[Node] = dc_field(default_factory=list)
     # minimum_should_match (toshi BoolQuery carries the field in its
     # DSL; semantics here are the ES/Lucene contract): a doc matches
     # only if >= min_should SHOULD clauses match.  0 = default Lucene
@@ -185,7 +191,7 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
     if kind == "bool":
         node = BoolQ()
         for key, dst in (("must", node.must), ("must_not", node.must_not),
-                         ("should", node.should)):
+                         ("should", node.should), ("filter", node.filter)):
             for sub in body.get(key, []) or []:
                 dst.append(parse_json(sub, schema))
         msm = int(body.get("minimum_should_match", 0))

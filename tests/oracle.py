@@ -138,21 +138,37 @@ class OracleIndex:
         for s in shoulds:
             for d in s:
                 smc[d] += 1
+        filt: set | None = None
+        if getattr(node, "filter", []):
+            fs = [self.score(c) for c in node.filter]
+            filt = set(fs[0])
+            for f in fs[1:]:
+                filt &= set(f)
         if musts:
             keys = set(musts[0])
             for m in musts[1:]:
                 keys &= set(m)
+            if filt is not None:
+                keys &= filt
             out = {d: sum(m[d] for m in musts) for d in keys}
             for s in shoulds:
                 for d in list(out):
                     if d in s:
                         out[d] += s[d]
+        elif shoulds and filt is not None and msm == 0:
+            # Lucene: a required (filter) clause makes shoulds optional;
+            # filters contribute no score
+            out = {d: sum(s.get(d, 0.0) for s in shoulds) for d in filt}
         elif shoulds:
             out = defaultdict(float)
             for s in shoulds:
                 for d, v in s.items():
                     out[d] += v
             out = dict(out)
+            if filt is not None:
+                out = {d: v for d, v in out.items() if d in filt}
+        elif filt is not None:
+            out = {d: 0.0 for d in filt}
         else:
             return {}
         if msm > 0:

@@ -72,6 +72,8 @@ def gen_node(rng: random.Random, depth: int = 0) -> A.Node:
     if rng.random() < 0.3:
         node.min_should = rng.randint(1, len(node.should))
     if rng.random() < 0.25:
+        node.filter.append(gen_node(rng, depth + 1))
+    if rng.random() < 0.25:
         return A.BoostQ(node, rng.choice([0.5, 2.0]))
     return node
 
