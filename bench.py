@@ -279,6 +279,34 @@ def run_attempt() -> dict:
                          f"/{st.get('segments_total', 0)}")
         assert rows is not None
 
+    # round-5 surfaces that don't flow through top_k_pruned directly:
+    # q20_mlt — more_like_this (one pushdown-filtered seed read + the
+    # normal pruned top-k); q21_term_deleted — q1 re-run with a LIVE
+    # tombstone ledger, measuring the broadcast anti-join overhead the
+    # delete path adds to every query (runs LAST: it mutates the index).
+    s = idx.searcher()
+    seed_docid = int(s.top_k_pruned(
+        A.parse_json({"term": {"text": "hello"}}, idx.schema),
+        limit=1).collect()[0]["docid"])
+    idx.more_like_this(seed_docid, "text", limit=10)  # warmup
+    times = []
+    for _ in range(reps):
+        tq = time.time()
+        idx.more_like_this(seed_docid, "text", limit=10)
+        times.append(time.time() - tq)
+    q_p50["q20_mlt"] = round(statistics.median(times), 4)
+
+    n_del = idx.delete_term("text", "mundo")
+    s = idx.searcher()  # ledger changed: fresh reader
+    node = A.parse_json({"term": {"text": "hello"}}, idx.schema)
+    s.top_k_pruned(node, limit=10).collect()  # warmup
+    times = []
+    for _ in range(reps):
+        tq = time.time()
+        s.top_k_pruned(node, limit=10).collect()
+        times.append(time.time() - tq)
+    q_p50["q21_term_deleted"] = round(statistics.median(times), 4)
+
     # ANN quality: recall@5 of the multiprobe-LSH path vs the exact
     # cosine baseline over the sf embeddings (engine-side execution)
     from sonar_tantivy_spark.operators.ann import (measure_recall,
@@ -311,6 +339,7 @@ def run_attempt() -> dict:
             "segments": len(idx.segment_info()),
             "postings_bytes": postings_bytes,
         },
+        "deletes": {"tombstones": int(n_del)},
     }
     host = host_conditions(cpu_before, _cpu_sample())
     if host is not None:

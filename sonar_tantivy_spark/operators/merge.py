@@ -160,7 +160,8 @@ def compact_to(index, target_segments: int = 1) -> list[dict]:
     return metas
 
 
-def tiered_compact(index, max_segments: int) -> dict | None:
+def tiered_compact(index, max_segments: int, *,
+                   max_deleted_frac: float | None = 0.25) -> dict | None:
     """LogMergePolicy-style incremental merge for long-running streams:
     when the manifest exceeds ``max_segments``, merge ONLY the cheapest
     contiguous window (the adjacent run with the fewest total docs) down
@@ -170,16 +171,62 @@ def tiered_compact(index, max_segments: int) -> dict | None:
     the cheapest choice, so total rewrite bytes grow ~log-fashion with
     stream length rather than linearly per trigger.  Same bit-identity
     guarantees as compact() (contiguous run, docid bases preserved).
-    Returns the new segment meta, or None when under the cap."""
+
+    Second trigger — DELETE PRESSURE (tantivy's LogMergePolicy weighs
+    deletes the same way): even under the segment cap, a segment whose
+    live tombstones cover ≥ ``max_deleted_frac`` of its docs is
+    rewritten in place (a contiguous run of one), purging its deleted
+    rows and rebuilding its termdict/block bounds from the survivors.
+    Without this, a heavily-tombstoned index pays the per-query
+    anti-join forever and its block max-tf bounds / dfs stay
+    stale-loose (valid — conservative — but pruning degrades).  The
+    pressure metric counts only tombstones for LIVE segments, so rows
+    already purged by an earlier partial merge exert no pressure.
+    Pass ``max_deleted_frac=None`` to disable.
+
+    Returns the new segment meta, or None when neither trigger fires."""
     max_segments = max(1, max_segments)  # cap of 0 means "one segment"
-    segs = index.storage.manifest()["segments"]
+    storage = index.storage
+    manifest = storage.manifest()
+    segs = manifest["segments"]
     n = len(segs)
-    if n <= max_segments:
+    if n > max_segments:
+        w = n - max_segments + 1  # merging w adjacent segments hits the cap
+        sizes = [s["max_doc"] for s in segs]
+        best = min(range(n - w + 1), key=lambda i: sum(sizes[i:i + w]))
+        return compact(index, [s["segment_id"] for s in segs[best:best + w]])
+    if max_deleted_frac is None or not manifest.get("tombstones") or not segs:
         return None
-    w = n - max_segments + 1  # merging w adjacent segments hits the cap
-    sizes = [s["max_doc"] for s in segs]
-    best = min(range(n - w + 1), key=lambda i: sum(sizes[i:i + w]))
-    return compact(index, [s["segment_id"] for s in segs[best:best + w]])
+    # per-segment live-tombstone counts: one tiny distributed agg over
+    # the ledger (≤ one row per segment collected)
+    t = index.searcher()._tombstones()
+    if t is None:
+        return None
+    per = {r["segment_id"]: r["n"]
+           for r in t.groupBy("segment_id").agg(F.count("*").alias("n"))
+                     .collect()}
+    if not per:
+        return None
+    frac, i = max(
+        (per.get(s["segment_id"], 0) / max(1, s["max_doc"]), i)
+        for i, s in enumerate(segs))
+    if frac < max_deleted_frac:
+        return None
+    meta = compact(index, [segs[i]["segment_id"]])
+    if set(per) <= {segs[i]["segment_id"]}:
+        # the rewritten segment held every live tombstone: the ledger is
+        # now inert — clear it so queries skip the anti-join and vacuum
+        # can reclaim the tombstone epochs (same bookkeeping as the
+        # full-index branch in compact())
+        manifest = storage.manifest()
+        if manifest.get("tombstones"):
+            manifest["tombstones"] = []
+            manifest["del_opstamp"] = int(manifest.get("del_opstamp", 0)) + 1
+            if hasattr(storage, "_write_json"):
+                storage._write_json("manifest.json", manifest)
+            else:
+                storage._manifest = manifest
+    return meta
 
 
 def _segment_has_data(storage, epoch: str, table: str, sid: str) -> bool:

@@ -5,15 +5,16 @@ large-scale training-data pipeline needs on top of the same tables:
 typed metadata around ``binary`` payload columns, Arrow-batched decode /
 feature-extract / frame-sample operators via ``mapInPandas``.
 
-The actual codecs (ffmpeg/librosa; PIL when not installed) are NOT
-available in this container, so the decode step is STUBBED:
-``decode_stub=True`` (default) derives deterministic fake features from
-the payload bytes so the Spark-side plumbing — schema, partitioning,
-UDF signature, batch shape — is real and tested.  ``decode_stub=False``
-probes for PIL at import: when present, IMAGE payloads route through a
-real ``PIL.Image.open(...).resize(...)`` decode (pixel-exact, tested
-behind a skipif); when absent — or for audio/video, which have no
-optional decoder yet — it raises NotImplementedError at the point the
+The heavyweight codecs (ffmpeg/librosa) are NOT available in this
+container, so the default decode step is STUBBED: ``decode_stub=True``
+derives deterministic fake features from the payload bytes so the
+Spark-side plumbing — schema, partitioning, UDF signature, batch shape
+— is real and tested.  ``decode_stub=False`` routes IMAGE payloads
+through a REAL decoder: PIL when installed (pixel-exact, tested behind
+a skipif), else the pure-Python PNG fallback in functions/pngcodec.py
+(stdlib zlib+struct; 8-bit gray/RGB/RGBA/palette subset — executable
+and pixel-exact-tested in THIS sandbox).  Non-PNG payloads without
+PIL, and audio/video, raise NotImplementedError at the point the
 decoder would plug in.
 """
 
@@ -27,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from sonar_tantivy_spark.functions import pngcodec as _png
 
 try:  # optional decoder probe (VERDICT r3 #5) — never required
     from PIL import Image as _PILImage  # type: ignore
@@ -105,23 +108,26 @@ def extract_features(
     models frame sampling (1 frame per ``frame_stride`` payload bytes).
 
     ``decode_stub=False``: image payloads decode through PIL when it is
-    installed (feature = the resized k×k grayscale pixel grid scaled to
-    [0, 1], k² ≥ dim, truncated to ``dim`` — deterministic and
-    pixel-exact); audio/video rows, or a PIL-less environment, raise
-    NotImplementedError where the decoder plugs in.
+    installed, else through the pure-Python PNG fallback
+    (functions/pngcodec.py) for PNG payloads (feature = the resized k×k
+    grayscale pixel grid scaled to [0, 1], k² ≥ dim, truncated to
+    ``dim`` — deterministic and pixel-exact on both routes); audio/video
+    rows, or a non-PNG payload without PIL, raise NotImplementedError
+    where the decoder plugs in.
     """
-    if not decode_stub and _PILImage is None:
-        raise NotImplementedError(
-            "real media decoders (PIL/ffmpeg) are not available in "
-            "this environment; plug the decoder in here")
 
     def real_feature(p: bytes) -> list:
         import io
         import math
         k = max(1, math.ceil(math.sqrt(dim)))
-        im = _PILImage.open(io.BytesIO(bytes(p))).convert("L")
-        px = np.asarray(im.resize((k, k), _pil_nearest()),
-                        dtype=np.float32).ravel() / 255.0
+        if _PILImage is not None:
+            im = _PILImage.open(io.BytesIO(bytes(p))).convert("L")
+            px = np.asarray(im.resize((k, k), _pil_nearest()),
+                            dtype=np.float32).ravel() / 255.0
+        else:
+            g = _png.to_gray(_png.decode_png(bytes(p)))  # raises for non-PNG
+            px = _png.resize_nearest(g, k, k).astype(
+                np.float32).ravel() / 255.0
         return px[:dim].tolist()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -205,13 +211,11 @@ def resize_images(
     width, height) sized ~width*height/64 bytes, so size-dependent
     downstream logic is testable.  ``decode_stub=False`` routes through
     PIL.Image.open(...).resize((width, height), NEAREST).tobytes() when
-    PIL is installed (pixel-exact, tested behind a skipif) and raises
-    NotImplementedError where the decoder plugs in otherwise.
+    PIL is installed (pixel-exact, tested behind a skipif), else through
+    the pure-Python PNG fallback (functions/pngcodec.py — pixel-exact
+    raw bytes for the 8-bit PNG subset, tested in this sandbox), and
+    raises NotImplementedError for non-PNG payloads without PIL.
     """
-    if not decode_stub and _PILImage is None:
-        raise NotImplementedError(
-            "real image decode/resize (PIL) is not available "
-            "in this environment; plug it in here")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         tag = f"|{width}x{height}".encode()
@@ -224,8 +228,14 @@ def resize_images(
 
         def resize_payload_real(p: bytes) -> bytes:
             import io
-            im = _PILImage.open(io.BytesIO(bytes(p)))
-            return im.resize((width, height), _pil_nearest()).tobytes()
+            if _PILImage is not None:
+                im = _PILImage.open(io.BytesIO(bytes(p)))
+                return im.resize((width, height), _pil_nearest()).tobytes()
+            arr = _png.decode_png(bytes(p))  # raises for non-PNG
+            out = _png.resize_nearest(arr, width, height)
+            # PIL keeps single-channel modes 2-D; match its tobytes()
+            return np.ascontiguousarray(
+                out[:, :, 0] if out.shape[2] == 1 else out).tobytes()
 
         resize_payload = (resize_payload_stub if decode_stub
                           else resize_payload_real)

@@ -205,3 +205,69 @@ def test_delete_on_ram_index(spark):
     assert ix.delete_term("body", "gamma") == 2
     assert ix.query("gamma") == []
     assert ix.count("alpha") == 3  # 'alpha beta gamma' gone
+
+
+def test_tiered_compact_delete_pressure_self_heals(idx):
+    """VERDICT r4 #7: a heavily-tombstoned segment triggers tiered
+    compaction even UNDER the segment cap — the rewrite purges its
+    deleted rows, rebuilds block bounds/dfs from survivors, clears the
+    ledger when it held every live tombstone, and keeps query results
+    bit-identical throughout."""
+    infos = idx.segment_info()
+    assert len(infos) == 2
+    # docids are assigned in body-sorted order: seg 0 holds docids 0..2
+    # ('alpha alpha beta', 'alpha beta', 'alpha beta gamma'); deleting
+    # 0 and 1 tombstones 2/3 of it — frac 0.67 over the 0.25 threshold
+    assert idx.delete_docs([0, 1]) == 2
+    before = _hit_map(idx, "alpha")
+    meta = M.tiered_compact(idx, max_segments=8)  # under cap: pressure path
+    assert meta is not None and meta["max_doc"] == infos[0]["max_doc"]
+    assert len(idx.segment_info()) == 2  # in-place rewrite, not a cap merge
+    # the rewritten segment held every live tombstone -> ledger cleared,
+    # queries skip the anti-join entirely
+    assert idx.storage.manifest().get("tombstones") == []
+    assert idx.num_deleted() == 0
+    # the match SET is unchanged through delete -> pressure-compact, and
+    # the purge reclaims 'alpha' dfs (4 -> 2 of num_docs 6) so surviving
+    # scores scale by exactly the idf ratio — the pinned compaction
+    # semantics (see test_compaction_df_reclaim_raises_idf)
+    after = _hit_map(idx, "alpha")
+    assert set(after) == set(before)
+    ratio = bm25.idf(2, 6) / bm25.idf(4, 6)
+    for d in after:
+        assert after[d] == pytest.approx(before[d] * ratio, rel=1e-9)
+    # purged rows are physically gone and the rebuilt termdict df
+    # reflects survivors only (docids 0,1 both held 'alpha')
+    s = idx.searcher()
+    sid0 = idx.segment_info()[0]["segment_id"]
+    td = s._table("termdict").filter(
+        (F.col("segment_id") == sid0) & (F.col("term") == "alpha"))
+    assert [r["df"] for r in td.collect()] == [1]
+    # converged: a second call is a no-op
+    assert M.tiered_compact(idx, max_segments=8) is None
+
+
+def test_tiered_compact_pressure_below_threshold_noop(idx):
+    """Light delete pressure (1/3 of a segment < the 0.45 threshold)
+    must NOT trigger a rewrite; disabling via None never fires."""
+    assert idx.delete_docs([0]) == 1
+    assert M.tiered_compact(idx, max_segments=8, max_deleted_frac=0.45) is None
+    assert idx.delete_docs([1]) == 1
+    assert M.tiered_compact(idx, max_segments=8, max_deleted_frac=None) is None
+    assert idx.num_deleted() == 2  # ledger untouched by the no-ops
+    assert idx.count("alpha") == 2
+
+
+def test_tiered_compact_pressure_keeps_other_segment_ledger(idx):
+    """When tombstones span both segments, a pressure rewrite of the hot
+    one must keep the ledger rows for the untouched segment active."""
+    # body-sorted docids: seg 0 = {0,1,2} all alpha docs, seg 1 = {3,4,5}
+    # with docid 3 'alpha delta' and 5 'gamma epsilon'; deleting 0,1,5
+    # puts 2/3 pressure on seg 0 and 1/3 (under threshold) on seg 1
+    idx.delete_docs([0, 1, 5])
+    meta = M.tiered_compact(idx, max_segments=8)
+    assert meta is not None
+    assert idx.storage.manifest().get("tombstones"), \
+        "ledger must survive while segment 1 still has a live tombstone"
+    assert idx.num_deleted() == 1
+    assert idx.count("alpha") == 2  # docids 2 and 3 survive
