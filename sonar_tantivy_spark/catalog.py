@@ -382,9 +382,17 @@ class Index:
         composition.  BEYOND-REFERENCE extension; everything it touches
         is existing machinery, so the scores are plain BM25.
 
-        1. Read the seed doc's (term, tf) rows — ONE pushdown-filtered
-           postings scan (segment + docid + field equality predicates,
-           so parquet reads a handful of row groups).
+        1. Read the seed doc's (term, tf) rows.  Fast path (what
+           Lucene MLT itself does): fetch the STORED field from the
+           doc store — docids are monotonic within each segment's
+           files, so the docid equality predicate prunes to one row
+           group — and re-analyze it driver-side with the field's own
+           tokenizer (one doc, identical analyzer = identical tf).
+           Fallback for non-stored / non-string fields: a filtered
+           postings scan.  (Postings files are sorted by (field, term,
+           docid), so a docid predicate there cannot prune row groups
+           — at 1M+ turns the old postings seed read cost seconds,
+           the doc-store read is milliseconds.)
         2. Rank its terms by tf·idf, deterministic tie-break on the
            term string; keep ``top_terms``.  Terms with df < ``min_df``
            are skipped first (Lucene MLT's minDocFreq): the seed's
@@ -406,15 +414,32 @@ class Index:
                 sid, local = seg_id, docid - base
         if sid is None:
             raise KeyError(f"docid {docid} out of range")
-        p = s._table("postings")
-        if p is None:
-            return []
-        seed = (
-            p.filter((F.col("segment_id") == sid)
-                     & (F.col("docid") == local)
-                     & (F.col("field") == field))
-            .select("term", "tf").collect()
-        )
+        seed = None
+        fd = self.schema.field(field)
+        if fd is not None and fd.stored and fd.tokenizer is not None:
+            docs = s._table("docs")
+            if docs is not None and field in docs.columns:
+                row = (docs.filter((F.col("segment_id") == sid)
+                                   & (F.col("docid") == local))
+                       .select(field).collect())
+                if row and isinstance(row[0][0], str):
+                    from collections import Counter
+
+                    from sonar_tantivy_spark import analyzer
+
+                    seed = [{"term": t, "tf": c} for t, c in
+                            Counter(analyzer.analyze_terms(
+                                row[0][0], fd.tokenizer)).items()]
+        if seed is None:
+            p = s._table("postings")
+            if p is None:
+                return []
+            seed = (
+                p.filter((F.col("segment_id") == sid)
+                         & (F.col("docid") == local)
+                         & (F.col("field") == field))
+                .select("term", "tf").collect()
+            )
         if not seed:
             return []
         dfs = s.term_dfs({(field, r["term"]) for r in seed})

@@ -1499,6 +1499,77 @@ def q_tx_ngram_freq(spark, sf_dir):
             .orderBy(F.desc("cnt"), F.asc("gram")).limit(NGRAM_TOP))
 
 
+WINDOW_W = 8         # token width for dd_window_dup substring windows
+
+
+def q_dd_window_dup(spark, sf_dir):
+    """Exact-substring duplication signal (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" shape,
+    suffix-array dedup re-expressed for Spark): slide a stride-1
+    window of WINDOW_W tokens over every document, hash each window,
+    and report per document how much of it is covered by windows that
+    occur MORE THAN ONCE anywhere in the corpus — including repeats
+    inside the same document, which suffix-array dedup also removes.
+    Unlike dd_para_dup's non-overlapping paragraph proxy, overlapping
+    windows catch duplicated spans at ANY alignment.
+
+    Plan shape: one documents scan -> in-row md5 per window (hashes
+    are built BEFORE the explode, so the shuffle carries 32-hex-char
+    digests, not text; xxhash64 is the documented 100 TB swap for a
+    4x narrower shuffle) -> hash-agg on the window hash (map-side
+    combinable) -> equi-join back -> per-doc hash-agg.  The count
+    side is pre-aggregated to one row per distinct window, so hot
+    boilerplate windows fan out only on the document side and AQE
+    skew-join splits oversized partitions — the same skew story as
+    dd_para_dup, at stride-1 resolution."""
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
+    n = F.size("w")
+    wins = F.transform(
+        F.sequence(F.lit(1), n - (WINDOW_W - 1)),
+        lambda i: F.md5(F.concat_ws(" ", F.slice("w", i, WINDOW_W))))
+    s = (d.filter(n >= WINDOW_W)
+         .select("doc_id", F.explode(wins).alias("wh")))
+    c = s.groupBy("wh").agg(F.count("*").alias("c"))
+    return (s.join(c, "wh")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_windows"),
+                 F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+                  .cast("long").alias("n_dup"),
+                 F.round(F.avg(F.when(F.col("c") > 1, 1.0).otherwise(0.0)),
+                         4).alias("dup_frac")))
+
+
+def q_tx_line_dedup(spark, sf_dir):
+    """Intra-document duplicate-line removal (the RefinedWeb/CCNet
+    boilerplate pass that DROPS repeated lines within a page — nav
+    bars, cookie banners, footers — keeping each line's FIRST
+    occurrence in order).  The synthetic corpus is newline-free, so
+    contiguous PARA_W-word segments stand in for lines, as in
+    dd_para_dup; at real scale the splitter is split(text, '\\n').
+
+    Map-only at any scale — zero shuffle, zero explode: segments are
+    built and deduplicated entirely in-row with higher-order array
+    functions.  First-occurrence keep is expressed as
+    filter(segs, (s, i) -> array_position(segs, s) == i + 1) —
+    array_position returns the FIRST index, so later duplicates drop;
+    the O(k^2) scan is per-document segment count (tiny), never
+    data-sized.  Output pins the cleaned text so the contract checks
+    the transform itself, not just counts."""
+    d = _docs(spark, sf_dir).select("doc_id", F.split("text", " ").alias("w"))
+    n = F.size("w")
+    idx = F.sequence(F.lit(0), F.floor((n - 1) / PARA_W).cast("int"))
+    segs = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice("w", i * PARA_W + 1, PARA_W)))
+    d = d.select("doc_id", segs.alias("segs"))
+    kept = F.filter(
+        "segs", lambda s, i: F.array_position("segs", s) == i + F.lit(1))
+    return d.select(
+        "doc_id",
+        F.size("segs").cast("long").alias("n_segs"),
+        (F.size("segs") - F.size(kept)).cast("long").alias("n_removed"),
+        F.concat_ws(" ", kept).alias("clean_text"))
+
+
 def q_ev_zscore_anomaly(spark, sf_dir):
     """Daily per-type volume anomaly detection: z-score each
     (event_type, day) count against that type's all-days mean/stddev,
@@ -1604,6 +1675,8 @@ QUERIES = {
     "tx_normalize": q_tx_normalize,
     "pl_split_hash": q_pl_split_hash,
     "tx_ngram_freq": q_tx_ngram_freq,
+    "dd_window_dup": q_dd_window_dup,
+    "tx_line_dedup": q_tx_line_dedup,
 }
 
 
@@ -2358,4 +2431,33 @@ g AS (
   FROM t a JOIN t b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1)
 SELECT gram, count(*)::BIGINT AS cnt FROM g GROUP BY gram
 ORDER BY cnt DESC, gram LIMIT {NGRAM_TOP}""",
+        "dd_window_dup": f"""WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+s AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, len(w) - {WINDOW_W - 1}),
+           i -> md5(array_to_string(w[i:i+{WINDOW_W - 1}], ' ')))) AS wh
+  FROM d WHERE len(w) >= {WINDOW_W}),
+c AS (SELECT wh, count(*) AS c FROM s GROUP BY wh)
+SELECT s.doc_id, count(*)::BIGINT AS n_windows,
+       sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+       round(avg(CASE WHEN c.c > 1 THEN 1.0 ELSE 0.0 END), 4) AS dup_frac
+FROM s JOIN c USING (wh) GROUP BY s.doc_id""",
+        "tx_line_dedup": f"""WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+seg AS (
+  SELECT doc_id,
+         unnest(generate_series(1, ((len(w) - 1) // {PARA_W}) + 1)) AS i,
+         unnest(list_transform(
+           generate_series(1, ((len(w) - 1) // {PARA_W}) + 1),
+           i -> array_to_string(
+                  w[(i-1)*{PARA_W}+1:least(i*{PARA_W}, len(w))],
+                  ' '))) AS s
+  FROM d),
+fo AS (SELECT doc_id, s, min(i) AS fi, count(*) AS c
+       FROM seg GROUP BY doc_id, s)
+SELECT doc_id, sum(c)::BIGINT AS n_segs,
+       (sum(c) - count(*))::BIGINT AS n_removed,
+       string_agg(s, ' ' ORDER BY fi) AS clean_text
+FROM fo GROUP BY doc_id""",
     }
