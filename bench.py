@@ -246,6 +246,15 @@ def run_attempt() -> dict:
                                         {"term": {"text": "world"}},
                                         {"term": {"text": "mundo"}}],
                              "minimum_should_match": 2}},
+        # round-5 ES surfaces: terms set (one In-predicate scan),
+        # dis_max (union -> one agg exchange), match_phrase_prefix
+        # (exact chain + in-scan prefix expansion on the last slot)
+        "q22_terms_set": {"terms": {"text": ["hello", "mundo", "needle"]}},
+        "q23_dismax": {"dis_max": {
+            "queries": [{"term": {"text": "hello"}},
+                        {"term": {"text": "world"}}],
+            "tie_breaker": 0.3}},
+        "q24_phrase_prefix": {"match_phrase_prefix": {"text": "hello wor"}},
     }
     # query phase: modest shuffle fan-out wins for k=10 result sets.
     # top_k_pruned IS the default path (Index.query/query_df) — bench it,

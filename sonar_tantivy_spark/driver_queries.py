@@ -1335,6 +1335,64 @@ def q_ft_more_like_this(spark, sf_dir):
     return _topk(sc.groupBy("doc_id").agg(F.sum("score").alias("score")))
 
 
+DISMAX_TIE = 0.3     # tie_breaker for ft_dismax
+
+
+def q_ft_terms_set(spark, sf_dir):
+    """ES ``terms`` set query over {'valu', 'spark'} (round-5 surface;
+    tantivy TermSetQuery analog): constant score 1.0 for any doc
+    holding >= 1 of the terms, docid tie-break.  Engine analog:
+    search.py _cand_term_set — ONE postings scan with an In predicate
+    (pushdown-able over (field, term)-sorted postings), never a
+    termdict expansion join."""
+    t = _ft(spark, sf_dir)
+    return (t["postings"].filter(F.col("term").isin("valu", "spark"))
+            .select("doc_id").distinct()
+            .withColumn("score", F.lit(1.0))
+            .orderBy("doc_id").limit(10))
+
+
+def q_ft_dismax(spark, sf_dir):
+    """Lucene DisjunctionMaxQuery over terms ('tabl', 'row') with
+    tie_breaker=0.3 (round-5 surface): per doc score = max(clause
+    scores) + 0.3 * (sum - max) — best-field semantics where the
+    bool-should sum would let two mediocre fields outrank one strong
+    one.  Engine analog: search.py _cand_dismax (clause-frame union ->
+    one aggregation exchange, same plan family as the generic bool)."""
+    s = _scored(spark, sf_dir).filter(F.col("term").isin("tabl", "row"))
+    agg = s.groupBy("doc_id").agg(
+        F.max("score").alias("mx"), F.sum("score").alias("sm"))
+    return _topk(agg.select(
+        "doc_id",
+        (F.col("mx") + DISMAX_TIE * (F.col("sm") - F.col("mx")))
+        .alias("score")))
+
+
+def q_ft_phrase_prefix(spark, sf_dir):
+    """ES ``match_phrase_prefix`` "slow ha*" (round-5 surface): exact
+    term 'slow' adjacent to ANY dictionary term starting with 'ha';
+    constant score 1.0 (the engine's expansion-query rule, shared with
+    prefix/fuzzy/regex).  Engine analog: search.py _cand_phrase_prefix
+    — ONE postings scan filtered to (term IN exact) OR
+    startswith(prefix), both pushdown predicates; the prefix slot's
+    positions union in-row, so cost tracks posting volume, not
+    dictionary size."""
+    t = _ft(spark, sf_dir)
+    p = t["postings"]
+    a = p.filter(F.col("term") == "slow").select(
+        "doc_id", F.col("positions").alias("pa"))
+    b = (p.filter(F.col("term").startswith("ha"))
+         .groupBy("doc_id")
+         .agg(F.array_sort(F.flatten(F.collect_list("positions")))
+              .alias("pb")))
+    j = a.join(b, on="doc_id").withColumn(
+        "m", F.array_intersect(
+            F.transform("pa", lambda x: x + 1), F.col("pb"))
+    ).filter(F.size("m") > 0)
+    return (j.select("doc_id", F.lit(1.0).alias("score"))
+            .orderBy("doc_id").limit(10))
+
+
 PARA_W = 10          # paragraph-proxy width (corpus has no newlines)
 QUOTA_K = 25         # per-source quota for pl_domain_quota
 QUOTA_SALT = 8       # MINIMUM salt fan-out for the two-phase exact
@@ -1668,6 +1726,9 @@ QUERIES = {
     "ft_phrase_slop": q_ft_phrase_slop,
     "ft_phrase_slop_unordered": q_ft_phrase_slop_unordered,
     "ft_more_like_this": q_ft_more_like_this,
+    "ft_terms_set": q_ft_terms_set,
+    "ft_dismax": q_ft_dismax,
+    "ft_phrase_prefix": q_ft_phrase_prefix,
     "dd_para_dup": q_dd_para_dup,
     "pl_domain_quota": q_pl_domain_quota,
     "tx_lm_xent": q_tx_lm_xent,
@@ -2052,6 +2113,20 @@ ORDER BY round(sum(CASE WHEN term = 'valu' THEN 2 * score ELSE score END), 7)
 sp AS (SELECT doc_id, score AS ss FROM scored WHERE term = 'spark')
 SELECT doc_id, round(gs + ss, 4) AS score FROM grp JOIN sp USING (doc_id)
 ORDER BY round(gs + ss, 7) DESC, doc_id LIMIT 10""",
+        "ft_terms_set": pre + """SELECT DISTINCT doc_id,
+CAST(1.0 AS DOUBLE) AS score
+FROM postings WHERE term IN ('valu', 'spark')
+ORDER BY doc_id LIMIT 10""",
+        "ft_dismax": pre + f"""SELECT doc_id,
+round(max(score) + {DISMAX_TIE} * (sum(score) - max(score)), 4) AS score
+FROM scored WHERE term IN ('tabl', 'row') GROUP BY doc_id
+ORDER BY round(max(score) + {DISMAX_TIE} * (sum(score) - max(score)), 7)
+  DESC, doc_id LIMIT 10""",
+        "ft_phrase_prefix": pre + """SELECT DISTINCT a.doc_id,
+CAST(1.0 AS DOUBLE) AS score
+FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+WHERE a.term = 'slow' AND b.term LIKE 'ha%'
+ORDER BY a.doc_id LIMIT 10""",
         "ft_termdict": pre + "SELECT term, df FROM tdf",
         "ft_stats": pre + """SELECT count(*)::BIGINT AS num_docs,
 sum(len)::BIGINT AS total_tokens, round(sum(len)::DOUBLE / count(*), 6) AS avgdl

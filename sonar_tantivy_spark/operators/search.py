@@ -189,6 +189,11 @@ class Searcher:
             if isinstance(n, (A.PrefixQ, A.RegexQ, A.FuzzyQ)) \
                     and n.field == field:
                 clauses.append(n)
+            elif isinstance(n, A.PhrasePrefixQ) and n.field == field:
+                clauses.append(A.PrefixQ(n.field, n.prefix))
+            elif isinstance(n, A.DisMaxQ):
+                for c in n.queries:
+                    walk(c)
             elif isinstance(n, A.BoolQ):
                 for c in n.must + n.should:  # must_not: skip
                     walk(c)
@@ -286,6 +291,14 @@ class Searcher:
             return self._cand_range(node)
         if isinstance(node, A.AllQ):
             return self._cand_all()
+        if isinstance(node, A.TermSetQ):
+            return self._cand_term_set(node, dfs)
+        if isinstance(node, A.ExistsQ):
+            return self._cand_exists(node)
+        if isinstance(node, A.DisMaxQ):
+            return self._cand_dismax(node, dfs)
+        if isinstance(node, A.PhrasePrefixQ):
+            return self._cand_phrase_prefix(node, dfs)
         if isinstance(node, A.BoostQ):
             child = self._cand_opt(node.child, dfs)
             if child is None:
@@ -483,6 +496,122 @@ class Searcher:
             cand.select("segment_id", "docid").distinct()
             .withColumn("score", F.lit(1.0))
         )
+
+    def _cand_term_set(self, node: A.TermSetQ, dfs: dict) -> DataFrame | None:
+        """ES ``terms`` / tantivy TermSetQuery — constant score 1.0 for
+        docs holding ANY of the terms.  ONE postings scan with an In
+        predicate (pushdown-able, and postings sort by (field, term)
+        within segments, so row-group min/max skips non-matching
+        stretches exactly as for a single term).  The per-term dfs are
+        already resolved with the rest of the query's stats, so a set
+        whose terms all have df=0 short-circuits to None without a
+        scan — tantivy's EmptyScorer analog."""
+        live = [t for t in node.terms if dfs.get((node.field, t), 0) > 0]
+        if not live:
+            return None
+        p = self._table("postings")
+        if p is None:
+            return None
+        cand = p.filter((F.col("field") == node.field)
+                        & F.col("term").isin(live))
+        return (cand.select("segment_id", "docid").distinct()
+                .withColumn("score", F.lit(1.0)))
+
+    def _cand_exists(self, node: A.ExistsQ) -> DataFrame | None:
+        """ES ``exists`` — constant score 1.0 for docs with ANY value in
+        the field.  Indexed fields: postings presence (one field-equality
+        pushdown scan; a doc with at least one token has at least one
+        posting).  Stored-only fields: doc-store isNotNull scan — the
+        only shape that can see never-tokenized values."""
+        fdef = self.schema.field(node.field)
+        if fdef is not None and fdef.indexed:
+            p = self._table("postings")
+            if p is None:
+                return None
+            return (p.filter(F.col("field") == node.field)
+                    .select("segment_id", "docid").distinct()
+                    .withColumn("score", F.lit(1.0)))
+        docs = self._table("docs")
+        if docs is None or fdef is None or node.field not in docs.columns:
+            return None
+        return (docs.filter(F.col(node.field).isNotNull())
+                .select("segment_id", "docid")
+                .withColumn("score", F.lit(1.0)))
+
+    def _cand_dismax(self, node: A.DisMaxQ, dfs: dict) -> DataFrame | None:
+        """Lucene DisjunctionMaxQuery: union the clause candidate sets,
+        then per doc score = max + tie_breaker * (sum - max).  Same
+        plan family as the generic bool-should path (clause frames →
+        one union → one aggregation exchange); provably-empty clauses
+        drop out for free."""
+        subs = [s for s in (self._cand_opt(c, dfs) for c in node.queries)
+                if s is not None]
+        if not subs:
+            return None
+        if len(subs) == 1:
+            return subs[0]
+        u = subs[0]
+        for s in subs[1:]:
+            u = u.unionByName(s)
+        tie = float(node.tie_breaker)
+        agg = u.groupBy("segment_id", "docid").agg(
+            F.max("score").alias("__mx"), F.sum("score").alias("__sm"))
+        return agg.select(
+            "segment_id", "docid",
+            (F.col("__mx")
+             + F.lit(tie) * (F.col("__sm") - F.col("__mx"))).alias("score"))
+
+    def _cand_phrase_prefix(self, node: A.PhrasePrefixQ,
+                            dfs: dict) -> DataFrame | None:
+        """ES ``match_phrase_prefix`` — the exact-phrase single-scan plan
+        with the LAST slot matched by any dictionary term starting with
+        ``prefix``.  ONE postings scan filtered to (term IN exact) OR
+        startswith(prefix) — both predicates push into the parquet scan
+        over the (field, term)-sorted postings, so cost tracks the
+        matched posting volume, never the dictionary size (no termdict
+        expansion join, the same 100x-safe shape as _cand_prefix).
+        Expansion-query rule: constant score 1.0."""
+        terms = node.terms
+        if not terms or not node.prefix:
+            return None
+        if any(dfs.get((node.field, t), 0) == 0 for t in terms):
+            return None
+        uterms = list(dict.fromkeys(terms))
+        p = self._table("postings")
+        if p is None:
+            return None
+        scan = p.filter(
+            (F.col("field") == node.field)
+            & (F.col("term").isin(uterms)
+               | F.col("term").startswith(node.prefix)))
+        is_exact = F.col("term").isin(uterms)
+        agg = (
+            scan.groupBy("segment_id", "docid")
+            .agg(
+                F.map_from_entries(F.collect_list(
+                    F.when(is_exact, F.struct("term", "positions"))
+                    .otherwise(None))).alias("__pos"),
+                # postings are unique per (field, term, docid), so the
+                # conditional count IS the distinct exact-term count
+                F.sum(F.when(is_exact, 1).otherwise(0)).alias("__nt"),
+                F.array_sort(F.flatten(F.collect_list(
+                    F.when(F.col("term").startswith(node.prefix),
+                           F.col("positions"))
+                    .otherwise(F.array().cast("array<int>"))))).alias("__pp"),
+            )
+            .filter((F.col("__nt") == len(uterms)) & (F.size("__pp") > 0))
+        )
+        match = F.element_at(F.col("__pos"), F.lit(terms[0]))
+        for t in terms[1:]:
+            match = F.array_intersect(
+                F.transform(match, lambda x: x + 1),
+                F.element_at(F.col("__pos"), F.lit(t)))
+        # final slot: a prefix-matched position adjacent to the chain
+        match = F.array_intersect(
+            F.transform(match, lambda x: x + 1), F.col("__pp"))
+        return (agg.withColumn("__m", match).filter(F.size("__m") > 0)
+                .select("segment_id", "docid")
+                .withColumn("score", F.lit(1.0)))
 
     def _cand_range(self, node: A.RangeQ) -> DataFrame | None:
         docs = self._table("docs")
@@ -818,6 +947,19 @@ class Searcher:
                 return 0
             dfs = self.term_dfs({(node.field, t) for t in node.terms})
             return min(dfs.get((node.field, t), 0) for t in node.terms)
+        if isinstance(node, A.TermSetQ):
+            dfs = self.term_dfs({(node.field, t) for t in node.terms})
+            return sum(dfs.get((node.field, t), 0) for t in node.terms)
+        if isinstance(node, A.PhrasePrefixQ):
+            if not node.terms:
+                return None  # pure prefix expansion — unbounded
+            dfs = self.term_dfs({(node.field, t) for t in node.terms})
+            return min(dfs.get((node.field, t), 0) for t in node.terms)
+        if isinstance(node, A.DisMaxQ):
+            subs = [self._cand_size_bound(c) for c in node.queries]
+            if any(b is None for b in subs):
+                return None
+            return sum(subs)
         if isinstance(node, A.BoostQ):
             return self._cand_size_bound(node.child)
         if isinstance(node, A.BoolQ):
@@ -1052,8 +1194,35 @@ class Searcher:
             return total + should_sum  # must_not only shrinks the match set
         if isinstance(node, A.RangeQ):
             return self._range_bound(node, sid)  # zone-map absence proof
-        if isinstance(node, (A.AllQ, A.FuzzyQ, A.RegexQ, A.PrefixQ)):
+        if isinstance(node, (A.AllQ, A.FuzzyQ, A.RegexQ, A.PrefixQ,
+                             A.ExistsQ)):
             return 1.0  # constant-score; cheap absence proof unavailable
+        if isinstance(node, A.TermSetQ):
+            # constant-score, but the per-term stats give a real absence
+            # proof: no member term in the segment → no match
+            if all(mtf.get((sid, node.field, t), 0) == 0
+                   for t in node.terms):
+                return 0.0
+            return 1.0
+        if isinstance(node, A.PhrasePrefixQ):
+            # any exact term absent → no match (the prefix slot can't
+            # rescue a missing chain term); prefix expansion itself has
+            # no per-segment stats, so presence caps at the constant
+            if any(mtf.get((sid, node.field, t), 0) == 0
+                   for t in node.terms):
+                return 0.0
+            return 1.0
+        if isinstance(node, A.DisMaxQ):
+            best, total = 0.0, 0.0
+            for c in node.queries:
+                b = self._node_bound(c, sid, idfs, mtf)
+                if b is None:
+                    return None
+                best = max(best, b)
+                total += b
+            if best == 0.0:
+                return 0.0  # every clause provably absent
+            return best + float(node.tie_breaker) * (total - best)
         if isinstance(node, A.BoostQ):
             if node.boost <= 0:
                 # boost=0 zeroes the SCORE, not the match set: a bound of
@@ -1072,8 +1241,16 @@ class Searcher:
         candidate doc.  Range/All/Fuzzy/Regex clauses can match docs
         holding none of the collected terms, so they break cover unless
         a covered must-clause constrains the match set."""
-        if isinstance(node, (A.TermQ, A.PhraseQ)):
+        if isinstance(node, (A.TermQ, A.PhraseQ, A.TermSetQ)):
             return True
+        if isinstance(node, A.PhrasePrefixQ):
+            # every match holds all the exact chain terms; the prefix
+            # slot adds matches only WITH them, so cover holds whenever
+            # the chain is non-empty
+            return bool(node.terms)
+        if isinstance(node, A.DisMaxQ):
+            # a match satisfies >= 1 clause: covered iff EVERY clause is
+            return all(self._term_cover(c) for c in node.queries)
         if isinstance(node, A.BoostQ):
             return self._term_cover(node.child)
         if isinstance(node, A.BoolQ):
@@ -1565,6 +1742,15 @@ def collect_terms(node: A.Node) -> set[tuple[str, str]]:
         out.add((node.field, node.term))
     elif isinstance(node, A.PhraseQ):
         out.update((node.field, t) for t in node.terms)
+    elif isinstance(node, A.TermSetQ):
+        out.update((node.field, t) for t in node.terms)
+    elif isinstance(node, A.PhrasePrefixQ):
+        # the prefix slot expands in-scan; only the exact terms have
+        # per-term stats (df=0 short-circuit + segment absence proofs)
+        out.update((node.field, t) for t in node.terms)
+    elif isinstance(node, A.DisMaxQ):
+        for c in node.queries:
+            out.update(collect_terms(c))
     elif isinstance(node, A.BoolQ):
         for c in (node.must + node.must_not + node.should
                   + getattr(node, "filter", [])):

@@ -90,6 +90,15 @@ def collect_positive_terms(node) -> dict[str, set[str]]:
             out.setdefault(n.field, set()).add(n.term)
         elif isinstance(n, A.PhraseQ) and positive:
             out.setdefault(n.field, set()).update(n.terms)
+        elif isinstance(n, A.TermSetQ) and positive:
+            out.setdefault(n.field, set()).update(n.terms)
+        elif isinstance(n, A.PhrasePrefixQ) and positive:
+            # exact chain terms highlight; the prefix slot's expansions
+            # go through expand_snippet_terms like PrefixQ
+            out.setdefault(n.field, set()).update(n.terms)
+        elif isinstance(n, A.DisMaxQ):
+            for c in n.queries:
+                walk(c, positive)
         elif isinstance(n, A.BoolQ):
             for c in n.must + n.should:
                 walk(c, positive)

@@ -73,6 +73,56 @@ class PrefixQ(Node):
 
 
 @dataclass
+class TermSetQ(Node):
+    """ES ``terms`` query / tantivy TermSetQuery: a doc matches when it
+    contains ANY of the given terms in ``field``; constant score 1.0
+    (the engine rule shared with prefix/fuzzy/regex: multi-term
+    expansion queries are constant-score, like Lucene's default
+    ConstantScore rewrite for ``terms``).  Values are matched VERBATIM
+    against the dictionary — not analyzed — per ES ``terms`` semantics;
+    callers searching a stemmed field pass stemmed terms (the
+    ``match``-style analyzed OR is the existing BoolQ-of-TermQ)."""
+
+    field: str
+    terms: list[str]
+
+
+@dataclass
+class ExistsQ(Node):
+    """ES ``exists`` query: docs that have ANY indexed token in
+    ``field`` (for indexed fields — one postings-presence scan), or any
+    non-null stored value (stored-only fields — one doc-store scan).
+    Constant score 1.0.  BEYOND-REFERENCE extension; the first filter
+    an ES user reaches for on sparse fields like transcript ``tool``."""
+
+    field: str
+
+
+@dataclass
+class DisMaxQ(Node):
+    """ES/Lucene ``dis_max``: matches the union of ``queries``; score =
+    max(clause scores) + tie_breaker * (sum - max).  tie_breaker=0 is
+    pure best-field, 1.0 degrades to the bool-should sum."""
+
+    queries: list[Node]
+    tie_breaker: float = 0.0
+
+
+@dataclass
+class PhrasePrefixQ(Node):
+    """ES ``match_phrase_prefix``: exact adjacency for ``terms`` with a
+    final slot matched by ANY dictionary term starting with ``prefix``
+    (type-ahead).  Constant score 1.0 (expansion-query rule — ES also
+    rewrites the final slot to a constant-ish multi-term union).
+    ``terms`` are analyzed; ``prefix`` is case-folded but never stemmed
+    (the Lucene wildcard rule, same as PrefixQ)."""
+
+    field: str
+    terms: list[str]
+    prefix: str
+
+
+@dataclass
 class FuzzyQ(Node):
     field: str
     term: str
@@ -199,6 +249,52 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
             raise QueryError("minimum_should_match must be >= 0")
         node.min_should = msm if node.should else 0  # ES: no shoulds → ignored
         return node
+    if kind == "terms":
+        # ES terms set: {"terms": {field: ["a", "b", ...]}} — values
+        # matched verbatim (raw fields) / case-folded (analyzed fields),
+        # never stemmed, per the ES rule that `terms` skips analysis
+        (field, values), = body.items()
+        if not isinstance(values, (list, tuple)) or not values:
+            raise QueryError("terms query needs a non-empty value list")
+        tok = schema.tokenizer_for(field)
+        vals = [str(v) if tok == "raw" else str(v).lower() for v in values]
+        return TermSetQ(field, list(dict.fromkeys(vals)))
+    if kind == "exists":
+        field = body["field"] if isinstance(body, dict) else str(body)
+        if schema.field(field) is None:
+            raise QueryError(f"unknown field {field!r}")
+        return ExistsQ(field)
+    if kind == "dis_max":
+        subs = [parse_json(sub, schema) for sub in body.get("queries", [])]
+        if not subs:
+            raise QueryError("dis_max needs at least one sub-query")
+        tie = float(body.get("tie_breaker", 0.0))
+        if not 0.0 <= tie <= 1.0:
+            raise QueryError("tie_breaker must be in [0, 1]")
+        return DisMaxQ(subs, tie)
+    if kind == "match_phrase_prefix":
+        # {"match_phrase_prefix": {field: "slow ha"}} — ES shape; the
+        # final whitespace token is the prefix, the rest are analyzed
+        # phrase terms.  Single-token input degenerates to PrefixQ.
+        (field, spec), = body.items()
+        text = spec["value"] if isinstance(spec, dict) else str(spec)
+        parts = text.split()
+        if not parts:
+            raise QueryError("Empty Query Provided")
+        head, last = parts[:-1], parts[-1]
+        if not head:
+            return _prefix_node(schema, field, last)
+        fdef = schema.field(field)
+        if fdef is None or not fdef.has_positions:
+            raise QueryError(f"field {field!r} does not record positions")
+        analyzed: list[str] = []
+        for t in head:
+            analyzed.extend(_analyze_one(schema, field, t))
+        if not analyzed:
+            return _prefix_node(schema, field, last)
+        tok = schema.tokenizer_for(field)
+        return PhrasePrefixQ(field, analyzed,
+                             last if tok == "raw" else last.lower())
     if kind == "fuzzy":
         (field, spec), = body.items()
         return FuzzyQ(field, str(spec["value"]).lower(),

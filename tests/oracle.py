@@ -77,9 +77,53 @@ class OracleIndex:
             return {d: 1.0 for d in range(self.N)}
         if isinstance(node, A.PrefixQ):
             return self._score_prefix(node)
+        if isinstance(node, A.TermSetQ):
+            out: dict[int, float] = {}
+            for t in node.terms:
+                for d in self.postings.get((node.field, t), {}):
+                    out[d] = 1.0
+            return out
+        if isinstance(node, A.ExistsQ):
+            return {d: 1.0 for (f, _t), pl in self.postings.items()
+                    if f == node.field for d in pl}
+        if isinstance(node, A.DisMaxQ):
+            subs = [self.score(c) for c in node.queries]
+            out = {}
+            for d in set().union(*(set(s) for s in subs)):
+                vals = [s[d] for s in subs if d in s]
+                out[d] = max(vals) + node.tie_breaker * (sum(vals) - max(vals))
+            return out
+        if isinstance(node, A.PhrasePrefixQ):
+            return self._score_phrase_prefix(node)
         if isinstance(node, A.BoostQ):
             return {d: s * node.boost for d, s in self.score(node.child).items()}
         raise NotImplementedError(type(node).__name__)
+
+    def _score_phrase_prefix(self, node: A.PhrasePrefixQ) -> dict[int, float]:
+        """Exact adjacency over the chain terms, final slot = any
+        dictionary term with the prefix; constant score 1.0
+        (search.py _cand_phrase_prefix semantics)."""
+        terms = node.terms
+        plists = [self.postings.get((node.field, t), {}) for t in terms]
+        # positions of ANY prefix-matching term, per doc
+        pp: dict[int, set[int]] = defaultdict(set)
+        for (field, term), plist in self.postings.items():
+            if field == node.field and term.startswith(node.prefix):
+                for d, poss in plist.items():
+                    pp[d].update(poss)
+        common = set(plists[0]) if plists else set()
+        for pl in plists[1:]:
+            common &= set(pl)
+        common &= set(pp)
+        out: dict[int, float] = {}
+        for d in common:
+            match = set(plists[0][d])
+            for i in range(1, len(terms)):
+                match = {p + 1 for p in match} & set(plists[i][d])
+            match = {p + 1 for p in match} & pp[d]
+            if match:
+                out[d] = 1.0
+        return out
 
     def _score_phrase(self, node: A.PhraseQ) -> dict[int, float]:
         terms = node.terms
