@@ -42,10 +42,24 @@ def oracle(corpus):
 
 def gen_node(rng: random.Random, depth: int = 0) -> A.Node:
     kinds = ["term", "term", "term", "phrase", "fuzzy", "range", "bool",
-             "prefix", "slop"]
+             "prefix", "slop", "terms_set", "dismax", "phrase_prefix",
+             "exists"]
     if depth >= 2:
-        kinds = ["term", "term", "phrase", "range", "prefix"]
+        kinds = ["term", "term", "phrase", "range", "prefix",
+                 "terms_set", "exists"]
     kind = rng.choice(kinds)
+    if kind == "terms_set":
+        k = rng.randint(1, 3)
+        return A.TermSetQ("text", rng.sample(TERMS, k))
+    if kind == "exists":
+        return A.ExistsQ(rng.choice(["text", "tool", "role"]))
+    if kind == "dismax":
+        subs = [gen_node(rng, depth + 1)
+                for _ in range(rng.randint(1, 3))]
+        return A.DisMaxQ(subs, rng.choice([0.0, 0.3, 1.0]))
+    if kind == "phrase_prefix":
+        return A.PhrasePrefixQ("text", ["hello"],
+                               rng.choice(["wor", "wba", "zzz"]))
     if kind == "term":
         if rng.random() < 0.15:
             return A.TermQ("role", rng.choice(["tool", "user", "assistant"]))
