@@ -164,41 +164,65 @@ class Index:
     def query_json(self, search: dict) -> dict:
         """Structured toshi DSL (query.rs:14-28 → search.rs:10-103):
         {"query": {...}, "limit": k, "sort_by": field, "facets": {field: [roots]}}
-        → {"docs": [{score, doc}], "facets": {...}}."""
+        → {"docs": [{score, doc}], "facets": {...}}.
+
+        BEYOND-REFERENCE extensions, both ES request-shaped:
+
+        * ``"offset"`` (alias ``"from"``): pagination — skip the first
+          N hits.  Executes as a depth-(offset+limit) top-k (the ES
+          deep-pagination cost model: page P costs P*k, which is why
+          this is bounded to small offsets by DEFAULT_QUERY_LIMIT-style
+          sanity rather than a cursor), then slices driver-side.
+        * ``"aggs"``: search aggregations (terms / histogram /
+          date_histogram / stats / percentiles / cardinality) over the
+          FULL match set — see Searcher.aggregations for the DSL and
+          the single-join execution shape.
+        """
         body = search.get("query")
         if body is None:
             raise A.QueryError("Empty Query Provided")  # search.rs:100-102
         node = A.parse_json(body, self.schema)
         limit = int(search.get("limit", DEFAULT_QUERY_LIMIT))
+        offset = int(search.get("offset", search.get("from", 0)))
+        if offset < 0:
+            raise A.QueryError("offset must be >= 0")
+        depth = offset + limit
         s = self.searcher()
         sort_by = search.get("sort_by")
         facets = search.get("facets") or {}
-        if facets:
-            # MultiCollector (search.rs:32-42): facet counting needs ALL
-            # matches (segment pruning is invalid), so persist ONE scored
-            # scan and feed both collectors from it — one pass over the
-            # postings, like the reference's single-pass MultiCollector
+        aggs = search.get("aggs") or {}
+        if facets or aggs:
+            # MultiCollector (search.rs:32-42): facet counting and
+            # aggregations need ALL matches (segment pruning is
+            # invalid), so persist ONE scored scan and feed every
+            # collector from it — one pass over the postings, like the
+            # reference's single-pass MultiCollector
             cand = s.candidates(node).persist()
             try:
-                hits = s.top_k(node, limit=limit, sort_by=sort_by, cands=cand)
-                docs = s.retrieve(hits)
+                hits = s.top_k(node, limit=depth, sort_by=sort_by, cands=cand)
+                docs = s.retrieve(hits)[offset:]
                 out: dict[str, Any] = {"docs": docs, "facets": {}}
-                # reference quirks (search.rs:32-42, 89-98): one facet
-                # field, and only the FIRST requested root's counts return
-                field = next(iter(facets))
-                roots = list(facets[field] or [])
-                counts = s.facet_counts(node, field, roots=roots,
-                                        cands=cand).collect()
-                key = "facet" if roots else field
-                out["facets"] = {field: {r[key]: r["count"] for r in counts}}
+                if facets:
+                    # reference quirks (search.rs:32-42, 89-98): one facet
+                    # field, and only the FIRST requested root's counts
+                    # return
+                    field = next(iter(facets))
+                    roots = list(facets[field] or [])
+                    counts = s.facet_counts(node, field, roots=roots,
+                                            cands=cand).collect()
+                    key = "facet" if roots else field
+                    out["facets"] = {field: {r[key]: r["count"]
+                                             for r in counts}}
+                if aggs:
+                    out["aggs"] = s.aggregations(node, aggs, cands=cand)
                 return out
             finally:
                 cand.unpersist()
         # BM25-bound pruning is invalid under sort-by-field ordering;
         # the sorted collector prunes on the sort field's zone maps
-        hits = (s.top_k_sorted_pruned(node, limit=limit, sort_by=sort_by)
-                if sort_by else s.top_k_pruned(node, limit=limit))
-        return {"docs": s.retrieve(hits), "facets": {}}
+        hits = (s.top_k_sorted_pruned(node, limit=depth, sort_by=sort_by)
+                if sort_by else s.top_k_pruned(node, limit=depth))
+        return {"docs": s.retrieve(hits)[offset:], "facets": {}}
 
     def count(self, query: str | dict) -> int:
         """Total matching-doc count — the tantivy Count-collector analog.

@@ -1393,6 +1393,149 @@ def q_ft_phrase_prefix(spark, sf_dir):
             .orderBy("doc_id").limit(10))
 
 
+CONST_BOOST = 1.7    # constant_score boost for ft_const_score
+PAGE_SIZE = 10       # page size for ft_page2 (ES from/size)
+HIST_INTERVAL = 100  # n_chars histogram interval for ft_agg_histogram
+PCTS = (0.25, 0.5, 0.75, 0.99)  # ft_agg_percentiles fractions
+
+
+def q_ft_wildcard(spark, sf_dir):
+    """ES ``wildcard`` query ``s?a*`` (round-5 surface): ``?`` = one
+    char, ``*`` = any run, translated to an anchored term-dictionary
+    regex with literal runs escaped (engine analog:
+    plans/ast.py _wildcard_node -> search.py _cand_regex; a pure
+    trailing-star pattern rewrites to the cheaper PrefixQ pushdown
+    instead, covered by ft_prefix).  Constant-score expansion-query
+    rule: DISTINCT matching docs."""
+    p = _ft(spark, sf_dir)["postings"]
+    return (p.filter(F.col("term").rlike("^(?:s.a.*)$"))
+            .select("doc_id").distinct().orderBy("doc_id"))
+
+
+def q_ft_const_score(spark, sf_dir):
+    """ES ``constant_score`` wrapping a term filter (round-5 surface;
+    Lucene ConstantScoreQuery): match set = the filter's, every hit
+    scored exactly ``boost`` — the child's BM25 arithmetic is REPLACED,
+    not multiplied (that's BoostQ), so Catalyst prunes the scoring
+    columns and the plan collapses to the bare filter scan (engine
+    analog: search.py _cand_opt ConstScoreQ branch,
+    plan-asserted in tests/test_query_surfaces6.py)."""
+    p = _ft(spark, sf_dir)["postings"]
+    return (p.filter(F.col("term") == "tabl")
+            .select("doc_id").distinct()
+            .withColumn("score", F.lit(CONST_BOOST))
+            .orderBy("doc_id").limit(10))
+
+
+def q_ft_match_and(spark, sf_dir):
+    """ES ``match`` query "value group" with operator=and (round-5
+    surface): the text analyzes to stems ('valu', 'group') compiled as
+    bool musts — scores sum, both terms required.  Engine analog:
+    plans/ast.py parse_json 'match' branch -> the existing single-scan
+    bool fast path."""
+    s = _scored(spark, sf_dir)
+    a = s.filter(F.col("term") == "valu").select(
+        "doc_id", F.col("score").alias("sa"))
+    b = s.filter(F.col("term") == "group").select(
+        "doc_id", F.col("score").alias("sb"))
+    return _topk(a.join(b, on="doc_id").select(
+        "doc_id", (F.col("sa") + F.col("sb")).alias("score")))
+
+
+def q_ft_page2(spark, sf_dir):
+    """Pagination (ES ``from``/``size``; round-5 surface): page 2 of
+    the ft_term_bm25 ranking — hits 11-20 under the same
+    (score desc, docid asc) total order.  The engine executes a
+    depth-(offset+limit) top-k then slices (catalog.py query_json
+    'offset'), the ES deep-pagination cost model; here the depth-20
+    prefix is ranked with a window over the term's match set (driver
+    contract shape — the match set is one term's postings, top-k
+    bounded)."""
+    from pyspark.sql import Window
+
+    s = _scored(spark, sf_dir).filter(F.col("term") == "valu")
+    w = Window.orderBy(F.desc(F.round(F.col("score"), 7)), F.asc("doc_id"))
+    return (s.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") > PAGE_SIZE)
+                    & (F.col("rn") <= 2 * PAGE_SIZE))
+            .select("doc_id", F.round("score", 4).alias("score"),
+                    F.col("rn").cast("long").alias("rn")))
+
+
+def _agg_matched(spark, sf_dir, term="valu"):
+    """Docs matching a term query — the match set every ft_agg_*
+    aggregation runs over (ES aggs see ALL matches, so no top-k
+    pruning; engine analog: Searcher.aggregations' single
+    candidates->doc-store equi-join)."""
+    t = _ft(spark, sf_dir)
+    cand = t["postings"].filter(F.col("term") == term).select("doc_id")
+    return t["docs"].join(cand, on="doc_id")
+
+
+def q_ft_agg_terms(spark, sf_dir):
+    """ES ``terms`` aggregation on ``source`` over the 'valu' match set
+    (round-5 surface): bucket per value, doc_count, ordered
+    (doc_count desc, key asc), top 10 buckets.  Engine analog:
+    search.py Searcher.aggregations 'terms' — one hash aggregation
+    with map-side partials after the single doc-store join."""
+    return (_agg_matched(spark, sf_dir)
+            .groupBy(F.col("source").alias("key"))
+            .agg(F.count("*").cast("long").alias("doc_count"))
+            .orderBy(F.desc("doc_count"), F.asc("key")).limit(10))
+
+
+def q_ft_agg_stats(spark, sf_dir):
+    """ES ``stats`` aggregation on ``n_chars`` over the 'valu' match
+    set: count/min/max/avg/sum in ONE hash aggregation (engine analog:
+    Searcher.aggregations 'stats')."""
+    return _agg_matched(spark, sf_dir).agg(
+        F.count("n_chars").cast("long").alias("cnt"),
+        F.min("n_chars").cast("long").alias("min_c"),
+        F.max("n_chars").cast("long").alias("max_c"),
+        F.round(F.avg("n_chars"), 4).alias("avg_c"),
+        F.sum("n_chars").cast("long").alias("sum_c"))
+
+
+def q_ft_agg_histogram(spark, sf_dir):
+    """ES ``histogram`` aggregation (interval 100) on ``n_chars`` over
+    the 'valu' match set: bucket key = floor(v/interval)*interval,
+    empty buckets omitted (the engine's choice — ES min_doc_count=1
+    shape), ordered by key.  Engine analog: Searcher.aggregations
+    'histogram'."""
+    key = (F.floor(F.col("n_chars") / HIST_INTERVAL)
+           * HIST_INTERVAL).cast("double").alias("key")
+    return (_agg_matched(spark, sf_dir).groupBy(key)
+            .agg(F.count("*").cast("long").alias("doc_count"))
+            .orderBy("key"))
+
+
+def q_ft_agg_percentiles(spark, sf_dir):
+    """ES ``percentiles`` aggregation on ``n_chars`` over the 'valu'
+    match set — the contract pins the EXACT interpolated path
+    (deterministic, oracle = DuckDB quantile_cont); the engine's
+    default at scale is the same call and its opt-in sketch path
+    (percentile_approx) is pytest-covered with an error envelope
+    instead of a hash gate.  Engine analog: Searcher.aggregations
+    'percentiles'."""
+    m = _agg_matched(spark, sf_dir)
+    v = F.col("n_chars").cast("double")
+    return m.agg(*[
+        F.round(F.percentile(v, F.lit(p)), 4).alias(f"p{int(p * 100)}")
+        for p in PCTS])
+
+
+def q_ft_agg_cardinality(spark, sf_dir):
+    """ES ``cardinality`` aggregation over the 'valu' match set — the
+    contract pins the EXACT distinct counts on two fields (oracle =
+    COUNT(DISTINCT ..)); the engine default is the HLL sketch
+    (approx_count_distinct), pytest-covered within its error envelope
+    (tests/test_query_surfaces6.py::test_aggs_approx_paths).  Engine
+    analog: Searcher.aggregations 'cardinality'."""
+    return _agg_matched(spark, sf_dir).agg(
+        F.count_distinct("source").cast("long").alias("n_sources"),
+        F.count_distinct("lang").cast("long").alias("n_langs"))
+
+
 PARA_W = 10          # paragraph-proxy width (corpus has no newlines)
 QUOTA_K = 25         # per-source quota for pl_domain_quota
 QUOTA_SALT = 8       # MINIMUM salt fan-out for the two-phase exact
@@ -1729,6 +1872,15 @@ QUERIES = {
     "ft_terms_set": q_ft_terms_set,
     "ft_dismax": q_ft_dismax,
     "ft_phrase_prefix": q_ft_phrase_prefix,
+    "ft_wildcard": q_ft_wildcard,
+    "ft_const_score": q_ft_const_score,
+    "ft_match_and": q_ft_match_and,
+    "ft_page2": q_ft_page2,
+    "ft_agg_terms": q_ft_agg_terms,
+    "ft_agg_stats": q_ft_agg_stats,
+    "ft_agg_histogram": q_ft_agg_histogram,
+    "ft_agg_percentiles": q_ft_agg_percentiles,
+    "ft_agg_cardinality": q_ft_agg_cardinality,
     "dd_para_dup": q_dd_para_dup,
     "pl_domain_quota": q_pl_domain_quota,
     "tx_lm_xent": q_tx_lm_xent,
@@ -2127,6 +2279,46 @@ CAST(1.0 AS DOUBLE) AS score
 FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
 WHERE a.term = 'slow' AND b.term LIKE 'ha%'
 ORDER BY a.doc_id LIMIT 10""",
+        "ft_wildcard": pre + """SELECT DISTINCT doc_id FROM postings
+WHERE regexp_full_match(term, 's.a.*') ORDER BY doc_id""",
+        "ft_const_score": pre + f"""SELECT DISTINCT doc_id,
+CAST({CONST_BOOST} AS DOUBLE) AS score
+FROM postings WHERE term = 'tabl' ORDER BY doc_id LIMIT 10""",
+        "ft_match_and": pre + """SELECT a.doc_id, round(a.score + b.score, 4) AS score
+FROM scored a JOIN scored b USING (doc_id)
+WHERE a.term = 'valu' AND b.term = 'group'
+ORDER BY round(a.score + b.score, 7) DESC, a.doc_id LIMIT 10""",
+        "ft_page2": pre + f"""SELECT doc_id, round(score, 4) AS score,
+row_number() OVER (ORDER BY round(score, 7) DESC, doc_id) AS rn
+FROM scored WHERE term = 'valu'
+ORDER BY round(score, 7) DESC, doc_id
+LIMIT {PAGE_SIZE} OFFSET {PAGE_SIZE}""",
+        "ft_agg_terms": pre + """SELECT d.source AS key,
+count(*)::BIGINT AS doc_count
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')
+GROUP BY d.source ORDER BY doc_count DESC, key LIMIT 10""",
+        "ft_agg_stats": pre + """SELECT count(n_chars)::BIGINT AS cnt,
+min(n_chars)::BIGINT AS min_c, max(n_chars)::BIGINT AS max_c,
+round(avg(n_chars), 4) AS avg_c, sum(n_chars)::BIGINT AS sum_c
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')""",
+        "ft_agg_histogram": pre + f"""SELECT
+(floor(n_chars / {HIST_INTERVAL}) * {HIST_INTERVAL})::DOUBLE AS key,
+count(*)::BIGINT AS doc_count
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')
+GROUP BY key ORDER BY key""",
+        "ft_agg_percentiles": pre + f"""SELECT
+{', '.join(f'round(quantile_cont(n_chars, {p}), 4) AS p{int(p * 100)}'
+           for p in PCTS)}
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')""",
+        "ft_agg_cardinality": pre + """SELECT
+count(DISTINCT source)::BIGINT AS n_sources,
+count(DISTINCT lang)::BIGINT AS n_langs
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')""",
         "ft_termdict": pre + "SELECT term, df FROM tdf",
         "ft_stats": pre + """SELECT count(*)::BIGINT AS num_docs,
 sum(len)::BIGINT AS total_tokens, round(sum(len)::DOUBLE / count(*), 6) AS avgdl

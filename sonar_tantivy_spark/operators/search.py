@@ -197,7 +197,7 @@ class Searcher:
             elif isinstance(n, A.BoolQ):
                 for c in n.must + n.should:  # must_not: skip
                     walk(c)
-            elif isinstance(n, A.BoostQ):
+            elif isinstance(n, (A.BoostQ, A.ConstScoreQ)):
                 walk(n.child)
 
         walk(node)
@@ -305,6 +305,16 @@ class Searcher:
                 return None
             return child.withColumn(
                 "score", F.col("score") * F.lit(float(node.boost)))
+        if isinstance(node, A.ConstScoreQ):
+            # match set = the child's, score = the constant.  The child's
+            # score column is overwritten (never multiplied), so Catalyst
+            # prunes the child's scoring arithmetic out of the plan —
+            # a constant_score-wrapped term compiles to the same
+            # filter-project scan a bare filter would.
+            child = self._cand_opt(node.child, dfs)
+            if child is None:
+                return None
+            return child.withColumn("score", F.lit(float(node.boost)))
         raise A.QueryError(f"cannot compile {type(node).__name__}")
 
     def _postings_for(self, field: str, term: str) -> DataFrame | None:
@@ -897,12 +907,24 @@ class Searcher:
             "docid_g", F.col("base") + F.col("docid")
         ).drop("base")
 
+    @staticmethod
+    def _after_pred(value_col: Column, after: tuple) -> Column:
+        """Rows strictly AFTER the cursor in (value desc, docid_g asc)
+        order — the ES ``search_after`` predicate.  A pure filter on the
+        sort key, so unlike offset pagination the execution cost of page
+        P does not grow with P (no depth-(P·k) top-k): the shape that
+        stays correct when a 100 TB index is paged to exhaustion."""
+        s, d = float(after[0]), int(after[1])
+        return (value_col < F.lit(s)) | (
+            (value_col == F.lit(s)) & (F.col("docid_g") > F.lit(d)))
+
     def top_k(
         self,
         node: A.Node,
         limit: int = 10,
         sort_by: str | None = None,
         cands: DataFrame | None = None,
+        after: tuple | None = None,
     ) -> DataFrame:
         """DF(segment_id, docid, docid_g, score) of the top ``limit`` hits.
 
@@ -915,7 +937,12 @@ class Searcher:
 
         ``cands``: precomputed ``candidates(node)`` — the MultiCollector
         path persists one scored scan and feeds both the top-k and the
-        facet counts from it."""
+        facet counts from it.
+
+        ``after``: ES search_after cursor, the previous page's last
+        (score, docid_g) — restricts to rows strictly after it in the
+        collector's total order (BM25 score or the fast-field value,
+        whichever this call sorts by)."""
         if cands is None:
             cands = self.candidates(node)
         cands = self.with_global_docid(cands)
@@ -929,11 +956,16 @@ class Searcher:
             if bound is not None and bound <= 2_000_000:
                 cands = F.broadcast(cands)
             cands = cands.join(docs, on=["segment_id", "docid"])
+            if after is not None:
+                cands = cands.filter(
+                    self._after_pred(F.col(sort_by).cast("double"), after))
             return (
                 cands.orderBy(F.desc(sort_by), F.asc("docid_g")).limit(limit)
                 .withColumn("score", F.col(sort_by).cast("double"))
                 .drop(sort_by)
             )
+        if after is not None:
+            cands = cands.filter(self._after_pred(F.col("score"), after))
         return cands.orderBy(F.desc("score"), F.asc("docid_g")).limit(limit)
 
     def _cand_size_bound(self, node: A.Node) -> int | None:
@@ -960,7 +992,7 @@ class Searcher:
             if any(b is None for b in subs):
                 return None
             return sum(subs)
-        if isinstance(node, A.BoostQ):
+        if isinstance(node, (A.BoostQ, A.ConstScoreQ)):
             return self._cand_size_bound(node.child)
         if isinstance(node, A.BoolQ):
             musts = [self._cand_size_bound(c) for c in node.must]
@@ -1231,6 +1263,15 @@ class Searcher:
                 return None
             b = self._node_bound(node.child, sid, idfs, mtf)
             return None if b is None else b * node.boost
+        if isinstance(node, A.ConstScoreQ):
+            # score is exactly ``boost`` for every match, so the child's
+            # bound matters only as an ABSENCE proof (child bound 0.0 →
+            # no matches here).  Same boost<=0 trap as BoostQ: a 0.0
+            # return must mean "provably no match", never "score is 0".
+            b = self._node_bound(node.child, sid, idfs, mtf)
+            if b == 0.0:
+                return 0.0
+            return float(node.boost) if node.boost > 0 else None
         return None
 
     def _term_cover(self, node: A.Node) -> bool:
@@ -1251,7 +1292,7 @@ class Searcher:
         if isinstance(node, A.DisMaxQ):
             # a match satisfies >= 1 clause: covered iff EVERY clause is
             return all(self._term_cover(c) for c in node.queries)
-        if isinstance(node, A.BoostQ):
+        if isinstance(node, (A.BoostQ, A.ConstScoreQ)):
             return self._term_cover(node.child)
         if isinstance(node, A.BoolQ):
             if any(self._term_cover(c)
@@ -1701,6 +1742,148 @@ class Searcher:
             .groupBy(child.alias("facet")).agg(F.count("*").alias("count"))
         )
 
+    _CALENDAR_INTERVALS = {
+        "minute": "minute", "hour": "hour", "day": "day", "week": "week",
+        "month": "month", "quarter": "quarter", "year": "year",
+    }
+
+    def aggregations(self, node: A.Node, aggs: dict,
+                     cands: DataFrame | None = None) -> dict:
+        """ES-style search aggregations over the FULL match set of
+        ``node`` (BEYOND-REFERENCE — toshi exposes only the facet
+        collector, search.rs:32-42; these are the next collectors an ES
+        user reaches for).  ``aggs`` is the ES request shape::
+
+            {name: {"terms":          {"field": f, "size": 10}},
+             name: {"histogram":      {"field": f, "interval": 50}},
+             name: {"date_histogram": {"field": f, "calendar_interval": "day"}},
+             name: {"stats":          {"field": f}},
+             name: {"percentiles":    {"field": f, "percents": [..],
+                                       "approx": False}},
+             name: {"cardinality":    {"field": f, "exact": False}}}
+
+        Execution shape (the part that must survive 100×): ONE equi-join
+        of the candidate set to the doc store on (segment_id, docid) —
+        a hash join on the index's physical key, never a collect — then
+        one hash aggregation per requested agg, each with map-side
+        partial aggregation.  The joined frame is persisted across aggs
+        so the postings scan and join run once, mirroring the
+        reference's single-pass MultiCollector.  Aggregations see ALL
+        matches, so segment pruning is invalid here (same rule as
+        facets); callers pass the unpruned candidate set.
+
+        ``percentiles`` defaults to EXACT interpolated percentiles
+        (deterministic, oracle-matchable); pass ``"approx": true`` for
+        the sketch path (percentile_approx — the 100 TB default, one
+        pass, bounded memory).  ``cardinality`` defaults to the HLL
+        sketch (approx_count_distinct, the ES semantics and the shape
+        that scales); ``"exact": true`` switches to an exact distinct
+        count."""
+        fields: set[str] = set()
+        for name, spec in aggs.items():
+            if not isinstance(spec, dict) or len(spec) != 1:
+                raise A.QueryError(f"agg {name!r}: expected one agg kind")
+            kind, body = next(iter(spec.items()))
+            f = (body or {}).get("field")
+            if not f:
+                raise A.QueryError(f"agg {name!r}: missing field")
+            fdef = self.schema.field(f)
+            if fdef is None or not fdef.stored:
+                raise A.QueryError(
+                    f"agg {name!r}: field {f!r} is not a stored field")
+            # ES typing rules: numeric metrics/histograms need numeric
+            # fields, date_histogram needs a date — fail at parse time
+            # instead of as an executor-side ANSI cast error
+            if kind in ("stats", "percentiles", "histogram") \
+                    and fdef.type not in ("i64", "u64", "f64"):
+                raise A.QueryError(
+                    f"agg {name!r}: {kind} needs a numeric field, "
+                    f"{f!r} is {fdef.type}")
+            if kind == "date_histogram" and fdef.type != "date":
+                raise A.QueryError(
+                    f"agg {name!r}: date_histogram needs a date field, "
+                    f"{f!r} is {fdef.type}")
+            fields.add(f)
+        if cands is None:
+            cands = self.candidates(node)
+        docs = self._table("docs").select("segment_id", "docid", *sorted(fields))
+        matched = cands.select("segment_id", "docid").join(
+            docs, on=["segment_id", "docid"]).persist()
+        try:
+            out: dict[str, Any] = {}
+            for name, spec in aggs.items():
+                kind, body = next(iter(spec.items()))
+                col = F.col(body["field"])
+                # ES rule: docs missing the field fall out of every agg
+                # (count(col)/min/max/avg/sum skip nulls natively; the
+                # bucketed aggs must not grow a null bucket)
+                bucketed = matched.filter(col.isNotNull())
+                if kind == "terms":
+                    size = int(body.get("size", 10))
+                    rows = (bucketed.groupBy(col.alias("key"))
+                            .agg(F.count("*").alias("doc_count"))
+                            .orderBy(F.desc("doc_count"), F.asc("key"))
+                            .limit(size).collect())
+                    out[name] = {"buckets": [
+                        {"key": r["key"], "doc_count": r["doc_count"]}
+                        for r in rows]}
+                elif kind == "histogram":
+                    interval = float(body["interval"])
+                    if interval <= 0:
+                        raise A.QueryError(f"agg {name!r}: interval must be > 0")
+                    key = (F.floor(col.cast("double") / interval)
+                           * interval).alias("key")
+                    rows = (bucketed.groupBy(key)
+                            .agg(F.count("*").alias("doc_count"))
+                            .orderBy("key").collect())
+                    out[name] = {"buckets": [
+                        {"key": float(r["key"]), "doc_count": r["doc_count"]}
+                        for r in rows]}
+                elif kind == "date_histogram":
+                    unit = self._CALENDAR_INTERVALS.get(
+                        str(body.get("calendar_interval", "day")).lower())
+                    if unit is None:
+                        raise A.QueryError(
+                            f"agg {name!r}: unsupported calendar_interval")
+                    key = F.date_trunc(unit, col).alias("key")
+                    rows = (bucketed.groupBy(key)
+                            .agg(F.count("*").alias("doc_count"))
+                            .orderBy("key").collect())
+                    out[name] = {"buckets": [
+                        {"key_as_string": r["key"].isoformat(),
+                         "doc_count": r["doc_count"]}
+                        for r in rows]}
+                elif kind == "stats":
+                    r = matched.agg(
+                        F.count(col).alias("count"),
+                        F.min(col).alias("min"), F.max(col).alias("max"),
+                        F.avg(col).alias("avg"), F.sum(col).alias("sum"),
+                    ).collect()[0]
+                    out[name] = {k: r[k] for k in
+                                 ("count", "min", "max", "avg", "sum")}
+                elif kind == "percentiles":
+                    pcts = [float(p) for p in
+                            body.get("percents", [1, 5, 25, 50, 75, 95, 99])]
+                    fracs = F.array(*[F.lit(p / 100.0) for p in pcts])
+                    fn = F.percentile_approx if body.get("approx") \
+                        else F.percentile
+                    r = matched.agg(
+                        fn(col.cast("double"), fracs).alias("v")).collect()[0]
+                    vals = r["v"] or [None] * len(pcts)
+                    out[name] = {"values": {
+                        str(p): (None if v is None else float(v))
+                        for p, v in zip(pcts, vals)}}
+                elif kind == "cardinality":
+                    expr = (F.count_distinct(col) if body.get("exact")
+                            else F.approx_count_distinct(col))
+                    out[name] = {"value": int(
+                        matched.agg(expr.alias("v")).collect()[0]["v"])}
+                else:
+                    raise A.QueryError(f"agg {name!r}: unknown kind {kind!r}")
+            return out
+        finally:
+            matched.unpersist()
+
     def retrieve(self, hits: DataFrame) -> list[dict]:
         """Fetch stored fields for top-k rows (k ≤ 100: collect the keys,
         pushdown-filter the docs scan — index.rs:274-281 analog)."""
@@ -1756,6 +1939,8 @@ def collect_terms(node: A.Node) -> set[tuple[str, str]]:
                   + getattr(node, "filter", [])):
             out.update(collect_terms(c))
     elif isinstance(node, A.BoostQ):
+        out.update(collect_terms(node.child))
+    elif isinstance(node, A.ConstScoreQ):
         out.update(collect_terms(node.child))
     return out
 

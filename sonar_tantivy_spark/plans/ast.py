@@ -179,6 +179,20 @@ class BoostQ(Node):
     boost: float = 1.0
 
 
+@dataclass
+class ConstScoreQ(Node):
+    """ES ``constant_score`` / Lucene ConstantScoreQuery: matches exactly
+    the wrapped query's doc set with every hit scored ``boost`` — the
+    child's own scores are discarded, not multiplied (that's BoostQ).
+    The canonical "I want this filter's matches ranked equal" wrapper;
+    in the Spark plan the child's scoring columns never survive the
+    projection, so the child may compile to its cheapest (filter-only)
+    shape."""
+
+    child: Node
+    boost: float = 1.0
+
+
 def _analyze_one(schema: IndexSchema, field: str, value: str) -> list[str]:
     return analyze_terms(str(value), schema.tokenizer_for(field))
 
@@ -203,6 +217,45 @@ def _prefix_node(schema: IndexSchema, field: str, value: str) -> Node:
         raise QueryError("empty prefix")
     tok = schema.tokenizer_for(field)
     return PrefixQ(field, value if tok == "raw" else value.lower())
+
+
+_RE_META = set(".^$+{}[]()|\\")
+
+
+def _wildcard_node(schema: IndexSchema, field: str, pattern: str) -> Node:
+    """ES/Lucene ``wildcard``: ``?`` = one character, ``*`` = any run
+    (no escape syntax — a literal ``*``/``?`` in a term is untokenizable
+    here anyway).  The pattern is case-folded but never stemmed (the
+    Lucene wildcard rule, shared with PrefixQ).  Rewrites to the
+    CHEAPEST existing node rather than carrying a new execution path:
+
+      * no wildcard chars  → verbatim single-term TermSetQ (Lucene's
+        constant-score multi-term rewrite of a degenerate wildcard —
+        NOT a scored TermQ);
+      * ``lit*``           → PrefixQ (StartsWith pushed into the
+        postings scan, no dictionary join);
+      * anything else      → RegexQ over the term dictionary with the
+        literal runs regex-escaped.
+    """
+    if not pattern:
+        raise QueryError("empty wildcard pattern")
+    tok = schema.tokenizer_for(field)
+    pat = pattern if tok == "raw" else pattern.lower()
+    if "*" not in pat and "?" not in pat:
+        return TermSetQ(field, [pat])
+    if pat.endswith("*") and "?" not in pat and "*" not in pat[:-1]:
+        return _prefix_node(schema, field, pat[:-1])
+    out: list[str] = []
+    for ch in pat:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        elif ch in _RE_META:
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return RegexQ(field, "".join(out))
 
 
 # ---------------------------------------------------------------- JSON DSL
@@ -295,6 +348,45 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
         tok = schema.tokenizer_for(field)
         return PhrasePrefixQ(field, analyzed,
                              last if tok == "raw" else last.lower())
+    if kind == "wildcard":
+        # ES shape: {"wildcard": {field: "h?ll*"}} or {field: {"value": p}}
+        (field, spec), = body.items()
+        pat = spec["value"] if isinstance(spec, dict) else str(spec)
+        if schema.field(field) is None:
+            raise QueryError(f"unknown field {field!r}")
+        return _wildcard_node(schema, field, pat)
+    if kind == "constant_score":
+        # {"constant_score": {"filter": {...}, "boost": b}} — ES shape
+        filt = body.get("filter")
+        if not filt:
+            raise QueryError("constant_score needs a filter")
+        boost = float(body.get("boost", 1.0))
+        return ConstScoreQ(parse_json(filt, schema), boost)
+    if kind == "match":
+        # ES match: analyzed text → bool of term queries.
+        # {"match": {field: "a b"}} or
+        # {"match": {field: {"query": "a b", "operator": "and"|"or",
+        #                    "minimum_should_match": m}}}
+        (field, spec), = body.items()
+        if isinstance(spec, dict):
+            text = str(spec.get("query", ""))
+            op = str(spec.get("operator", "or")).lower()
+            msm = int(spec.get("minimum_should_match", 0))
+        else:
+            text, op, msm = str(spec), "or", 0
+        if op not in ("or", "and"):
+            raise QueryError(f"match operator must be and/or, got {op!r}")
+        terms = _analyze_one(schema, field, text)
+        if not terms:
+            return BoolQ()  # matches nothing (all tokens analyzed away)
+        if len(terms) == 1:
+            return TermQ(field, terms[0])
+        clauses = [TermQ(field, t) for t in terms]
+        if op == "and":
+            return BoolQ(must=clauses)
+        node = BoolQ(should=clauses)
+        node.min_should = max(0, msm)
+        return node
     if kind == "fuzzy":
         (field, spec), = body.items()
         return FuzzyQ(field, str(spec["value"]).lower(),

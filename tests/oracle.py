@@ -97,6 +97,8 @@ class OracleIndex:
             return self._score_phrase_prefix(node)
         if isinstance(node, A.BoostQ):
             return {d: s * node.boost for d, s in self.score(node.child).items()}
+        if isinstance(node, A.ConstScoreQ):
+            return {d: node.boost for d in self.score(node.child)}
         raise NotImplementedError(type(node).__name__)
 
     def _score_phrase_prefix(self, node: A.PhrasePrefixQ) -> dict[int, float]:

@@ -43,11 +43,19 @@ def oracle(corpus):
 def gen_node(rng: random.Random, depth: int = 0) -> A.Node:
     kinds = ["term", "term", "term", "phrase", "fuzzy", "range", "bool",
              "prefix", "slop", "terms_set", "dismax", "phrase_prefix",
-             "exists"]
+             "exists", "wildcard", "const_score"]
     if depth >= 2:
         kinds = ["term", "term", "phrase", "range", "prefix",
-                 "terms_set", "exists"]
+                 "terms_set", "exists", "wildcard"]
     kind = rng.choice(kinds)
+    if kind == "wildcard":
+        # the term-dictionary regexes a wildcard pattern translates to
+        # (ast._wildcard_node): 'h?llo', 'w*d', 'he*o', dead pattern
+        return A.RegexQ("text", rng.choice(
+            ["h.llo", "w.*d", "he.*o", "zz.*q"]))
+    if kind == "const_score":
+        return A.ConstScoreQ(gen_node(rng, depth + 1),
+                             rng.choice([1.0, 0.5, 2.5]))
     if kind == "terms_set":
         k = rng.randint(1, 3)
         return A.TermSetQ("text", rng.sample(TERMS, k))

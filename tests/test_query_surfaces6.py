@@ -1,0 +1,376 @@
+"""Round-5 (late) query surfaces: ES ``wildcard``, ``constant_score``,
+``match``, pagination (``offset``/``from``), and search aggregations
+(``aggs``: terms / histogram / date_histogram / stats / percentiles /
+cardinality).
+
+Semantics pinned:
+
+  * wildcard: ``?`` = one char, ``*`` = any run; pattern case-folded,
+    never stemmed (Lucene wildcard rule).  Rewrites to the cheapest
+    existing node — no-wildcard pattern → verbatim constant-score
+    TermSetQ, ``lit*`` → PrefixQ (StartsWith postings pushdown),
+    anything else → RegexQ with literal runs escaped.  Constant score
+    1.0 (Lucene's constant-score multi-term rewrite).
+  * constant_score: match set = the wrapped filter's, every hit scored
+    ``boost`` — scores REPLACED, not multiplied (that's BoostQ).
+  * match: analyzed text → bool of terms; operator=or (default, shoulds
+    + minimum_should_match) or and (musts).  Single analyzed token
+    degenerates to a plain TermQ.
+  * offset: ES from/size — depth-(offset+limit) top-k, sliced; page
+    boundaries are deterministic via the global-docid tie-break.
+  * aggs: ES request/response shapes over the FULL match set; docs with
+    a null agg field drop out (ES missing-value rule); terms buckets
+    order by (doc_count desc, key asc); percentiles default EXACT
+    interpolated (approx opt-in), cardinality defaults to the HLL
+    sketch (exact opt-in).
+"""
+
+import numpy as np
+import pytest
+
+from sonar_tantivy_spark import IndexCatalog
+from sonar_tantivy_spark.plans import ast as A
+from sonar_tantivy_spark.sources.transcripts import (
+    TRANSCRIPT_SCHEMA,
+    generate_transcripts,
+)
+from tests.oracle import OracleIndex
+
+N_TURNS = 900
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_transcripts(N_TURNS)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    docs = corpus.to_dict("records")
+    return OracleIndex(docs, {"text": "en_stem", "role": "raw", "tool": "raw"})
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("qs6"))
+    cat = IndexCatalog(spark, base)
+    idx = cat.create_index("transcripts", TRANSCRIPT_SCHEMA)
+    idx.add_df(spark.createDataFrame(corpus),
+               order_cols=["conv_id", "turn_idx"], num_segments=3)
+    return idx
+
+
+# ------------------------------------------------------------- JSON shapes
+def test_wildcard_parse_rewrites(index):
+    # no wildcard chars -> verbatim constant-score single-term set
+    n = A.parse_json({"wildcard": {"text": "Hello"}}, index.schema)
+    assert isinstance(n, A.TermSetQ) and n.terms == ["hello"]
+    # pure trailing-star -> prefix pushdown
+    n = A.parse_json({"wildcard": {"text": "hel*"}}, index.schema)
+    assert isinstance(n, A.PrefixQ) and n.prefix == "hel"
+    # general -> term-dictionary regex with literal runs escaped
+    n = A.parse_json({"wildcard": {"text": "h?l*o"}}, index.schema)
+    assert isinstance(n, A.RegexQ) and n.pattern == "h.l.*o"
+    n = A.parse_json({"wildcard": {"text": {"value": "a.b?"}}}, index.schema)
+    assert isinstance(n, A.RegexQ) and n.pattern == "a\\.b."
+    # raw fields: verbatim case
+    n = A.parse_json({"wildcard": {"role": "Us*"}}, index.schema)
+    assert isinstance(n, A.PrefixQ) and n.prefix == "Us"
+
+
+def test_constant_score_and_match_parse(index):
+    n = A.parse_json({"constant_score": {
+        "filter": {"term": {"text": "hello"}}, "boost": 1.7}}, index.schema)
+    assert isinstance(n, A.ConstScoreQ) and n.boost == 1.7
+    assert isinstance(n.child, A.TermQ)
+    n = A.parse_json({"match": {"text": "hello"}}, index.schema)
+    assert isinstance(n, A.TermQ)  # single token degenerates
+    n = A.parse_json({"match": {"text": "hello world"}}, index.schema)
+    assert isinstance(n, A.BoolQ) and len(n.should) == 2 and not n.must
+    n = A.parse_json({"match": {"text": {
+        "query": "hello world", "operator": "and"}}}, index.schema)
+    assert isinstance(n, A.BoolQ) and len(n.must) == 2 and not n.should
+    n = A.parse_json({"match": {"text": {
+        "query": "hello world the", "minimum_should_match": 2}}},
+        index.schema)
+    assert isinstance(n, A.BoolQ) and n.min_should == 2
+
+
+def test_parse_errors(index):
+    with pytest.raises(A.QueryError):
+        A.parse_json({"wildcard": {"text": ""}}, index.schema)
+    with pytest.raises(A.QueryError):
+        A.parse_json({"wildcard": {"nope": "a*"}}, index.schema)
+    with pytest.raises(A.QueryError):
+        A.parse_json({"constant_score": {"boost": 2.0}}, index.schema)
+    with pytest.raises(A.QueryError):
+        A.parse_json({"match": {"text": {
+            "query": "a", "operator": "xor"}}}, index.schema)
+    with pytest.raises(A.QueryError):
+        index.query_json({"query": {"all": {}}, "offset": -1})
+
+
+# ------------------------------------------------------- small-corpus truth
+@pytest.fixture(scope="module")
+def small(spark, tmp_path_factory):
+    cat = IndexCatalog(spark, str(tmp_path_factory.mktemp("qs6s")))
+    schema = [
+        {"name": "body", "type": "text",
+         "options": {"indexing": {"record": "position",
+                                  "tokenizer": "en_stem"},
+                     "stored": True}},
+        {"name": "tool", "type": "text",
+         "options": {"indexing": {"record": "basic", "tokenizer": "raw"},
+                     "stored": True}},
+        {"name": "n", "type": "i64", "options": {"stored": True,
+                                                 "fast": True}},
+    ]
+    idx = cat.create_index("s", schema)
+    rows = [
+        ("alpha beta gamma", "bash", 5),
+        ("alpha delta", None, 15),
+        ("beta gamma delta", "python", 25),
+        ("epsilon zeta", None, 35),
+        ("alpha beta gamble", "bash", 45),
+    ]
+    idx.add_df(spark.createDataFrame(rows, "body string, tool string, n long"),
+               order_cols=["body"])
+    return idx
+
+
+def _bodies(idx, q, k=10):
+    res = idx.query_json({"query": q, "limit": k})
+    return sorted(h["doc"]["body"][0] for h in res["docs"])
+
+
+def test_wildcard_semantics(small):
+    assert _bodies(small, {"wildcard": {"body": "ga*"}}) == [
+        "alpha beta gamble", "alpha beta gamma", "beta gamma delta"]
+    assert _bodies(small, {"wildcard": {"body": "?lpha"}}) == [
+        "alpha beta gamble", "alpha beta gamma", "alpha delta"]
+    # ? is exactly ONE char: g?mma misses 'gamma'? no — matches; gm?a none
+    assert _bodies(small, {"wildcard": {"body": "g?mma"}}) == [
+        "alpha beta gamma", "beta gamma delta"]
+    assert _bodies(small, {"wildcard": {"body": "gm?a"}}) == []
+    # no-wildcard pattern: verbatim dictionary term, constant score
+    res = small.query_json(
+        {"query": {"wildcard": {"body": "delta"}}, "limit": 10})
+    assert sorted(h["doc"]["body"][0] for h in res["docs"]) == [
+        "alpha delta", "beta gamma delta"]
+    assert all(h["score"] == 1.0 for h in res["docs"])
+
+
+def test_constant_score_semantics(small):
+    res = small.query_json({"query": {"constant_score": {
+        "filter": {"term": {"body": "alpha"}}, "boost": 1.7}}, "limit": 10})
+    assert sorted(h["doc"]["body"][0] for h in res["docs"]) == [
+        "alpha beta gamble", "alpha beta gamma", "alpha delta"]
+    assert all(h["score"] == pytest.approx(1.7) for h in res["docs"])
+    # wrapping a SCORED bool replaces, never multiplies
+    res = small.query_json({"query": {"constant_score": {
+        "filter": {"bool": {"should": [{"term": {"body": "alpha"}},
+                                       {"term": {"body": "beta"}}]}},
+        "boost": 0.25}}, "limit": 10})
+    assert all(h["score"] == pytest.approx(0.25) for h in res["docs"])
+    assert len(res["docs"]) == 4
+    # count() sees the full match set (boost never reads as absence)
+    assert small.count({"constant_score": {
+        "filter": {"term": {"body": "alpha"}}, "boost": 0.0}}) == 3
+
+
+def test_match_semantics(small):
+    assert _bodies(small, {"match": {"body": {
+        "query": "alpha beta", "operator": "and"}}}) == [
+        "alpha beta gamble", "alpha beta gamma"]
+    assert _bodies(small, {"match": {"body": "alpha beta"}}) == [
+        "alpha beta gamble", "alpha beta gamma", "alpha delta",
+        "beta gamma delta"]
+    assert _bodies(small, {"match": {"body": {
+        "query": "alpha beta delta", "minimum_should_match": 2}}}) == [
+        "alpha beta gamble", "alpha beta gamma", "alpha delta",
+        "beta gamma delta"]
+    # match scoring == the equivalent bool-should of terms
+    a = small.query_json({"query": {"match": {"body": "alpha beta"}},
+                          "limit": 10})
+    b = small.query_json({"query": {"bool": {"should": [
+        {"term": {"body": "alpha"}}, {"term": {"body": "beta"}}]}},
+        "limit": 10})
+    assert [(h["docid"], h["score"]) for h in a["docs"]] == \
+        [(h["docid"], h["score"]) for h in b["docs"]]
+
+
+# ------------------------------------------------------------- pagination
+def test_offset_pagination(index):
+    """Pages tile the depth-k prefix exactly: concatenating pages of
+    size 5 reproduces the single limit-20 result, and an offset past
+    the match count returns empty."""
+    q = {"term": {"text": "hello"}}
+    full = index.query_json({"query": q, "limit": 20})["docs"]
+    pages = []
+    for off in (0, 5, 10, 15):
+        pages.extend(index.query_json(
+            {"query": q, "limit": 5, "offset": off})["docs"])
+    assert [(h["docid"], h["score"]) for h in pages] == \
+        [(h["docid"], h["score"]) for h in full]
+    # ES alias "from"
+    alias = index.query_json({"query": q, "limit": 5, "from": 5})["docs"]
+    assert [(h["docid"], h["score"]) for h in alias] == \
+        [(h["docid"], h["score"]) for h in full[5:10]]
+    n = index.count(q)
+    assert index.query_json({"query": q, "limit": 10,
+                             "offset": n + 50})["docs"] == []
+    # offset also applies under sort_by (the sorted collector)
+    srt = index.query_json({"query": q, "limit": 20, "sort_by": "ts"})["docs"]
+    pg = index.query_json({"query": q, "limit": 5, "offset": 5,
+                           "sort_by": "ts"})["docs"]
+    assert [h["docid"] for h in pg] == [h["docid"] for h in srt[5:10]]
+
+
+# ------------------------------------------------------------ aggregations
+def _matched_rows(corpus, oracle, node):
+    ids = sorted(oracle.score(node))
+    return corpus.iloc[ids]
+
+
+def test_aggs_against_pandas_truth(index, corpus, oracle):
+    node = A.parse_json({"term": {"text": "hello"}}, index.schema)
+    rows = _matched_rows(corpus, oracle, node)
+    res = index.query_json({"query": {"term": {"text": "hello"}},
+                            "limit": 3, "aggs": {
+        "roles": {"terms": {"field": "role", "size": 10}},
+        "idx_hist": {"histogram": {"field": "turn_idx", "interval": 2}},
+        "daily": {"date_histogram": {"field": "ts",
+                                     "calendar_interval": "day"}},
+        "idx_stats": {"stats": {"field": "turn_idx"}},
+        "idx_pct": {"percentiles": {"field": "turn_idx",
+                                    "percents": [50, 90]}},
+        "tools": {"cardinality": {"field": "tool", "exact": True}},
+    }})
+    assert len(res["docs"]) == 3  # top-k rides along
+    aggs = res["aggs"]
+
+    vc = rows["role"].value_counts()
+    want = sorted(((int(c), k) for k, c in vc.items()),
+                  key=lambda t: (-t[0], t[1]))
+    got = [(b["doc_count"], b["key"]) for b in aggs["roles"]["buckets"]]
+    assert got == want
+
+    hist = (rows["turn_idx"] // 2 * 2).value_counts().sort_index()
+    assert [(b["key"], b["doc_count"]) for b in
+            aggs["idx_hist"]["buckets"]] == \
+        [(float(k), int(v)) for k, v in hist.items()]
+
+    daily = rows["ts"].dt.floor("D").value_counts().sort_index()
+    assert [(b["key_as_string"], b["doc_count"]) for b in
+            aggs["daily"]["buckets"]] == \
+        [(k.isoformat(), int(v)) for k, v in daily.items()]
+
+    st = aggs["idx_stats"]
+    assert st["count"] == len(rows)
+    assert st["min"] == int(rows["turn_idx"].min())
+    assert st["max"] == int(rows["turn_idx"].max())
+    assert st["sum"] == int(rows["turn_idx"].sum())
+    assert st["avg"] == pytest.approx(float(rows["turn_idx"].mean()))
+
+    # exact interpolated percentiles == numpy 'linear'
+    for p in (50, 90):
+        assert aggs["idx_pct"]["values"][str(float(p))] == pytest.approx(
+            float(np.percentile(rows["turn_idx"].to_numpy(), p)))
+
+    assert aggs["tools"]["value"] == rows["tool"].dropna().nunique()
+
+
+def test_aggs_approx_paths(index, corpus, oracle):
+    """The 100 TB default paths: HLL cardinality within its published
+    error envelope, sketch percentiles within the value range."""
+    node = A.parse_json({"term": {"text": "hello"}}, index.schema)
+    rows = _matched_rows(corpus, oracle, node)
+    res = index.query_json({"query": {"term": {"text": "hello"}},
+                            "limit": 0, "aggs": {
+        "card": {"cardinality": {"field": "conv_id"}},
+        "pct": {"percentiles": {"field": "turn_idx", "percents": [50],
+                                "approx": True}},
+    }})
+    exact = rows["conv_id"].nunique()
+    assert abs(res["aggs"]["card"]["value"] - exact) <= max(2, 0.1 * exact)
+    p50 = res["aggs"]["pct"]["values"]["50.0"]
+    assert rows["turn_idx"].min() <= p50 <= rows["turn_idx"].max()
+
+
+def test_aggs_null_bucket_dropped(small):
+    """ES missing-value rule: null agg fields drop out of bucketed aggs
+    (no null bucket) and out of count/cardinality."""
+    res = small.query_json({"query": {"all": {}}, "limit": 0, "aggs": {
+        "tools": {"terms": {"field": "tool"}},
+        "card": {"cardinality": {"field": "tool", "exact": True}},
+    }})
+    keys = [b["key"] for b in res["aggs"]["tools"]["buckets"]]
+    assert keys == ["bash", "python"] and None not in keys
+    assert res["aggs"]["card"]["value"] == 2
+
+
+def test_aggs_validation_errors(index):
+    with pytest.raises(A.QueryError):
+        index.query_json({"query": {"all": {}}, "aggs": {
+            "x": {"bogus": {"field": "role"}}}})
+    with pytest.raises(A.QueryError):
+        index.query_json({"query": {"all": {}}, "aggs": {
+            "x": {"terms": {}}}})
+    with pytest.raises(A.QueryError):
+        index.query_json({"query": {"all": {}}, "aggs": {
+            "x": {"terms": {"field": "nosuchfield"}}}})
+    with pytest.raises(A.QueryError):
+        index.query_json({"query": {"all": {}}, "aggs": {
+            "x": {"histogram": {"field": "turn_idx", "interval": 0}}}})
+    # ES typing rules, rejected at parse time (not an executor cast)
+    with pytest.raises(A.QueryError):
+        index.query_json({"query": {"all": {}}, "aggs": {
+            "x": {"stats": {"field": "role"}}}})
+    with pytest.raises(A.QueryError):
+        index.query_json({"query": {"all": {}}, "aggs": {
+            "x": {"date_histogram": {"field": "turn_idx",
+                                     "calendar_interval": "day"}}}})
+
+
+# ------------------------------------------------ oracle parity (pruned too)
+PARITY = [
+    {"constant_score": {"filter": {"term": {"text": "hello"}},
+                        "boost": 1.5}},
+    {"constant_score": {"filter": {"bool": {
+        "should": [{"term": {"text": "hello"}},
+                   {"term": {"text": "world"}}]}}, "boost": 0.5}},
+    {"bool": {"must": [{"term": {"text": "hello"}}],
+              "should": [{"constant_score": {
+                  "filter": {"term": {"text": "world"}}, "boost": 3.0}}]}},
+    {"wildcard": {"text": "h?llo"}},
+    {"wildcard": {"text": "wba*"}},
+    {"wildcard": {"text": "w*d"}},
+    {"match": {"text": {"query": "hello world", "operator": "and"}}},
+    {"match": {"text": {"query": "hello world the",
+                        "minimum_should_match": 2}}},
+]
+
+
+@pytest.mark.parametrize("i", range(len(PARITY)))
+def test_oracle_parity_and_pruned(index, oracle, i):
+    node = A.parse_json(PARITY[i], index.schema)
+    s = index.searcher()
+    want = oracle.top_k(node, 10)
+    for df in (s.top_k(node, limit=10), s.top_k_pruned(node, limit=10)):
+        got = [(int(r["docid_g"]), float(r["score"])) for r in df.collect()]
+        assert [d for d, _ in got] == [d for d, _ in want], i
+        for (_, a), (_, b) in zip(got, want):
+            assert a == pytest.approx(b, rel=1e-9, abs=1e-12)
+
+
+def test_constant_score_plan_shape(index):
+    """constant_score of a term compiles to the same single-scan
+    filter-project plan as the bare term — the child's BM25 arithmetic
+    is pruned out by Catalyst (score column overwritten), no join, no
+    extra exchange."""
+    s = index.searcher()
+    node = A.parse_json({"constant_score": {
+        "filter": {"term": {"text": "hello"}}, "boost": 2.0}}, index.schema)
+    p = s.candidates(node)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p and p.count("Scan parquet") == 1
+    assert "element_at" not in p  # fieldnorm decode pruned out
