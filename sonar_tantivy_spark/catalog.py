@@ -177,6 +177,13 @@ class Index:
           date_histogram / stats / percentiles / cardinality) over the
           FULL match set — see Searcher.aggregations for the DSL and
           the single-join execution shape.
+        * ``"search_after"``: ``[last_score, last_docid]`` from the
+          previous page's final hit — cursor pagination.  Unlike
+          offset this is a pure filter on the sort key (page P never
+          pays a depth-(P·k) top-k), the shape that pages a 100 TB
+          index to exhaustion; composes with block-max pruning (see
+          Searcher.top_k_pruned).  Mutually exclusive with offset,
+          per the ES rule.
         """
         body = search.get("query")
         if body is None:
@@ -186,6 +193,15 @@ class Index:
         offset = int(search.get("offset", search.get("from", 0)))
         if offset < 0:
             raise A.QueryError("offset must be >= 0")
+        after = search.get("search_after")
+        if after is not None:
+            if offset:
+                raise A.QueryError(
+                    "search_after cannot be combined with offset/from")
+            if not isinstance(after, (list, tuple)) or len(after) != 2:
+                raise A.QueryError(
+                    "search_after expects [last_score, last_docid]")
+            after = (float(after[0]), int(after[1]))
         depth = offset + limit
         s = self.searcher()
         sort_by = search.get("sort_by")
@@ -199,7 +215,8 @@ class Index:
             # reference's single-pass MultiCollector
             cand = s.candidates(node).persist()
             try:
-                hits = s.top_k(node, limit=depth, sort_by=sort_by, cands=cand)
+                hits = s.top_k(node, limit=depth, sort_by=sort_by,
+                               cands=cand, after=after)
                 docs = s.retrieve(hits)[offset:]
                 out: dict[str, Any] = {"docs": docs, "facets": {}}
                 if facets:
@@ -219,9 +236,16 @@ class Index:
             finally:
                 cand.unpersist()
         # BM25-bound pruning is invalid under sort-by-field ordering;
-        # the sorted collector prunes on the sort field's zone maps
-        hits = (s.top_k_sorted_pruned(node, limit=depth, sort_by=sort_by)
-                if sort_by else s.top_k_pruned(node, limit=depth))
+        # the sorted collector prunes on the sort field's zone maps.
+        # sort_by + search_after takes the exact sorted plan (the
+        # cursor filter composes with zone-map pruning too, but that
+        # combination is rare enough not to thread it through)
+        if sort_by:
+            hits = (s.top_k(node, limit=depth, sort_by=sort_by, after=after)
+                    if after is not None else
+                    s.top_k_sorted_pruned(node, limit=depth, sort_by=sort_by))
+        else:
+            hits = s.top_k_pruned(node, limit=depth, after=after)
         return {"docs": s.retrieve(hits)[offset:], "facets": {}}
 
     def count(self, query: str | dict) -> int:

@@ -1462,6 +1462,28 @@ def q_ft_page2(spark, sf_dir):
                     F.col("rn").cast("long").alias("rn")))
 
 
+def q_ft_search_after(spark, sf_dir):
+    """Cursor pagination (ES ``search_after``; round-5 surface): page 2
+    of the ft_term_bm25 ranking fetched through the cursor predicate —
+    rows strictly after page 1's last (score, doc_id) in the
+    (score desc, doc_id asc) total order.  Must equal ft_page2's rows
+    (same truth, different mechanism); unlike offset the execution is
+    a pure sort-key filter, so page P never pays a depth-(P·k) top-k —
+    the shape that pages a 100 TB index to exhaustion (engine analog:
+    search.py Searcher._after_pred, composed with block-max pruning in
+    top_k_pruned)."""
+    s = _scored(spark, sf_dir).filter(F.col("term") == "valu") \
+        .select("doc_id", F.round(F.col("score"), 7).alias("s7"))
+    page1 = s.orderBy(F.desc("s7"), F.asc("doc_id")).limit(PAGE_SIZE)
+    cur = page1.orderBy(F.asc("s7"), F.desc("doc_id")).limit(1) \
+        .select(F.col("s7").alias("cs"), F.col("doc_id").alias("cd"))
+    nxt = s.crossJoin(F.broadcast(cur)).filter(
+        (F.col("s7") < F.col("cs"))
+        | ((F.col("s7") == F.col("cs")) & (F.col("doc_id") > F.col("cd"))))
+    return (nxt.orderBy(F.desc("s7"), F.asc("doc_id")).limit(PAGE_SIZE)
+            .select("doc_id", F.round("s7", 4).alias("score")))
+
+
 def _agg_matched(spark, sf_dir, term="valu"):
     """Docs matching a term query — the match set every ft_agg_*
     aggregation runs over (ES aggs see ALL matches, so no top-k
@@ -1876,6 +1898,7 @@ QUERIES = {
     "ft_const_score": q_ft_const_score,
     "ft_match_and": q_ft_match_and,
     "ft_page2": q_ft_page2,
+    "ft_search_after": q_ft_search_after,
     "ft_agg_terms": q_ft_agg_terms,
     "ft_agg_stats": q_ft_agg_stats,
     "ft_agg_histogram": q_ft_agg_histogram,
@@ -2293,6 +2316,15 @@ row_number() OVER (ORDER BY round(score, 7) DESC, doc_id) AS rn
 FROM scored WHERE term = 'valu'
 ORDER BY round(score, 7) DESC, doc_id
 LIMIT {PAGE_SIZE} OFFSET {PAGE_SIZE}""",
+        "ft_search_after": pre + f""", s7s AS (
+  SELECT doc_id, round(score, 7) AS s7 FROM scored WHERE term = 'valu'),
+cur AS (
+  SELECT s7 AS cs, doc_id AS cd FROM (
+    SELECT * FROM s7s ORDER BY s7 DESC, doc_id LIMIT {PAGE_SIZE})
+  ORDER BY s7 ASC, doc_id DESC LIMIT 1)
+SELECT s.doc_id, round(s.s7, 4) AS score FROM s7s s, cur
+WHERE s.s7 < cur.cs OR (s.s7 = cur.cs AND s.doc_id > cur.cd)
+ORDER BY s.s7 DESC, s.doc_id LIMIT {PAGE_SIZE}""",
         "ft_agg_terms": pre + """SELECT d.source AS key,
 count(*)::BIGINT AS doc_count
 FROM documents d

@@ -1439,7 +1439,8 @@ class Searcher:
             pred = pred | p
         return pred, partial
 
-    def top_k_pruned(self, node: A.Node, limit: int = 10) -> DataFrame:
+    def top_k_pruned(self, node: A.Node, limit: int = 10,
+                     after: tuple | None = None) -> DataFrame:
         """Block-max-WAND-style top-k — the DEFAULT scored-query path.
 
         1. Bound every segment's best possible score (term/phrase/bool
@@ -1454,6 +1455,13 @@ class Searcher:
            re-sort.  Results are identical to the unpruned plan — parity
            is asserted in tests; the win is that hot-term queries never
            scan segments that cannot reach the cutoff.
+
+        ``after`` (ES search_after cursor) composes with pruning
+        soundly: every unit bound is an upper bound on UNFILTERED
+        scores, hence on the filtered subset's too, and θ comes from
+        the probe's own cursor-filtered top-k — so "bound < θ" still
+        proves an unprobed unit holds no page member.  Absence proofs
+        (bound 0.0) are filter-independent.
 
         Pruning is UNIT-granular: a unit is one docid BLOCK when the
         segment carries block-max metadata and the query is term-covered
@@ -1473,10 +1481,10 @@ class Searcher:
                  "blocks_total": 0, "blocks_skipped": 0}
         self.last_prune = stats
         if not self.segments:
-            return self.top_k(node, limit=limit)
+            return self.top_k(node, limit=limit, after=after)
         bounds = self._segment_bounds(node)
         if bounds is None:
-            return self.top_k(node, limit=limit)
+            return self.top_k(node, limit=limit, after=after)
         live = [s["segment_id"] for s in self.segments
                 if bounds[s["segment_id"]] > 0.0]
         if not live:
@@ -1557,7 +1565,7 @@ class Searcher:
         if len(units) < 2 or gap < 0.1 * u_max \
                 or below_gap < max(2, len(units) // 4) or not sig_bimodal:
             if stats["segments_skipped"] == 0 and bzero == 0:
-                return self.top_k(node, limit=limit)
+                return self.top_k(node, limit=limit, after=after)
             sub = self._restricted(set(live_segs))
             # absence-proof block predicate: zero-bound blocks contain
             # no matches, so skipping them is an I/O optimization, not
@@ -1571,7 +1579,7 @@ class Searcher:
                     sub._block_pred = pred
             else:
                 stats["blocks_skipped"] = 0
-            return sub.top_k(node, limit=limit)
+            return sub.top_k(node, limit=limit, after=after)
         order = sorted(units, key=lambda u: -u[4])
         n_probe = max(1, min(_math.ceil(len(order) / 4), 32))
         probe = order[:n_probe]
@@ -1583,7 +1591,7 @@ class Searcher:
         ppred, ppartial = self._units_pred(probe)
         if ppartial and ppred is not None:
             psub._block_pred = ppred
-        probe_df = psub.top_k(node, limit=limit)
+        probe_df = psub.top_k(node, limit=limit, after=after)
         probe_rows = probe_df.collect()
         theta = min(r["score"] for r in probe_rows) \
             if len(probe_rows) >= limit else 0.0
@@ -1610,7 +1618,7 @@ class Searcher:
         # duplicate rows into the union
         if spartial and spred is not None:
             ssub._block_pred = spred
-        surv_df = ssub.top_k(node, limit=limit)
+        surv_df = ssub.top_k(node, limit=limit, after=after)
         out = surv_df if out is None else out.unionByName(surv_df)
         return out.orderBy(F.desc("score"), F.asc("docid_g")).limit(limit)
 

@@ -204,7 +204,7 @@ def test_offset_pagination(index):
     """Pages tile the depth-k prefix exactly: concatenating pages of
     size 5 reproduces the single limit-20 result, and an offset past
     the match count returns empty."""
-    q = {"term": {"text": "hello"}}
+    q = {"term": {"text": "the"}}  # df=371 here: pages are real
     full = index.query_json({"query": q, "limit": 20})["docs"]
     pages = []
     for off in (0, 5, 10, 15):
@@ -224,6 +224,56 @@ def test_offset_pagination(index):
     pg = index.query_json({"query": q, "limit": 5, "offset": 5,
                            "sort_by": "ts"})["docs"]
     assert [h["docid"] for h in pg] == [h["docid"] for h in srt[5:10]]
+
+
+def test_search_after_pagination(index, oracle):
+    """The cursor path: pages chained by the previous page's last
+    (score, docid) tile the global order exactly like offset pages —
+    but execute as a pure filter, never a depth-(P*k) top-k — and the
+    pruned path returns identical pages (unit bounds stay valid upper
+    bounds under the cursor filter; theta comes from the filtered
+    probe)."""
+    q = {"term": {"text": "the"}}  # df=371 here: every page is full
+    full = index.query_json({"query": q, "limit": 20})["docs"]
+    cursor, pages = None, []
+    for _ in range(4):
+        req = {"query": q, "limit": 5}
+        if cursor is not None:
+            req["search_after"] = cursor
+        page = index.query_json(req)["docs"]
+        pages.extend(page)
+        if len(page) < 5:
+            break  # exhausted — fewer matches than 4 pages
+        cursor = [page[-1]["score"], page[-1]["docid"]]
+    assert [(h["docid"], h["score"]) for h in pages] == \
+        [(h["docid"], h["score"]) for h in full]
+    # plain vs pruned parity with a cursor (cursor = the engine's own
+    # hit 10, as a real client would chain it), against the oracle tail
+    node = A.parse_json(q, index.schema)
+    want = oracle.top_k(node, 20)  # oracle rows are (docid, score)
+    s = index.searcher()
+    head = s.top_k(node, limit=10).collect()
+    cur = (float(head[-1]["score"]), int(head[-1]["docid_g"]))
+    for df in (s.top_k(node, limit=10, after=cur),
+               s.top_k_pruned(node, limit=10, after=cur)):
+        got = [(int(r["docid_g"]), float(r["score"])) for r in df.collect()]
+        assert [d for d, _ in got] == [d for d, _ in want[10:20]]
+        for (_, a), (_, b) in zip(got, want[10:20]):
+            assert a == pytest.approx(b, rel=1e-9, abs=1e-12)
+    # sort_by + search_after: cursor on the sort value
+    srt = index.query_json({"query": q, "limit": 20, "sort_by": "ts"})["docs"]
+    cur = [srt[4]["score"], srt[4]["docid"]]
+    pg = index.query_json({"query": q, "limit": 5, "sort_by": "ts",
+                           "search_after": cur})["docs"]
+    assert [h["docid"] for h in pg] == [h["docid"] for h in srt[5:10]]
+
+
+def test_search_after_errors(index):
+    with pytest.raises(A.QueryError):
+        index.query_json({"query": {"all": {}}, "offset": 5,
+                          "search_after": [1.0, 3]})
+    with pytest.raises(A.QueryError):
+        index.query_json({"query": {"all": {}}, "search_after": [1.0]})
 
 
 # ------------------------------------------------------------ aggregations
