@@ -255,6 +255,12 @@ def run_attempt() -> dict:
                         {"term": {"text": "world"}}],
             "tie_breaker": 0.3}},
         "q24_phrase_prefix": {"match_phrase_prefix": {"text": "hello wor"}},
+        # round-5 late surfaces: wildcard (termdict-regex rewrite; the
+        # trailing-star form is q16's prefix pushdown) and
+        # constant_score (child scoring pruned to a bare filter scan)
+        "q25_wildcard": {"wildcard": {"text": "h?llo"}},
+        "q26_const_score": {"constant_score": {
+            "filter": {"term": {"text": "hello"}}, "boost": 2.0}},
     }
     # query phase: modest shuffle fan-out wins for k=10 result sets.
     # top_k_pruned IS the default path (Index.query/query_df) — bench it,
@@ -304,6 +310,34 @@ def run_attempt() -> dict:
         idx.more_like_this(seed_docid, "text", limit=10)
         times.append(time.time() - tq)
     q_p50["q20_mlt"] = round(statistics.median(times), 4)
+
+    # q27_aggs — the MultiCollector-style aggregation pass: one scored
+    # candidate scan persisted, top-k + a terms agg + a stats agg fed
+    # from it (the full-match-set path; no segment pruning by design)
+    agg_req = {"query": {"term": {"text": "the"}}, "limit": 10,
+               "aggs": {"roles": {"terms": {"field": "role"}},
+                        "ts": {"stats": {"field": "turn_idx"}}}}
+    idx.query_json(agg_req)  # warmup
+    times = []
+    for _ in range(reps):
+        tq = time.time()
+        idx.query_json(agg_req)
+        times.append(time.time() - tq)
+    q_p50["q27_aggs"] = round(statistics.median(times), 4)
+
+    # q28_search_after — cursor page 2 of the hot-term ranking through
+    # the pruned path (a pure sort-key filter: page depth never grows)
+    s = idx.searcher()
+    node = A.parse_json({"term": {"text": "the"}}, idx.schema)
+    head = s.top_k_pruned(node, limit=10).collect()
+    cur = (float(head[-1]["score"]), int(head[-1]["docid_g"]))
+    s.top_k_pruned(node, limit=10, after=cur).collect()  # warmup
+    times = []
+    for _ in range(reps):
+        tq = time.time()
+        s.top_k_pruned(node, limit=10, after=cur).collect()
+        times.append(time.time() - tq)
+    q_p50["q28_search_after"] = round(statistics.median(times), 4)
 
     n_del = idx.delete_term("text", "mundo")
     s = idx.searcher()  # ledger changed: fresh reader

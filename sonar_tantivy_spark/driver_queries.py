@@ -1558,6 +1558,34 @@ def q_ft_agg_cardinality(spark, sf_dir):
         F.count_distinct("lang").cast("long").alias("n_langs"))
 
 
+def q_ft_agg_sig_terms(spark, sf_dir):
+    """ES ``significant_terms`` (JLH) over the 'valu' match set
+    (round-5 surface): per term, foreground rate fg/M (matched docs
+    holding it) vs background rate bg/N (global df); JLH score =
+    (fg/M − bg/N) · (fg/M)/(bg/N), over-represented terms only,
+    ordered (score desc, term asc), top 10.  Engine analog:
+    search.py Searcher._sig_terms — one postings scan semi-joined to
+    the matched keys, one hash-agg per side, a term-partitioned join;
+    no driver loop."""
+    t = _ft(spark, sf_dir)
+    p = t["postings"]
+    matched = p.filter(F.col("term") == "valu").select("doc_id")
+    m = matched.count()
+    n = float(t["N"])
+    fg = (p.join(F.broadcast(matched), on="doc_id", how="left_semi")
+          .groupBy("term").agg(F.count("*").alias("fg")))
+    joined = fg.join(t["termdf"], on="term")
+    fgp = F.col("fg").cast("double") / float(m)
+    bgp = F.col("df").cast("double") / n
+    score = (fgp - bgp) * (fgp / bgp)
+    return (joined.withColumn("score", F.round(score, 4))
+            .filter(F.col("score") > 0.0)
+            .orderBy(F.desc(F.round(score, 7)), F.asc("term"))
+            .limit(10)
+            .select("term", F.col("fg").cast("long").alias("doc_count"),
+                    F.col("df").cast("long").alias("bg_count"), "score"))
+
+
 PARA_W = 10          # paragraph-proxy width (corpus has no newlines)
 QUOTA_K = 25         # per-source quota for pl_domain_quota
 QUOTA_SALT = 8       # MINIMUM salt fan-out for the two-phase exact
@@ -1904,6 +1932,7 @@ QUERIES = {
     "ft_agg_histogram": q_ft_agg_histogram,
     "ft_agg_percentiles": q_ft_agg_percentiles,
     "ft_agg_cardinality": q_ft_agg_cardinality,
+    "ft_agg_sig_terms": q_ft_agg_sig_terms,
     "dd_para_dup": q_dd_para_dup,
     "pl_domain_quota": q_pl_domain_quota,
     "tx_lm_xent": q_tx_lm_xent,
@@ -2351,6 +2380,19 @@ count(DISTINCT source)::BIGINT AS n_sources,
 count(DISTINCT lang)::BIGINT AS n_langs
 FROM documents
 WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')""",
+        "ft_agg_sig_terms": pre + """, matched AS (
+  SELECT doc_id FROM postings WHERE term = 'valu'),
+m AS (SELECT count(*)::DOUBLE AS m FROM matched),
+fg AS (SELECT term, count(*)::BIGINT AS fg FROM postings
+       WHERE doc_id IN (SELECT doc_id FROM matched) GROUP BY term),
+jlh AS (
+  SELECT f.term, f.fg, t.df,
+         (f.fg / m.m - t.df::DOUBLE / s.n)
+           * (f.fg / m.m) / (t.df::DOUBLE / s.n) AS raw
+  FROM fg f JOIN tdf t USING (term) CROSS JOIN m CROSS JOIN stats s)
+SELECT term, fg AS doc_count, df AS bg_count, round(raw, 4) AS score
+FROM jlh WHERE round(raw, 4) > 0
+ORDER BY round(raw, 7) DESC, term LIMIT 10""",
         "ft_termdict": pre + "SELECT term, df FROM tdf",
         "ft_stats": pre + """SELECT count(*)::BIGINT AS num_docs,
 sum(len)::BIGINT AS total_tokens, round(sum(len)::DOUBLE / count(*), 6) AS avgdl

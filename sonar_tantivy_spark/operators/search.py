@@ -1796,6 +1796,13 @@ class Searcher:
             if not f:
                 raise A.QueryError(f"agg {name!r}: missing field")
             fdef = self.schema.field(f)
+            if kind == "significant_terms":
+                # runs off the POSTINGS (term space), not the doc store
+                if fdef is None or not fdef.indexed:
+                    raise A.QueryError(
+                        f"agg {name!r}: significant_terms needs an "
+                        f"indexed field, {f!r} is not")
+                continue
             if fdef is None or not fdef.stored:
                 raise A.QueryError(
                     f"agg {name!r}: field {f!r} is not a stored field")
@@ -1814,13 +1821,20 @@ class Searcher:
             fields.add(f)
         if cands is None:
             cands = self.candidates(node)
-        docs = self._table("docs").select("segment_id", "docid", *sorted(fields))
-        matched = cands.select("segment_id", "docid").join(
-            docs, on=["segment_id", "docid"]).persist()
+        keys = cands.select("segment_id", "docid")
+        if fields:
+            docs = self._table("docs").select(
+                "segment_id", "docid", *sorted(fields))
+            matched = keys.join(docs, on=["segment_id", "docid"]).persist()
+        else:  # significant_terms-only request: no doc-store join at all
+            matched = keys.persist()
         try:
             out: dict[str, Any] = {}
             for name, spec in aggs.items():
                 kind, body = next(iter(spec.items()))
+                if kind == "significant_terms":
+                    out[name] = self._sig_terms(body, matched)
+                    continue
                 col = F.col(body["field"])
                 # ES rule: docs missing the field fall out of every agg
                 # (count(col)/min/max/avg/sum skip nulls natively; the
@@ -1891,6 +1905,46 @@ class Searcher:
             return out
         finally:
             matched.unpersist()
+
+    def _sig_terms(self, body: dict, matched: DataFrame) -> dict:
+        """ES ``significant_terms`` with the JLH heuristic: for each
+        term of the indexed field, foreground rate fg/M (matched docs
+        holding it / matched docs) vs background rate bg/N (global df /
+        num_docs); score = (fg/M − bg/N) · (fg/M)/(bg/N) for terms
+        over-represented in the match set, 0 otherwise.  Execution: ONE
+        postings scan (field-equality pushdown) left-semi-joined to the
+        matched keys on (segment_id, docid) → per-term hash-agg, joined
+        to the termdict's summed dfs for the background — no driver
+        loop, both sides partition by term.  Background dfs are
+        tombstone-stale until compaction (the engine-wide stats rule,
+        catalog.py num_deleted docs)."""
+        f = body["field"]
+        size = int(body.get("size", 10))
+        m_count = matched.count()
+        if m_count == 0:
+            return {"doc_count": 0, "buckets": []}
+        p = self._table("postings")
+        td = self._table("termdict")
+        if p is None or td is None:
+            return {"doc_count": m_count, "buckets": []}
+        fg = (p.filter(F.col("field") == f)
+              .join(matched, on=["segment_id", "docid"], how="left_semi")
+              .groupBy("term").agg(F.count("*").alias("fg")))
+        bg = (td.filter(F.col("field") == f)
+              .groupBy("term").agg(F.sum("df").alias("bg")))
+        n = float(self.num_docs)
+        fgp = F.col("fg").cast("double") / float(m_count)
+        bgp = F.col("bg").cast("double") / n
+        score = (fgp - bgp) * (fgp / bgp)
+        rows = (fg.join(bg, on="term")
+                .withColumn("score", score)
+                .filter(F.col("score") > 0.0)
+                .orderBy(F.desc("score"), F.asc("term"))
+                .limit(size).collect())
+        return {"doc_count": m_count, "buckets": [
+            {"key": r["term"], "doc_count": int(r["fg"]),
+             "bg_count": int(r["bg"]), "score": float(r["score"])}
+            for r in rows]}
 
     def retrieve(self, hits: DataFrame) -> list[dict]:
         """Fetch stored fields for top-k rows (k ≤ 100: collect the keys,

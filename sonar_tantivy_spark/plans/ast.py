@@ -219,6 +219,27 @@ def _prefix_node(schema: IndexSchema, field: str, value: str) -> Node:
     return PrefixQ(field, value if tok == "raw" else value.lower())
 
 
+def _match_node(schema: IndexSchema, field: str, text: str,
+                op: str = "or", msm: int = 0) -> Node:
+    """ES ``match`` semantics for one field: analyze the text, compile
+    operator=or → bool-should (+ minimum_should_match), operator=and →
+    bool-must; a single analyzed token degenerates to a plain scored
+    TermQ, zero tokens to a match-nothing BoolQ."""
+    if op not in ("or", "and"):
+        raise QueryError(f"match operator must be and/or, got {op!r}")
+    terms = _analyze_one(schema, field, text)
+    if not terms:
+        return BoolQ()  # matches nothing (all tokens analyzed away)
+    if len(terms) == 1:
+        return TermQ(field, terms[0])
+    clauses: list[Node] = [TermQ(field, t) for t in terms]
+    if op == "and":
+        return BoolQ(must=clauses)
+    node = BoolQ(should=clauses)
+    node.min_should = max(0, msm)
+    return node
+
+
 _RE_META = set(".^$+{}[]()|\\")
 
 
@@ -374,19 +395,43 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
             msm = int(spec.get("minimum_should_match", 0))
         else:
             text, op, msm = str(spec), "or", 0
-        if op not in ("or", "and"):
-            raise QueryError(f"match operator must be and/or, got {op!r}")
-        terms = _analyze_one(schema, field, text)
-        if not terms:
-            return BoolQ()  # matches nothing (all tokens analyzed away)
-        if len(terms) == 1:
-            return TermQ(field, terms[0])
-        clauses = [TermQ(field, t) for t in terms]
-        if op == "and":
-            return BoolQ(must=clauses)
-        node = BoolQ(should=clauses)
-        node.min_should = max(0, msm)
-        return node
+        return _match_node(schema, field, text, op, msm)
+    if kind == "multi_match":
+        # ES multi_match: one analyzed text against several fields.
+        # {"multi_match": {"query": "a b", "fields": ["text^2", "role"],
+        #                  "type": "best_fields"|"most_fields",
+        #                  "tie_breaker": t, "operator": ..,
+        #                  "minimum_should_match": m}}
+        # best_fields (default) → dis_max over the per-field match
+        # nodes (Lucene's rewrite); most_fields → bool-should sum.
+        # "f^b" boosts wrap the field's node in BoostQ.  cross_fields
+        # is NOT implemented (it needs blended term statistics).
+        text = str(body.get("query", ""))
+        fields = body.get("fields") or []
+        if not fields:
+            raise QueryError("multi_match needs a non-empty fields list")
+        mtype = str(body.get("type", "best_fields"))
+        if mtype not in ("best_fields", "most_fields"):
+            raise QueryError(f"unsupported multi_match type {mtype!r}")
+        op = str(body.get("operator", "or")).lower()
+        msm = int(body.get("minimum_should_match", 0))
+        subs: list[Node] = []
+        for fspec in fields:
+            name, _, suffix = str(fspec).partition("^")
+            if schema.field(name) is None:
+                raise QueryError(f"unknown field {name!r}")
+            sub = _match_node(schema, name, text, op, msm)
+            if suffix:
+                sub = BoostQ(sub, float(suffix))
+            subs.append(sub)
+        if len(subs) == 1:
+            return subs[0]
+        if mtype == "most_fields":
+            return BoolQ(should=subs)
+        tie = float(body.get("tie_breaker", 0.0))
+        if not 0.0 <= tie <= 1.0:
+            raise QueryError("tie_breaker must be in [0, 1]")
+        return DisMaxQ(subs, tie)
     if kind == "fuzzy":
         (field, spec), = body.items()
         return FuzzyQ(field, str(spec["value"]).lower(),

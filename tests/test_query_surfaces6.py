@@ -199,6 +199,81 @@ def test_match_semantics(small):
         [(h["docid"], h["score"]) for h in b["docs"]]
 
 
+def test_multi_match_parse(index):
+    n = A.parse_json({"multi_match": {
+        "query": "hello world", "fields": ["text^2", "role"],
+        "tie_breaker": 0.3}}, index.schema)
+    assert isinstance(n, A.DisMaxQ) and n.tie_breaker == 0.3
+    assert isinstance(n.queries[0], A.BoostQ) and n.queries[0].boost == 2.0
+    assert isinstance(n.queries[0].child, A.BoolQ)  # 2 analyzed tokens
+    # role is raw-tokenized: "hello world" stays ONE verbatim token
+    assert isinstance(n.queries[1], A.TermQ)
+    n = A.parse_json({"multi_match": {
+        "query": "hello world", "fields": ["text", "role"],
+        "type": "most_fields"}}, index.schema)
+    assert isinstance(n, A.BoolQ) and len(n.should) == 2
+    # single field degenerates to the plain match node
+    n = A.parse_json({"multi_match": {
+        "query": "hello", "fields": ["text"]}}, index.schema)
+    assert isinstance(n, A.TermQ)
+    for bad in (
+        {"multi_match": {"query": "a", "fields": []}},
+        {"multi_match": {"query": "a", "fields": ["text"],
+                         "type": "cross_fields"}},
+        {"multi_match": {"query": "a", "fields": ["nope"]}},
+        {"multi_match": {"query": "a", "fields": ["text", "role"],
+                         "tie_breaker": 2.0}},
+    ):
+        with pytest.raises(A.QueryError):
+            A.parse_json(bad, index.schema)
+
+
+def test_multi_match_best_fields_equals_dismax(small):
+    """best_fields multi_match scores exactly as the hand-built dis_max
+    of per-field matches (the Lucene rewrite it compiles to).  On the
+    raw ``tool`` field the text stays one verbatim token (df 0 here),
+    so the body clause decides every score."""
+    bq = {"bool": {"should": [{"term": {"body": "alpha"}},
+                              {"term": {"body": "beta"}}]}}
+    node = A.parse_json({"multi_match": {
+        "query": "alpha beta", "fields": ["body^2", "tool"],
+        "tie_breaker": 0.4}}, small.schema)
+    want_node = A.DisMaxQ(
+        [A.BoostQ(A.parse_json(bq, small.schema), 2.0),
+         A.TermQ("tool", "alpha beta")], 0.4)
+    s = small.searcher()
+    got = [(int(r["docid_g"]), float(r["score"]))
+           for r in s.top_k(node, limit=10).collect()]
+    want = [(int(r["docid_g"]), float(r["score"]))
+            for r in s.top_k(want_node, limit=10).collect()]
+    assert got == want and len(got) == 4
+    # and through the public JSON surface
+    res = small.query_json({"query": {"multi_match": {
+        "query": "alpha beta", "fields": ["body^2", "tool"],
+        "tie_breaker": 0.4}}, "limit": 10})
+    assert [(h["docid"], h["score"]) for h in res["docs"]] == got
+
+
+def test_significant_terms_jlh(small):
+    """JLH truth on the 5-doc corpus: matched = the 3 'alpha' docs.
+    alpha: fg/M=1 vs bg/N=0.6 -> 0.4*(1/0.6)=2/3; gambl: 1/3 vs 0.2 ->
+    (2/15)*(5/3)=2/9; beta: 2/3 vs 0.6 -> (1/15)*(10/9)=2/27; gamma and
+    delta under-represented -> dropped."""
+    res = small.query_json({"query": {"term": {"body": "alpha"}},
+                            "limit": 0, "aggs": {
+        "sig": {"significant_terms": {"field": "body", "size": 10}}}})
+    sig = res["aggs"]["sig"]
+    assert sig["doc_count"] == 3
+    got = [(b["key"], b["doc_count"], b["bg_count"]) for b in sig["buckets"]]
+    assert got == [("alpha", 3, 3), ("gambl", 1, 1), ("beta", 2, 3)]
+    scores = [b["score"] for b in sig["buckets"]]
+    assert scores == pytest.approx([2 / 3, 2 / 9, 2 / 27])
+    # validation: needs an indexed field
+    with pytest.raises(A.QueryError):
+        small.query_json({"query": {"all": {}}, "aggs": {
+            "x": {"significant_terms": {"field": "n"}}}})
+
+
 # ------------------------------------------------------------- pagination
 def test_offset_pagination(index):
     """Pages tile the depth-k prefix exactly: concatenating pages of
@@ -398,6 +473,10 @@ PARITY = [
     {"match": {"text": {"query": "hello world", "operator": "and"}}},
     {"match": {"text": {"query": "hello world the",
                         "minimum_should_match": 2}}},
+    {"multi_match": {"query": "hello world", "fields": ["text^2", "role"],
+                     "tie_breaker": 0.3}},
+    {"multi_match": {"query": "hello world", "fields": ["text", "role"],
+                     "type": "most_fields"}},
 ]
 
 
