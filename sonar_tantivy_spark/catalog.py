@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sonar_tantivy_spark.operators.build import build_segments
 from sonar_tantivy_spark.operators.search import Searcher
@@ -235,6 +236,14 @@ class Index:
                 return out
             finally:
                 cand.unpersist()
+        rescore = search.get("rescore")
+        if rescore:
+            if sort_by or after is not None:
+                raise A.QueryError(
+                    "rescore cannot combine with sort_by/search_after "
+                    "(the ES rule: rescoring reorders the window)")
+            hits = self._rescored_hits(s, node, rescore, depth)
+            return {"docs": s.retrieve(hits)[offset:], "facets": {}}
         # BM25-bound pruning is invalid under sort-by-field ordering;
         # the sorted collector prunes on the sort field's zone maps.
         # sort_by + search_after takes the exact sorted plan (the
@@ -247,6 +256,73 @@ class Index:
         else:
             hits = s.top_k_pruned(node, limit=depth, after=after)
         return {"docs": s.retrieve(hits)[offset:], "facets": {}}
+
+    _RESCORE_MODES = {
+        "total": lambda p, r: p + r,
+        "multiply": lambda p, r: p * r,
+        "max": max, "min": min,
+        "avg": lambda p, r: (p + r) / 2.0,
+    }
+
+    def _rescored_hits(self, s, node: "A.Node", rescore: dict,
+                       depth: int):
+        """ES ``rescore``: re-rank the top-``window_size`` primary hits
+        with a (typically more expensive) secondary query::
+
+            {"window_size": W, "query": {
+                "rescore_query": {...}, "query_weight": qw,
+                "rescore_query_weight": rw, "score_mode": "total"}}
+
+        new score = mode(qw·primary, rw·secondary) for window docs the
+        secondary matches, qw·primary otherwise (the ES contract); the
+        window re-sorts by (new score desc, docid asc) and the page is
+        cut from it.  Execution: the primary window comes off the
+        normal block-max-pruned top-k; the secondary query's candidates
+        are pushdown-FILTERED TO THE WINDOW KEYS before collection —
+        the same ≤window bounded-fetch shape as retrieve — so the
+        expensive clause (usually a phrase) scores W docs, never the
+        corpus.  That boundedness is exactly why ES exposes rescore
+        instead of telling users to put the phrase in a should clause:
+        cost is O(window), independent of corpus size."""
+        spec = rescore.get("query") or {}
+        rnode_body = spec.get("rescore_query")
+        if not rnode_body:
+            raise A.QueryError("rescore needs query.rescore_query")
+        window = int(rescore.get("window_size", 10))
+        if window <= 0:
+            raise A.QueryError("rescore window_size must be > 0")
+        qw = float(spec.get("query_weight", 1.0))
+        rw = float(spec.get("rescore_query_weight", 1.0))
+        mode = str(spec.get("score_mode", "total"))
+        combine = self._RESCORE_MODES.get(mode)
+        if combine is None:
+            raise A.QueryError(f"unknown rescore score_mode {mode!r}")
+        rnode = A.parse_json(rnode_body, self.schema)
+        window = max(window, depth)  # ES requires from+size <= window
+        hits_df = s.top_k_pruned(node, limit=window)
+        rows = hits_df.collect()
+        if not rows:
+            return hits_df
+        rcands = s.candidates(rnode)
+        cond = None
+        by_seg: dict[str, list[int]] = {}
+        for r in rows:
+            by_seg.setdefault(r["segment_id"], []).append(r["docid"])
+        for sid, ids in by_seg.items():
+            c = (F.col("segment_id") == sid) & F.col("docid").isin(ids)
+            cond = c if cond is None else (cond | c)
+        rsc = {(r["segment_id"], r["docid"]): float(r["score"])
+               for r in rcands.filter(cond).collect()}
+        rescored = []
+        for r in rows:
+            p = qw * float(r["score"])
+            sec = rsc.get((r["segment_id"], r["docid"]))
+            ns = combine(p, rw * sec) if sec is not None else p
+            rescored.append({"segment_id": r["segment_id"],
+                             "docid": r["docid"], "score": ns,
+                             "docid_g": r["docid_g"]})
+        rescored.sort(key=lambda r: (-r["score"], r["docid_g"]))
+        return self.spark.createDataFrame(rescored[:depth], hits_df.schema)
 
     def count(self, query: str | dict) -> int:
         """Total matching-doc count — the tantivy Count-collector analog.

@@ -1558,6 +1558,51 @@ def q_ft_agg_cardinality(spark, sf_dir):
         F.count_distinct("lang").cast("long").alias("n_langs"))
 
 
+RESCORE_W = 20       # rescore window for ft_rescore
+RESCORE_RW = 2.0     # rescore_query_weight
+
+
+def q_ft_rescore(spark, sf_dir):
+    """ES ``rescore`` (round-5 surface): the top-20 'valu' hits
+    re-ranked by the phrase "valu tabl" at weight 2 (score_mode total,
+    query_weight 1) — the classic cheap-term-then-expensive-phrase
+    pattern.  new = primary + 2·phrase for window docs the phrase
+    matches, primary otherwise; page = top-10 of the re-sorted window.
+    Engine analog: catalog.py _rescored_hits — the window comes off the
+    block-max-pruned top-k and the phrase candidates are
+    pushdown-filtered to the ≤W window keys before collection, so the
+    expensive clause scores W docs, never the corpus."""
+    t = _ft(spark, sf_dir)
+    s = _scored(spark, sf_dir).filter(F.col("term") == "valu")
+    win = (s.orderBy(F.desc(F.round(F.col("score"), 7)), F.asc("doc_id"))
+           .limit(RESCORE_W).select("doc_id", "score"))
+    p = t["postings"]
+    a = p.filter(F.col("term") == "valu").select(
+        "doc_id", F.col("positions").alias("pa"))
+    b = p.filter(F.col("term") == "tabl").select(
+        "doc_id", F.col("positions").alias("pb"))
+    j = a.join(b, on="doc_id").withColumn(
+        "m", F.array_intersect(F.transform("pa", lambda x: x + 1),
+                               F.col("pb"))
+    ).filter(F.size("m") > 0)
+    n, avgdl = float(t["N"]), t["avgdl"]
+    dfs = {r["term"]: r["df"] for r in
+           t["termdf"].filter(F.col("term").isin("valu", "tabl")).collect()}
+    idf_sum = sum(bm25.idf(dfs[x], t["N"]) for x in ("valu", "tabl"))
+    j = j.join(t["doclen"], on="doc_id")
+    tf = F.size("m").cast("double")
+    denom = tf + F.lit(K1) * (
+        F.lit(1.0 - B) + F.lit(B / avgdl) * F.col("dl").cast("double"))
+    ph = j.select("doc_id", (F.lit(idf_sum * (K1 + 1.0)) * tf / denom)
+                  .alias("ph"))
+    comb = win.join(ph, on="doc_id", how="left").select(
+        "doc_id",
+        (F.col("score")
+         + F.coalesce(F.lit(RESCORE_RW) * F.col("ph"), F.lit(0.0)))
+        .alias("score"))
+    return _topk(comb)
+
+
 def q_ft_agg_sig_terms(spark, sf_dir):
     """ES ``significant_terms`` (JLH) over the 'valu' match set
     (round-5 surface): per term, foreground rate fg/M (matched docs
@@ -1933,6 +1978,7 @@ QUERIES = {
     "ft_agg_percentiles": q_ft_agg_percentiles,
     "ft_agg_cardinality": q_ft_agg_cardinality,
     "ft_agg_sig_terms": q_ft_agg_sig_terms,
+    "ft_rescore": q_ft_rescore,
     "dd_para_dup": q_dd_para_dup,
     "pl_domain_quota": q_pl_domain_quota,
     "tx_lm_xent": q_tx_lm_xent,
@@ -2393,6 +2439,25 @@ jlh AS (
 SELECT term, fg AS doc_count, df AS bg_count, round(raw, 4) AS score
 FROM jlh WHERE round(raw, 4) > 0
 ORDER BY round(raw, 7) DESC, term LIMIT 10""",
+        "ft_rescore": pre + f""", win AS (
+  SELECT doc_id, score FROM scored WHERE term = 'valu'
+  ORDER BY round(score, 7) DESC, doc_id LIMIT {RESCORE_W}),
+adjr AS (
+  SELECT a.doc_id, count(*) AS ptf FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'valu' AND b.term = 'tabl' GROUP BY a.doc_id),
+idfr AS (SELECT sum(ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5))) AS idf_sum
+         FROM tdf t CROSS JOIN stats s WHERE t.term IN ('valu', 'tabl')),
+phr AS (
+  SELECT j.doc_id, i.idf_sum * 2.2 * j.ptf
+         / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)) AS ph
+  FROM adjr j JOIN dlq q USING (doc_id) CROSS JOIN stats s
+  CROSS JOIN idfr i)
+SELECT w.doc_id,
+       round(w.score + coalesce({RESCORE_RW} * p.ph, 0), 4) AS score
+FROM win w LEFT JOIN phr p USING (doc_id)
+ORDER BY round(w.score + coalesce({RESCORE_RW} * p.ph, 0), 7) DESC, w.doc_id
+LIMIT 10""",
         "ft_termdict": pre + "SELECT term, df FROM tdf",
         "ft_stats": pre + """SELECT count(*)::BIGINT AS num_docs,
 sum(len)::BIGINT AS total_tokens, round(sum(len)::DOUBLE / count(*), 6) AS avgdl

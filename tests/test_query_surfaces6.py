@@ -351,6 +351,72 @@ def test_search_after_errors(index):
         index.query_json({"query": {"all": {}}, "search_after": [1.0]})
 
 
+def _score_map(idx, q, k=10):
+    res = idx.query_json({"query": q, "limit": k})
+    return {h["docid"]: h["score"] for h in res["docs"]}
+
+
+def test_rescore_semantics(small):
+    """ES rescore contract: new score = mode(qw*primary, rw*secondary)
+    for window docs the secondary matches, qw*primary otherwise;
+    window re-sorts, page cut from it.  Verified by composing the
+    primary and phrase scores fetched independently."""
+    primary_q = {"bool": {"should": [{"term": {"body": "alpha"}},
+                                     {"term": {"body": "beta"}}]}}
+    phrase_q = {"phrase": {"body": ["alpha", "beta"]}}
+    prim = _score_map(small, primary_q)
+    ph = _score_map(small, phrase_q)
+    for mode, combine in [("total", lambda p, r: p + r),
+                          ("multiply", lambda p, r: p * r),
+                          ("max", max)]:
+        res = small.query_json({"query": primary_q, "limit": 10,
+                                "rescore": {"window_size": 10, "query": {
+                                    "rescore_query": phrase_q,
+                                    "query_weight": 0.7,
+                                    "rescore_query_weight": 2.0,
+                                    "score_mode": mode}}})
+        got = {h["docid"]: h["score"] for h in res["docs"]}
+        want = {d: (combine(0.7 * p, 2.0 * ph[d]) if d in ph else 0.7 * p)
+                for d, p in prim.items()}
+        assert set(got) == set(want)
+        for d in got:
+            assert got[d] == pytest.approx(want[d], rel=1e-9)
+    # ordering follows the rescored values (phrase docs jump ahead)
+    res = small.query_json({"query": primary_q, "limit": 10,
+                            "rescore": {"window_size": 10, "query": {
+                                "rescore_query": phrase_q,
+                                "rescore_query_weight": 10.0}}})
+    top2 = [h["docid"] for h in res["docs"][:2]]
+    assert sorted(top2) == sorted(ph.keys())
+    # a no-match rescore query leaves the primary order, scaled by qw
+    res = small.query_json({"query": primary_q, "limit": 10,
+                            "rescore": {"window_size": 10, "query": {
+                                "rescore_query": {"term": {"body": "zzz"}},
+                                "query_weight": 2.0}}})
+    got = {h["docid"]: h["score"] for h in res["docs"]}
+    assert got == {d: pytest.approx(2.0 * p) for d, p in prim.items()}
+
+
+def test_rescore_errors(small):
+    base = {"query": {"term": {"body": "alpha"}}}
+    with pytest.raises(A.QueryError):
+        small.query_json({**base, "rescore": {"query": {}}})
+    with pytest.raises(A.QueryError):
+        small.query_json({**base, "rescore": {
+            "window_size": 0,
+            "query": {"rescore_query": {"term": {"body": "beta"}}}}})
+    with pytest.raises(A.QueryError):
+        small.query_json({**base, "sort_by": "n", "rescore": {
+            "query": {"rescore_query": {"term": {"body": "beta"}}}}})
+    with pytest.raises(A.QueryError):
+        small.query_json({**base, "search_after": [1.0, 0], "rescore": {
+            "query": {"rescore_query": {"term": {"body": "beta"}}}}})
+    with pytest.raises(A.QueryError):
+        small.query_json({**base, "rescore": {"query": {
+            "rescore_query": {"term": {"body": "beta"}},
+            "score_mode": "bogus"}}})
+
+
 # ------------------------------------------------------------ aggregations
 def _matched_rows(corpus, oracle, node):
     ids = sorted(oracle.score(node))
