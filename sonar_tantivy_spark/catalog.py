@@ -244,6 +244,13 @@ class Index:
                     "(the ES rule: rescoring reorders the window)")
             hits = self._rescored_hits(s, node, rescore, depth)
             return {"docs": s.retrieve(hits)[offset:], "facets": {}}
+        collapse = search.get("collapse")
+        if collapse:
+            if after is not None:
+                raise A.QueryError(
+                    "collapse cannot combine with search_after here")
+            hits = self._collapsed_hits(s, node, collapse, depth, sort_by)
+            return {"docs": s.retrieve(hits)[offset:], "facets": {}}
         # BM25-bound pruning is invalid under sort-by-field ordering;
         # the sorted collector prunes on the sort field's zone maps.
         # sort_by + search_after takes the exact sorted plan (the
@@ -256,6 +263,47 @@ class Index:
         else:
             hits = s.top_k_pruned(node, limit=depth, after=after)
         return {"docs": s.retrieve(hits)[offset:], "facets": {}}
+
+    def _collapsed_hits(self, s, node: "A.Node", collapse: dict,
+                        depth: int, sort_by: str | None):
+        """ES field collapsing: one hit per distinct value of
+        ``collapse.field`` — the group's best doc under the active
+        order (BM25, or ``sort_by``'s fast-field value), then the
+        normal top-k over the group winners.  The canonical transcript
+        ask: "best matching TURN per CONVERSATION".
+
+        Block-max pruning is INVALID here (a segment whose best doc
+        loses globally can still win its group), so the full candidate
+        set flows: one equi-join to the doc store for the collapse
+        field, one window (hash-partitioned BY THE GROUP KEY — each
+        group's row_number computes locally after one shuffle, no
+        global sort), rank-1 rows into the usual
+        TakeOrderedAndProject.  Docs with a null collapse value form
+        one null group (the ES doc-values behavior)."""
+        f = collapse.get("field") if isinstance(collapse, dict) else None
+        if not f:
+            raise A.QueryError("collapse needs a field")
+        fdef = self.schema.field(f)
+        if fdef is None or not fdef.stored:
+            raise A.QueryError(f"collapse field {f!r} is not stored")
+        from pyspark.sql import Window
+
+        cand = s.with_global_docid(s.candidates(node))
+        sdef = self.schema.field(sort_by) if sort_by else None
+        if sdef is not None and sdef.fast and sdef.stored:
+            cols = sorted({f, sort_by})
+            docs = s._table("docs").select("segment_id", "docid", *cols)
+            cand = (cand.join(docs, on=["segment_id", "docid"])
+                    .withColumn("score", F.col(sort_by).cast("double")))
+            if sort_by != f:
+                cand = cand.drop(sort_by)
+        else:
+            docs = s._table("docs").select("segment_id", "docid", f)
+            cand = cand.join(docs, on=["segment_id", "docid"])
+        w = Window.partitionBy(f).orderBy(F.desc("score"), F.asc("docid_g"))
+        return (cand.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1).drop("__rn", f)
+                .orderBy(F.desc("score"), F.asc("docid_g")).limit(depth))
 
     _RESCORE_MODES = {
         "total": lambda p, r: p + r,
@@ -484,6 +532,72 @@ class Index:
         s = self.searcher()
         return self._commit_tombstones(
             s.candidates(node).select("segment_id", "docid"))
+
+    def suggest(self, field: str, text: str, size: int = 5,
+                max_dist: int = 2, mode: str = "missing") -> dict:
+        """ES term suggester (``suggest`` with a ``term`` block;
+        BEYOND-REFERENCE): per whitespace token of ``text``, dictionary
+        terms within OSA edit distance ``max_dist``, ordered by
+        (distance asc, df desc, term asc), top ``size`` each.
+
+        ``mode`` is the ES suggest_mode:
+
+          * ``missing`` (default) — suggest only for tokens absent from
+            the index (df 0);
+          * ``popular``           — only suggestions MORE frequent than
+            the token itself;
+          * ``always``            — suggest for every token.
+
+        Execution shape: per token, one pushdown-filtered termdict scan
+        behind the same JVM Levenshtein prefilter + Arrow-batched exact
+        OSA pass fuzzy queries use (functions/strdist.py) — the Python
+        hop touches only near-miss dictionary terms, never postings;
+        per-term dfs come summed across segments.  Tokens are
+        case-folded, never stemmed (the suggester corrects what the
+        user TYPED; ES applies the suggest analyzer similarly).
+        Returns {token: [{"text", "score", "freq"}]} with score =
+        1 − dist/len(token) (ES-ish normalized similarity)."""
+        from sonar_tantivy_spark.functions.strdist import (
+            jvm_prefilter,
+            make_osa_udf,
+        )
+
+        if mode not in ("missing", "popular", "always"):
+            raise A.QueryError(f"unknown suggest_mode {mode!r}")
+        if self.schema.field(field) is None or max_dist < 1:
+            raise A.QueryError("suggest needs an indexed field and "
+                               "max_dist >= 1")
+        s = self.searcher()
+        td = s._table("termdict")
+        out: dict[str, list] = {}
+        tokens = [t.lower() for t in str(text).split()]
+        dfs = s.term_dfs({(field, t) for t in tokens})
+        for tok in tokens:
+            own_df = dfs.get((field, tok), 0)
+            if mode == "missing" and own_df > 0:
+                out[tok] = []
+                continue
+            if td is None:
+                out[tok] = []
+                continue
+            cand = (
+                td.filter(F.col("field") == field)
+                .filter(jvm_prefilter(F.col("term"), tok, max_dist))
+                .groupBy("term").agg(F.sum("df").alias("freq"))
+                .withColumn("dist", make_osa_udf(tok)(F.col("term")))
+                .filter((F.col("dist") <= max_dist) & (F.col("dist") > 0))
+            )
+            if mode == "popular":
+                cand = cand.filter(F.col("freq") > own_df)
+            rows = (cand.orderBy(F.asc("dist"), F.desc("freq"),
+                                 F.asc("term"))
+                    .limit(size).collect())
+            out[tok] = [
+                {"text": r["term"],
+                 "score": round(1.0 - r["dist"] / max(1, len(tok)), 4),
+                 "freq": int(r["freq"])}
+                for r in rows]
+        return out
 
     def num_deleted(self) -> int:
         """Live tombstone count (rows for already-compacted segments

@@ -1558,6 +1558,60 @@ def q_ft_agg_cardinality(spark, sf_dir):
         F.count_distinct("lang").cast("long").alias("n_langs"))
 
 
+def q_ft_collapse(spark, sf_dir):
+    """ES field collapsing (round-5 surface): term 'valu' collapsed by
+    ``source`` — one hit per source, the group's best
+    (score desc, doc_id asc) doc, then the usual top-10.  Engine
+    analog: catalog.py _collapsed_hits — full candidate set (pruning
+    is invalid: a group winner can lose globally), one doc-store
+    equi-join for the group key, one window hash-partitioned BY THE
+    KEY (each group ranks locally after a single shuffle), rank-1 rows
+    into TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    t = _ft(spark, sf_dir)
+    s = _scored(spark, sf_dir).filter(F.col("term") == "valu")
+    j = s.join(t["docs"].select("doc_id", "source"), on="doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.desc(F.round(F.col("score"), 7)), F.asc("doc_id"))
+    return _topk(j.withColumn("rn", F.row_number().over(w))
+                 .filter(F.col("rn") == 1).select("doc_id", "score"))
+
+
+SUGGEST_K = 5        # suggestions per token for ft_suggest
+
+
+def q_ft_suggest(spark, sf_dir):
+    """ES term suggester (round-5 surface): for the misspelled tokens
+    'tabel' and 'stram', dictionary terms within OSA distance 2,
+    scored 1 − dist/len(token), top 5 per token by (score desc,
+    freq desc, term asc).  Engine analog: catalog.py Index.suggest —
+    per token ONE pushdown-filtered termdict scan behind the JVM
+    Levenshtein prefilter, Arrow-batched exact OSA on the near-miss
+    survivors only, dfs summed across segments; postings are never
+    touched."""
+    from sonar_tantivy_spark.functions.strdist import (
+        jvm_prefilter,
+        make_osa_udf,
+    )
+
+    t = _ft(spark, sf_dir)
+    outs = []
+    for tok in ("tabel", "stram"):
+        c = (t["termdf"]
+             .filter(jvm_prefilter(F.col("term"), tok, 2))
+             .withColumn("dist", make_osa_udf(tok)(F.col("term")))
+             .filter((F.col("dist") <= 2) & (F.col("dist") > 0))
+             .select(F.lit(tok).alias("token"),
+                     F.col("term").alias("suggestion"),
+                     F.col("df").cast("long").alias("freq"),
+                     F.round(F.lit(1.0) - F.col("dist") / len(tok), 4)
+                     .alias("score")))
+        outs.append(c.orderBy(F.desc("score"), F.desc("freq"),
+                              F.asc("suggestion")).limit(SUGGEST_K))
+    return outs[0].unionByName(outs[1])
+
+
 RESCORE_W = 20       # rescore window for ft_rescore
 RESCORE_RW = 2.0     # rescore_query_weight
 
@@ -1979,6 +2033,8 @@ QUERIES = {
     "ft_agg_cardinality": q_ft_agg_cardinality,
     "ft_agg_sig_terms": q_ft_agg_sig_terms,
     "ft_rescore": q_ft_rescore,
+    "ft_suggest": q_ft_suggest,
+    "ft_collapse": q_ft_collapse,
     "dd_para_dup": q_dd_para_dup,
     "pl_domain_quota": q_pl_domain_quota,
     "tx_lm_xent": q_tx_lm_xent,
@@ -2458,6 +2514,23 @@ SELECT w.doc_id,
 FROM win w LEFT JOIN phr p USING (doc_id)
 ORDER BY round(w.score + coalesce({RESCORE_RW} * p.ph, 0), 7) DESC, w.doc_id
 LIMIT 10""",
+        "ft_suggest": pre + f"""SELECT * FROM (
+  SELECT 'tabel' AS token, term AS suggestion, df::BIGINT AS freq,
+         round(1.0 - damerau_levenshtein(term, 'tabel') / 5.0, 4) AS score
+  FROM tdf WHERE damerau_levenshtein(term, 'tabel') BETWEEN 1 AND 2
+  ORDER BY score DESC, freq DESC, suggestion LIMIT {SUGGEST_K})
+UNION ALL
+SELECT * FROM (
+  SELECT 'stram' AS token, term AS suggestion, df::BIGINT AS freq,
+         round(1.0 - damerau_levenshtein(term, 'stram') / 5.0, 4) AS score
+  FROM tdf WHERE damerau_levenshtein(term, 'stram') BETWEEN 1 AND 2
+  ORDER BY score DESC, freq DESC, suggestion LIMIT {SUGGEST_K})""",
+        "ft_collapse": pre + """SELECT doc_id, round(score, 4) AS score FROM (
+  SELECT s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY round(s.score, 7) DESC, s.doc_id) AS rn
+  FROM scored s JOIN documents d USING (doc_id) WHERE s.term = 'valu')
+WHERE rn = 1 ORDER BY round(score, 7) DESC, doc_id LIMIT 10""",
         "ft_termdict": pre + "SELECT term, df FROM tdf",
         "ft_stats": pre + """SELECT count(*)::BIGINT AS num_docs,
 sum(len)::BIGINT AS total_tokens, round(sum(len)::DOUBLE / count(*), 6) AS avgdl

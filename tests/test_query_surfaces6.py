@@ -523,6 +523,71 @@ def test_aggs_validation_errors(index):
                                      "calendar_interval": "day"}}}})
 
 
+def test_field_collapse(index, corpus, oracle):
+    """Collapse by conv_id: one hit per conversation — the group's
+    best (score desc, docid asc) doc — then the usual top-k; with
+    sort_by, the group winner is by the fast-field value instead
+    (latest matching turn per conversation)."""
+    q = {"term": {"text": "the"}}
+    node = A.parse_json(q, index.schema)
+    scores = oracle.score(node)
+    best: dict[str, tuple] = {}
+    for d, sc in scores.items():
+        cv = corpus.iloc[d]["conv_id"]
+        key = (-sc, d)
+        if cv not in best or key < best[cv]:
+            best[cv] = key
+    winners = sorted(best.values())[:10]  # [(-score, docid), ...]
+    want = [(d, -negs) for negs, d in winners]
+    res = index.query_json({"query": q, "limit": 10,
+                            "collapse": {"field": "conv_id"}})
+    got = [(h["docid"], h["score"]) for h in res["docs"]]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, rel=1e-9)
+    # every conv_id distinct, and no conv appears twice vs plain top-k
+    convs = [corpus.iloc[d]["conv_id"] for d, _ in got]
+    assert len(convs) == len(set(convs))
+    # sorted variant: latest matching turn per conversation by ts
+    res = index.query_json({"query": q, "limit": 10, "sort_by": "ts",
+                            "collapse": {"field": "conv_id"}})
+    rows = corpus.iloc[sorted(scores)]
+    latest = (rows.sort_values(["ts"], ascending=False)
+              .groupby("conv_id", sort=False).head(1))
+    want_ids = list(latest.sort_values("ts", ascending=False)
+                    .head(10).index)
+    assert [h["docid"] for h in res["docs"]] == want_ids
+    with pytest.raises(A.QueryError):
+        index.query_json({"query": q, "collapse": {"field": "nope"}})
+    with pytest.raises(A.QueryError):
+        index.query_json({"query": q, "collapse": {"field": "conv_id"},
+                          "search_after": [1.0, 0]})
+
+
+def test_term_suggester(small):
+    """ES term-suggester semantics on the 5-doc corpus (dictionary:
+    alpha x3, beta x3, gamma x2, delta x3... by df; tool is a separate
+    field).  suggest_mode=missing only corrects absent tokens;
+    popular requires freq > the token's own df; always suggests for
+    everything.  Ordering: (distance asc, freq desc, term asc)."""
+    # 'alpa' is absent -> corrected to alpha (dist 1); 'beta' present
+    got = small.suggest("body", "alpa beta", mode="missing")
+    assert got["beta"] == []
+    assert [s["text"] for s in got["alpa"]][0] == "alpha"
+    top = got["alpa"][0]
+    assert top["freq"] == 3 and top["score"] == pytest.approx(0.75)
+    # always: beta's neighbors zeta (dist 1) then delta (dist 2)
+    got = small.suggest("body", "beta", mode="always")
+    assert [s["text"] for s in got["beta"]][:2] == ["zeta", "delta"]
+    # popular: nothing beats beta's own df=3
+    got = small.suggest("body", "beta", mode="popular")
+    assert got["beta"] == []
+    with pytest.raises(A.QueryError):
+        small.suggest("body", "x", mode="bogus")
+    with pytest.raises(A.QueryError):
+        small.suggest("nope", "x")
+
+
 # ------------------------------------------------ oracle parity (pruned too)
 PARITY = [
     {"constant_score": {"filter": {"term": {"text": "hello"}},
