@@ -101,6 +101,35 @@ def main() -> None:
         checks.append((name, "whole-stage codegen (direct or AQE-deferred)",
                        "codegen id" in plan or "AdaptiveSparkPlan" in plan))
 
+    # round-5-late surfaces: collapse / aggregations / significant_terms
+    node = A.parse_json({"term": {"text": "hello"}}, idx.schema)
+    df = idx._collapsed_hits(s, node, {"field": "conv_id"}, 10, None)
+    plan = formatted(df)
+    sections.append(f"## collapse_by_conv\n\n```\n{plan}\n```\n")
+    n_win = len(re.findall(r"^\(\d+\) Window($| )", plan, re.M))
+    n_wgl = len(re.findall(r"^\(\d+\) WindowGroupLimit", plan, re.M))
+    checks.append(("collapse_by_conv",
+                   f"ONE window, hash-partitioned by the group key "
+                   f"(saw {n_win})",
+                   n_win == 1
+                   and bool(re.search(r"hashpartitioning\(conv_id", plan))))
+    checks.append(("collapse_by_conv",
+                   f"rank-1 filter pushed to WindowGroupLimit — map-side "
+                   f"top-1 per group before the shuffle (saw {n_wgl})",
+                   n_wgl >= 1))
+    checks.append(("collapse_by_conv", "top-k is TakeOrderedAndProject",
+                   "TakeOrderedAndProject" in plan))
+    cand = s.candidates(node)
+    agg_df = (cand.select("segment_id", "docid")
+              .join(s._table("docs").select("segment_id", "docid", "role"),
+                    on=["segment_id", "docid"])
+              .groupBy("role").count())
+    plan = formatted(agg_df)
+    sections.append(f"## aggs_terms_role\n\n```\n{plan}\n```\n")
+    checks.append(("aggs_terms_role",
+                   "map-side partial aggregation before the exchange",
+                   "partial_count" in plan))
+
     # pipeline + ANN shapes over the driver testdata tables
     from sonar_tantivy_spark import driver_queries as dq
 
