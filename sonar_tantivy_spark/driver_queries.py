@@ -1558,6 +1558,43 @@ def q_ft_agg_cardinality(spark, sf_dir):
         F.count_distinct("lang").cast("long").alias("n_langs"))
 
 
+FVF_FACTOR = 0.01    # ft_function_fvf: log1p(0.01 * n_chars)
+GAUSS_ORIGIN = 300.0  # ft_function_gauss decay center on n_chars
+GAUSS_SCALE = 150.0
+GAUSS_SIGMA2 = (GAUSS_SCALE ** 2) / (2.0 * math.log(2.0))  # decay 0.5
+
+
+def q_ft_function_fvf(spark, sf_dir):
+    """ES function_score / field_value_factor (round-5 surface): the
+    'valu' BM25 score multiplied by log1p(0.01 · n_chars) — the
+    "longer documents rank a bit higher" shape.  Engine analog:
+    search.py _cand_function_score — candidates equi-joined ONCE to
+    the doc store, the function as JVM column math (no UDF), WAND
+    correctly bypassed (transformed scores are unboundable)."""
+    t = _ft(spark, sf_dir)
+    s = _scored(spark, sf_dir).filter(F.col("term") == "valu")
+    j = s.join(t["docs"].select("doc_id", "n_chars"), on="doc_id")
+    return _topk(j.select(
+        "doc_id",
+        (F.col("score")
+         * F.log(F.lit(1.0) + F.lit(FVF_FACTOR) * F.col("n_chars")))
+        .alias("score")))
+
+
+def q_ft_function_gauss(spark, sf_dir):
+    """ES function_score / gauss decay (round-5 surface): the 'valu'
+    BM25 score multiplied by exp(−|n_chars−300|² / (2σ²)) with
+    σ² = scale²/(2 ln 2) (decay 0.5 at distance=scale) — the distance/
+    recency-boost shape (on dates the engine uses epoch seconds, same
+    formula).  Engine analog as ft_function_fvf."""
+    t = _ft(spark, sf_dir)
+    s = _scored(spark, sf_dir).filter(F.col("term") == "valu")
+    j = s.join(t["docs"].select("doc_id", "n_chars"), on="doc_id")
+    dist = F.abs(F.col("n_chars").cast("double") - F.lit(GAUSS_ORIGIN))
+    mult = F.exp(-(dist * dist) / F.lit(2.0 * GAUSS_SIGMA2))
+    return _topk(j.select("doc_id", (F.col("score") * mult).alias("score")))
+
+
 def q_ft_collapse(spark, sf_dir):
     """ES field collapsing (round-5 surface): term 'valu' collapsed by
     ``source`` — one hit per source, the group's best
@@ -2035,6 +2072,8 @@ QUERIES = {
     "ft_rescore": q_ft_rescore,
     "ft_suggest": q_ft_suggest,
     "ft_collapse": q_ft_collapse,
+    "ft_function_fvf": q_ft_function_fvf,
+    "ft_function_gauss": q_ft_function_gauss,
     "dd_para_dup": q_dd_para_dup,
     "pl_domain_quota": q_pl_domain_quota,
     "tx_lm_xent": q_tx_lm_xent,
@@ -2531,6 +2570,18 @@ SELECT * FROM (
                             ORDER BY round(s.score, 7) DESC, s.doc_id) AS rn
   FROM scored s JOIN documents d USING (doc_id) WHERE s.term = 'valu')
 WHERE rn = 1 ORDER BY round(score, 7) DESC, doc_id LIMIT 10""",
+        "ft_function_fvf": pre + f"""SELECT s.doc_id,
+round(s.score * ln(1.0 + {FVF_FACTOR} * d.n_chars), 4) AS score
+FROM scored s JOIN documents d USING (doc_id) WHERE s.term = 'valu'
+ORDER BY round(s.score * ln(1.0 + {FVF_FACTOR} * d.n_chars), 7) DESC,
+         s.doc_id LIMIT 10""",
+        "ft_function_gauss": pre + f"""SELECT s.doc_id,
+round(s.score * exp(-pow(abs(d.n_chars - {GAUSS_ORIGIN}), 2)
+                    / (2.0 * {GAUSS_SIGMA2!r})), 4) AS score
+FROM scored s JOIN documents d USING (doc_id) WHERE s.term = 'valu'
+ORDER BY round(s.score * exp(-pow(abs(d.n_chars - {GAUSS_ORIGIN}), 2)
+                             / (2.0 * {GAUSS_SIGMA2!r})), 7) DESC,
+         s.doc_id LIMIT 10""",
         "ft_termdict": pre + "SELECT term, df FROM tdf",
         "ft_stats": pre + """SELECT count(*)::BIGINT AS num_docs,
 sum(len)::BIGINT AS total_tokens, round(sum(len)::DOUBLE / count(*), 6) AS avgdl

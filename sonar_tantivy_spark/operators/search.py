@@ -197,7 +197,7 @@ class Searcher:
             elif isinstance(n, A.BoolQ):
                 for c in n.must + n.should:  # must_not: skip
                     walk(c)
-            elif isinstance(n, (A.BoostQ, A.ConstScoreQ)):
+            elif isinstance(n, (A.BoostQ, A.ConstScoreQ, A.FunctionScoreQ)):
                 walk(n.child)
 
         walk(node)
@@ -315,7 +315,68 @@ class Searcher:
             if child is None:
                 return None
             return child.withColumn("score", F.lit(float(node.boost)))
+        if isinstance(node, A.FunctionScoreQ):
+            return self._cand_function_score(node, dfs)
         raise A.QueryError(f"cannot compile {type(node).__name__}")
+
+    def _function_col(self, fn: dict) -> Column:
+        """One score function → its per-doc multiplier/addend column
+        (doc-store columns already joined in)."""
+        import math as _m
+
+        if fn["kind"] == "field_value_factor":
+            v = F.coalesce(F.col(fn["field"]).cast("double"),
+                           F.lit(fn["missing"]))
+            x = F.lit(fn["factor"]) * v
+            if fn["modifier"] == "log1p":
+                return F.log(F.lit(1.0) + x)
+            if fn["modifier"] == "sqrt":
+                return F.sqrt(x)
+            return x
+        # gauss decay: exp(-(max(|v-o|-offset, 0))^2 / (2 sigma^2)),
+        # sigma^2 = -scale^2 / (2 ln decay) — the ES formula; for date
+        # fields v and origin are epoch SECONDS (scale/offset too)
+        if fn["is_date"]:
+            v = F.col(fn["field"]).cast("timestamp").cast("double")
+            o = F.to_timestamp(F.lit(str(fn["origin"]))).cast("double")
+        else:
+            v = F.col(fn["field"]).cast("double")
+            o = F.lit(float(fn["origin"]))
+        sigma2 = -(fn["scale"] ** 2) / (2.0 * _m.log(fn["decay"]))
+        dist = F.greatest(F.abs(v - o) - F.lit(fn["offset"]), F.lit(0.0))
+        # a null doc value decays fully distant in ES only with a
+        # "missing" param it doesn't have — pin multiplier 1.0 (neutral)
+        return F.coalesce(F.exp(-(dist * dist) / F.lit(2.0 * sigma2)),
+                          F.lit(1.0))
+
+    def _cand_function_score(self, node: A.FunctionScoreQ,
+                             dfs: dict) -> DataFrame | None:
+        """FunctionScoreQ: the child's candidates joined ONCE to the doc
+        store for every function field (equi-join on the physical key,
+        hash join at any scale), score functions computed as JVM column
+        math (no UDF), combined per score_mode, applied per boost_mode.
+        Match set unchanged — a doc with a null function field gets the
+        function's ``missing``/neutral value, never dropped."""
+        child = self._cand_opt(node.child, dfs)
+        if child is None:
+            return None
+        fields = sorted({fn["field"] for fn in node.functions})
+        docs = self._table("docs")
+        if docs is None:
+            return None
+        j = child.join(docs.select("segment_id", "docid", *fields),
+                       on=["segment_id", "docid"], how="left")
+        cols = [self._function_col(fn) for fn in node.functions]
+        fs = cols[0]
+        for c in cols[1:]:
+            fs = (fs * c) if node.score_mode == "multiply" else (fs + c)
+        if node.boost_mode == "multiply":
+            score = F.col("score") * fs
+        elif node.boost_mode == "sum":
+            score = F.col("score") + fs
+        else:  # replace
+            score = fs
+        return j.withColumn("score", score).drop(*fields)
 
     def _postings_for(self, field: str, term: str) -> DataFrame | None:
         p = self._table("postings")
@@ -992,7 +1053,7 @@ class Searcher:
             if any(b is None for b in subs):
                 return None
             return sum(subs)
-        if isinstance(node, (A.BoostQ, A.ConstScoreQ)):
+        if isinstance(node, (A.BoostQ, A.ConstScoreQ, A.FunctionScoreQ)):
             return self._cand_size_bound(node.child)
         if isinstance(node, A.BoolQ):
             musts = [self._cand_size_bound(c) for c in node.must]
@@ -1272,6 +1333,15 @@ class Searcher:
             if b == 0.0:
                 return 0.0
             return float(node.boost) if node.boost > 0 else None
+        if isinstance(node, A.FunctionScoreQ):
+            # match set = the child's, so a child 0.0 is still an
+            # absence PROOF; the transformed score itself is unboundable
+            # (field_value_factor has no a-priori ceiling) → None keeps
+            # the exact plan, never a wrong prune
+            b = self._node_bound(node.child, sid, idfs, mtf)
+            if b == 0.0:
+                return 0.0
+            return None
         return None
 
     def _term_cover(self, node: A.Node) -> bool:
@@ -1292,7 +1362,7 @@ class Searcher:
         if isinstance(node, A.DisMaxQ):
             # a match satisfies >= 1 clause: covered iff EVERY clause is
             return all(self._term_cover(c) for c in node.queries)
-        if isinstance(node, (A.BoostQ, A.ConstScoreQ)):
+        if isinstance(node, (A.BoostQ, A.ConstScoreQ, A.FunctionScoreQ)):
             return self._term_cover(node.child)
         if isinstance(node, A.BoolQ):
             if any(self._term_cover(c)
@@ -2003,6 +2073,8 @@ def collect_terms(node: A.Node) -> set[tuple[str, str]]:
     elif isinstance(node, A.BoostQ):
         out.update(collect_terms(node.child))
     elif isinstance(node, A.ConstScoreQ):
+        out.update(collect_terms(node.child))
+    elif isinstance(node, A.FunctionScoreQ):
         out.update(collect_terms(node.child))
     return out
 

@@ -103,7 +103,7 @@ def collect_positive_terms(node) -> dict[str, set[str]]:
             for c in n.must + n.should:
                 walk(c, positive)
             # must_not: skip
-        elif isinstance(n, (A.BoostQ, A.ConstScoreQ)):
+        elif isinstance(n, (A.BoostQ, A.ConstScoreQ, A.FunctionScoreQ)):
             walk(n.child, positive)
 
     walk(node)

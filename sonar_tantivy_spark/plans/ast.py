@@ -219,6 +219,70 @@ def _prefix_node(schema: IndexSchema, field: str, value: str) -> Node:
     return PrefixQ(field, value if tok == "raw" else value.lower())
 
 
+@dataclass
+class FunctionScoreQ(Node):
+    """ES ``function_score``: the child's match set, re-scored by
+    document-value functions.  ``functions`` are validated specs, each
+    ``{"field_value_factor": {...}}`` or ``{"gauss": {field: {...}}}``;
+    function values combine across functions by ``score_mode``
+    (multiply | sum) and with the child's score by ``boost_mode``
+    (multiply | sum | replace).  A real query NODE (not an envelope
+    key), so it composes — inside bool clauses, under collapse, as a
+    rescore secondary.  The match set is exactly the child's (functions
+    only rescale; missing field values use the function's ``missing``
+    default), and the transformed score is unboundable in general, so
+    WAND pruning correctly falls back to the exact plan."""
+
+    child: Node
+    functions: list[dict] = dc_field(default_factory=list)
+    score_mode: str = "multiply"
+    boost_mode: str = "multiply"
+
+
+_FVF_MODIFIERS = ("none", "log1p", "sqrt")
+
+
+def _validate_function(schema: IndexSchema, fn: dict) -> dict:
+    if not isinstance(fn, dict) or len(fn) != 1:
+        raise QueryError("each function must be exactly one of "
+                         "field_value_factor / gauss")
+    kind, body = next(iter(fn.items()))
+    if kind == "field_value_factor":
+        f = body.get("field")
+        fdef = schema.field(f) if f else None
+        if fdef is None or not fdef.stored:
+            raise QueryError(f"field_value_factor field {f!r} not stored")
+        if fdef.type not in ("i64", "u64", "f64"):
+            raise QueryError(f"field_value_factor needs a numeric field, "
+                             f"{f!r} is {fdef.type}")
+        mod = str(body.get("modifier", "none"))
+        if mod not in _FVF_MODIFIERS:
+            raise QueryError(f"unknown modifier {mod!r}")
+        return {"kind": kind, "field": f,
+                "factor": float(body.get("factor", 1.0)), "modifier": mod,
+                "missing": float(body.get("missing", 1.0))}
+    if kind == "gauss":
+        (f, spec), = body.items()
+        fdef = schema.field(f)
+        if fdef is None or not fdef.stored:
+            raise QueryError(f"gauss field {f!r} not stored")
+        if fdef.type not in ("i64", "u64", "f64", "date"):
+            raise QueryError(f"gauss needs a numeric or date field, "
+                             f"{f!r} is {fdef.type}")
+        if "origin" not in spec or "scale" not in spec:
+            raise QueryError("gauss needs origin and scale")
+        decay = float(spec.get("decay", 0.5))
+        if not 0.0 < decay < 1.0:
+            raise QueryError("gauss decay must be in (0, 1)")
+        scale = float(spec["scale"])  # numeric; for dates: SECONDS
+        if scale <= 0:
+            raise QueryError("gauss scale must be > 0")
+        return {"kind": kind, "field": f, "is_date": fdef.type == "date",
+                "origin": spec["origin"], "scale": scale, "decay": decay,
+                "offset": float(spec.get("offset", 0.0))}
+    raise QueryError(f"unknown score function {kind!r}")
+
+
 def _match_node(schema: IndexSchema, field: str, text: str,
                 op: str = "or", msm: int = 0) -> Node:
     """ES ``match`` semantics for one field: analyze the text, compile
@@ -432,6 +496,29 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
         if not 0.0 <= tie <= 1.0:
             raise QueryError("tie_breaker must be in [0, 1]")
         return DisMaxQ(subs, tie)
+    if kind == "function_score":
+        # {"function_score": {"query": {...}, "functions": [fn, ...] |
+        #  <single-fn sugar: "field_value_factor"/"gauss" inline>,
+        #  "score_mode": "multiply"|"sum", "boost_mode":
+        #  "multiply"|"sum"|"replace"}}
+        child_body = body.get("query")
+        if not child_body:
+            raise QueryError("function_score needs a query")
+        fns = body.get("functions")
+        if fns is None:
+            fns = [{k: body[k]} for k in ("field_value_factor", "gauss")
+                   if k in body]
+        if not fns:
+            raise QueryError("function_score needs at least one function")
+        score_mode = str(body.get("score_mode", "multiply"))
+        boost_mode = str(body.get("boost_mode", "multiply"))
+        if score_mode not in ("multiply", "sum"):
+            raise QueryError(f"unsupported score_mode {score_mode!r}")
+        if boost_mode not in ("multiply", "sum", "replace"):
+            raise QueryError(f"unsupported boost_mode {boost_mode!r}")
+        return FunctionScoreQ(parse_json(child_body, schema),
+                              [_validate_function(schema, fn) for fn in fns],
+                              score_mode, boost_mode)
     if kind == "fuzzy":
         (field, spec), = body.items()
         return FuzzyQ(field, str(spec["value"]).lower(),

@@ -99,7 +99,45 @@ class OracleIndex:
             return {d: s * node.boost for d, s in self.score(node.child).items()}
         if isinstance(node, A.ConstScoreQ):
             return {d: node.boost for d in self.score(node.child)}
+        if isinstance(node, A.FunctionScoreQ):
+            return self._score_function(node)
         raise NotImplementedError(type(node).__name__)
+
+    def _fn_value(self, fn: dict, docid: int) -> float:
+        import math
+
+        v = self.docs[docid].get(fn["field"])
+        if fn["kind"] == "field_value_factor":
+            x = fn["factor"] * (float(v) if v is not None else fn["missing"])
+            if fn["modifier"] == "log1p":
+                return math.log(1.0 + x)
+            if fn["modifier"] == "sqrt":
+                return math.sqrt(x)
+            return x
+        if v is None:
+            return 1.0  # neutral, matching the engine's pinned choice
+        fv = v.timestamp() if hasattr(v, "timestamp") else float(v)
+        o = (fn["origin"].timestamp() if hasattr(fn["origin"], "timestamp")
+             else float(fn["origin"]))
+        sigma2 = -(fn["scale"] ** 2) / (2.0 * math.log(fn["decay"]))
+        dist = max(abs(fv - o) - fn["offset"], 0.0)
+        return math.exp(-(dist * dist) / (2.0 * sigma2))
+
+    def _score_function(self, node: A.FunctionScoreQ) -> dict[int, float]:
+        base = self.score(node.child)
+        out: dict[int, float] = {}
+        for d, s in base.items():
+            fs = self._fn_value(node.functions[0], d)
+            for fn in node.functions[1:]:
+                v = self._fn_value(fn, d)
+                fs = fs * v if node.score_mode == "multiply" else fs + v
+            if node.boost_mode == "multiply":
+                out[d] = s * fs
+            elif node.boost_mode == "sum":
+                out[d] = s + fs
+            else:
+                out[d] = fs
+        return out
 
     def _score_phrase_prefix(self, node: A.PhrasePrefixQ) -> dict[int, float]:
         """Exact adjacency over the chain terms, final slot = any

@@ -564,6 +564,71 @@ def test_field_collapse(index, corpus, oracle):
                           "search_after": [1.0, 0]})
 
 
+def test_function_score_parse_errors(index):
+    for bad in (
+        {"function_score": {"functions": [
+            {"field_value_factor": {"field": "turn_idx"}}]}},  # no query
+        {"function_score": {"query": {"all": {}}}},  # no functions
+        {"function_score": {"query": {"all": {}}, "field_value_factor": {
+            "field": "turn_idx", "modifier": "log2p"}}},
+        {"function_score": {"query": {"all": {}}, "field_value_factor": {
+            "field": "text"}}},  # non-numeric
+        {"function_score": {"query": {"all": {}}, "gauss": {
+            "turn_idx": {"origin": 0, "scale": 2, "decay": 1.5}}}},
+        {"function_score": {"query": {"all": {}}, "score_mode": "max",
+                            "field_value_factor": {"field": "turn_idx"}}},
+    ):
+        with pytest.raises(A.QueryError):
+            A.parse_json(bad, index.schema)
+
+
+def test_function_score_values(small):
+    """Exact value check on the 5-doc corpus: fvf log1p(0.1*n)
+    multiplies the BM25 score; missing values use the missing param;
+    gauss replace yields pure decay ordering."""
+    import math
+
+    q = {"term": {"body": "alpha"}}
+    prim = _score_map(small, q)
+    res = small.query_json({"query": {"function_score": {
+        "query": q, "field_value_factor": {
+            "field": "n", "factor": 0.1, "modifier": "log1p"}}},
+        "limit": 10})
+    # add_df orders by body: gamble(45)=0, gamma(5)=1, "alpha delta"(15)=2
+    ns = {0: 45, 1: 5, 2: 15}
+    for h in res["docs"]:
+        want = prim[h["docid"]] * math.log(1.0 + 0.1 * ns[h["docid"]])
+        assert h["score"] == pytest.approx(want, rel=1e-9)
+    # gauss replace: pure decay, doc with n closest to origin wins
+    res = small.query_json({"query": {"function_score": {
+        "query": q, "boost_mode": "replace",
+        "gauss": {"n": {"origin": 15, "scale": 10, "decay": 0.5}}}},
+        "limit": 10})
+    assert res["docs"][0]["docid"] == 2  # n=15 == origin
+    assert res["docs"][0]["score"] == pytest.approx(1.0)
+    d5 = math.exp(-(10.0 ** 2) / (2 * (-(10.0 ** 2) / (2 * math.log(0.5)))))
+    assert res["docs"][1]["score"] == pytest.approx(d5, rel=1e-9)  # n=5
+
+
+def test_function_score_date_recency(index, corpus, oracle):
+    """Recency boost on the date fast field: gauss(ts, origin=max ts)
+    with boost_mode replace ranks matching turns by |ts - origin| —
+    newest first (the canonical 'boost recent conversations' ask)."""
+    q = {"term": {"text": "the"}}
+    node = A.parse_json(q, index.schema)
+    matched = sorted(oracle.score(node))
+    rows = corpus.iloc[matched]
+    origin = rows["ts"].max()
+    res = index.query_json({"query": {"function_score": {
+        "query": q, "boost_mode": "replace",
+        "gauss": {"ts": {"origin": str(origin), "scale": 3600.0,
+                         "decay": 0.5}}}}, "limit": 10})
+    want = list(rows.assign(d=(rows["ts"] - origin).abs())
+                .sort_values(["d"], kind="stable").head(10).index)
+    got = [h["docid"] for h in res["docs"]]
+    assert got == want
+
+
 def test_term_suggester(small):
     """ES term-suggester semantics on the 5-doc corpus (dictionary:
     alpha x3, beta x3, gamma x2, delta x3... by df; tool is a separate
@@ -608,6 +673,18 @@ PARITY = [
                      "tie_breaker": 0.3}},
     {"multi_match": {"query": "hello world", "fields": ["text", "role"],
                      "type": "most_fields"}},
+    {"function_score": {"query": {"term": {"text": "hello"}},
+                        "field_value_factor": {"field": "turn_idx",
+                                               "factor": 0.5,
+                                               "modifier": "log1p"}}},
+    {"function_score": {"query": {"term": {"text": "the"}},
+                        "boost_mode": "sum", "score_mode": "sum",
+                        "functions": [
+                            {"field_value_factor": {"field": "turn_idx",
+                                                    "modifier": "sqrt"}},
+                            {"gauss": {"turn_idx": {"origin": 3,
+                                                    "scale": 2.0,
+                                                    "decay": 0.5}}}]}},
 ]
 
 
