@@ -1558,6 +1558,53 @@ def q_ft_agg_cardinality(spark, sf_dir):
         F.count_distinct("lang").cast("long").alias("n_langs"))
 
 
+def q_ft_agg_extstats(spark, sf_dir):
+    """ES ``extended_stats`` over the 'valu' match set (round-5
+    surface): stats + sum_of_squares / population variance / population
+    std-deviation (the ES definitions), ONE hash aggregation.  Engine
+    analog: Searcher.aggregations 'extended_stats'."""
+    m = _agg_matched(spark, sf_dir)
+    v = F.col("n_chars").cast("double")
+    return m.agg(
+        F.count("n_chars").cast("long").alias("cnt"),
+        F.min("n_chars").cast("long").alias("min_c"),
+        F.max("n_chars").cast("long").alias("max_c"),
+        F.round(F.avg("n_chars"), 4).alias("avg_c"),
+        F.sum("n_chars").cast("long").alias("sum_c"),
+        F.round(F.sum(v * v), 4).alias("sos"),
+        F.round(F.var_pop(v), 4).alias("var_c"),
+        F.round(F.stddev_pop(v), 4).alias("std_c"))
+
+
+def q_ft_agg_range(spark, sf_dir):
+    """ES ``range`` aggregation over the 'valu' match set (round-5
+    surface): [from, to) buckets on n_chars, overlap-safe — ONE pass,
+    each bucket a conditional sum (no per-bucket scan).  Engine analog:
+    Searcher.aggregations 'range'."""
+    m = _agg_matched(spark, sf_dir)
+    v = F.col("n_chars").cast("double")
+    return m.agg(
+        F.sum(F.when(v < 200, 1).otherwise(0)).cast("long").alias("r_lo"),
+        F.sum(F.when((v >= 200) & (v < 400), 1).otherwise(0))
+        .cast("long").alias("r_mid"),
+        F.sum(F.when(v >= 400, 1).otherwise(0)).cast("long").alias("r_hi"))
+
+
+def q_ft_agg_pct_ranks(spark, sf_dir):
+    """ES ``percentile_ranks`` over the 'valu' match set (round-5
+    surface): percent of matched docs with n_chars <= {200, 400} —
+    exact (the engine computes it as one conditional-average pass; ES
+    approximates via t-digest).  Engine analog: Searcher.aggregations
+    'percentile_ranks'."""
+    m = _agg_matched(spark, sf_dir)
+    v = F.col("n_chars").cast("double")
+    return m.agg(*[
+        F.round(F.lit(100.0)
+                * F.avg(F.when(v <= x, 1.0).otherwise(0.0)), 4)
+        .alias(f"p{x}")
+        for x in (200, 400)])
+
+
 FVF_FACTOR = 0.01    # ft_function_fvf: log1p(0.01 * n_chars)
 GAUSS_ORIGIN = 300.0  # ft_function_gauss decay center on n_chars
 GAUSS_SCALE = 150.0
@@ -2074,6 +2121,9 @@ QUERIES = {
     "ft_collapse": q_ft_collapse,
     "ft_function_fvf": q_ft_function_fvf,
     "ft_function_gauss": q_ft_function_gauss,
+    "ft_agg_extstats": q_ft_agg_extstats,
+    "ft_agg_range": q_ft_agg_range,
+    "ft_agg_pct_ranks": q_ft_agg_pct_ranks,
     "dd_para_dup": q_dd_para_dup,
     "pl_domain_quota": q_pl_domain_quota,
     "tx_lm_xent": q_tx_lm_xent,
@@ -2570,6 +2620,28 @@ SELECT * FROM (
                             ORDER BY round(s.score, 7) DESC, s.doc_id) AS rn
   FROM scored s JOIN documents d USING (doc_id) WHERE s.term = 'valu')
 WHERE rn = 1 ORDER BY round(score, 7) DESC, doc_id LIMIT 10""",
+        "ft_agg_extstats": pre + """SELECT count(n_chars)::BIGINT AS cnt,
+min(n_chars)::BIGINT AS min_c, max(n_chars)::BIGINT AS max_c,
+round(avg(n_chars), 4) AS avg_c, sum(n_chars)::BIGINT AS sum_c,
+round(sum(n_chars::DOUBLE * n_chars), 4) AS sos,
+round(var_pop(n_chars::DOUBLE), 4) AS var_c,
+round(stddev_pop(n_chars::DOUBLE), 4) AS std_c
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')""",
+        "ft_agg_range": pre + """SELECT
+sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END)::BIGINT AS r_lo,
+sum(CASE WHEN n_chars >= 200 AND n_chars < 400 THEN 1 ELSE 0 END)::BIGINT
+  AS r_mid,
+sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END)::BIGINT AS r_hi
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')""",
+        "ft_agg_pct_ranks": pre + """SELECT
+round(100.0 * avg(CASE WHEN n_chars <= 200 THEN 1.0 ELSE 0.0 END), 4)
+  AS p200,
+round(100.0 * avg(CASE WHEN n_chars <= 400 THEN 1.0 ELSE 0.0 END), 4)
+  AS p400
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')""",
         "ft_function_fvf": pre + f"""SELECT s.doc_id,
 round(s.score * ln(1.0 + {FVF_FACTOR} * d.n_chars), 4) AS score
 FROM scored s JOIN documents d USING (doc_id) WHERE s.term = 'valu'

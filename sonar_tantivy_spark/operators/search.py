@@ -1879,7 +1879,8 @@ class Searcher:
             # ES typing rules: numeric metrics/histograms need numeric
             # fields, date_histogram needs a date — fail at parse time
             # instead of as an executor-side ANSI cast error
-            if kind in ("stats", "percentiles", "histogram") \
+            if kind in ("stats", "extended_stats", "percentiles",
+                        "percentile_ranks", "histogram", "range") \
                     and fdef.type not in ("i64", "u64", "f64"):
                 raise A.QueryError(
                     f"agg {name!r}: {kind} needs a numeric field, "
@@ -1953,6 +1954,64 @@ class Searcher:
                     ).collect()[0]
                     out[name] = {k: r[k] for k in
                                  ("count", "min", "max", "avg", "sum")}
+                elif kind == "extended_stats":
+                    v = col.cast("double")
+                    r = matched.agg(
+                        F.count(col).alias("count"),
+                        F.min(col).alias("min"), F.max(col).alias("max"),
+                        F.avg(col).alias("avg"), F.sum(col).alias("sum"),
+                        F.sum(v * v).alias("sum_of_squares"),
+                        F.var_pop(v).alias("variance"),
+                        F.stddev_pop(v).alias("std_deviation"),
+                    ).collect()[0]
+                    out[name] = {k: r[k] for k in
+                                 ("count", "min", "max", "avg", "sum",
+                                  "sum_of_squares", "variance",
+                                  "std_deviation")}
+                elif kind == "range":
+                    # ES range agg: [from, to) buckets, overlapping
+                    # allowed — ONE pass, each bucket a conditional sum
+                    ranges = body.get("ranges") or []
+                    if not ranges:
+                        raise A.QueryError(
+                            f"agg {name!r}: range needs ranges")
+                    v = col.cast("double")
+                    exprs, keys = [], []
+                    for i, rg in enumerate(ranges):
+                        lo, hi = rg.get("from"), rg.get("to")
+                        if lo is None and hi is None:
+                            raise A.QueryError(
+                                f"agg {name!r}: a range needs from/to")
+                        c = col.isNotNull()
+                        if lo is not None:
+                            c = c & (v >= float(lo))
+                        if hi is not None:
+                            c = c & (v < float(hi))
+                        exprs.append(F.sum(F.when(c, 1).otherwise(0))
+                                     .alias(f"r{i}"))
+                        keys.append(f"{lo if lo is not None else '*'}-"
+                                    f"{hi if hi is not None else '*'}")
+                    r = matched.agg(*exprs).collect()[0]
+                    out[name] = {"buckets": [
+                        {"key": k, "from": rg.get("from"),
+                         "to": rg.get("to"), "doc_count": int(r[f"r{i}"])}
+                        for i, (k, rg) in enumerate(zip(keys, ranges))]}
+                elif kind == "percentile_ranks":
+                    vals = [float(x) for x in body.get("values") or []]
+                    if not vals:
+                        raise A.QueryError(
+                            f"agg {name!r}: percentile_ranks needs values")
+                    v = col.cast("double")
+                    exprs = [
+                        (F.lit(100.0)
+                         * F.avg(F.when(v <= x, 1.0).otherwise(0.0)))
+                        .alias(f"p{i}")
+                        for i, x in enumerate(vals)]
+                    r = matched.filter(col.isNotNull()).agg(*exprs).collect()[0]
+                    out[name] = {"values": {
+                        str(x): (None if r[f"p{i}"] is None
+                                 else float(r[f"p{i}"]))
+                        for i, x in enumerate(vals)}}
                 elif kind == "percentiles":
                     pcts = [float(p) for p in
                             body.get("percents", [1, 5, 25, 50, 75, 95, 99])]

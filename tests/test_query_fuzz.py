@@ -43,7 +43,7 @@ def oracle(corpus):
 def gen_node(rng: random.Random, depth: int = 0) -> A.Node:
     kinds = ["term", "term", "term", "phrase", "fuzzy", "range", "bool",
              "prefix", "slop", "terms_set", "dismax", "phrase_prefix",
-             "exists", "wildcard", "const_score"]
+             "exists", "wildcard", "const_score", "function_score"]
     if depth >= 2:
         kinds = ["term", "term", "phrase", "range", "prefix",
                  "terms_set", "exists", "wildcard"]
@@ -56,6 +56,19 @@ def gen_node(rng: random.Random, depth: int = 0) -> A.Node:
     if kind == "const_score":
         return A.ConstScoreQ(gen_node(rng, depth + 1),
                              rng.choice([1.0, 0.5, 2.5]))
+    if kind == "function_score":
+        fns = [{"kind": "field_value_factor", "field": "turn_idx",
+                "factor": rng.choice([0.5, 1.0]),
+                "modifier": rng.choice(["none", "log1p", "sqrt"]),
+                "missing": 1.0},
+               {"kind": "gauss", "field": "turn_idx", "is_date": False,
+                "origin": rng.choice([0, 3]), "scale": 2.0,
+                "decay": 0.5, "offset": 0.0}]
+        rng.shuffle(fns)
+        return A.FunctionScoreQ(
+            gen_node(rng, depth + 1), fns[:rng.randint(1, 2)],
+            rng.choice(["multiply", "sum"]),
+            rng.choice(["multiply", "sum", "replace"]))
     if kind == "terms_set":
         k = rng.randint(1, 3)
         return A.TermSetQ("text", rng.sample(TERMS, k))

@@ -471,6 +471,42 @@ def test_aggs_against_pandas_truth(index, corpus, oracle):
     assert aggs["tools"]["value"] == rows["tool"].dropna().nunique()
 
 
+def test_aggs_extended_range_ranks(index, corpus, oracle):
+    """extended_stats (population variance per ES), range ([from,to)
+    conditional-sum buckets), percentile_ranks (exact % <= value)."""
+    node = A.parse_json({"term": {"text": "hello"}}, index.schema)
+    rows = _matched_rows(corpus, oracle, node)
+    v = rows["turn_idx"].astype(float)
+    res = index.query_json({"query": {"term": {"text": "hello"}},
+                            "limit": 0, "aggs": {
+        "ext": {"extended_stats": {"field": "turn_idx"}},
+        "rng": {"range": {"field": "turn_idx", "ranges": [
+            {"to": 3}, {"from": 3, "to": 6}, {"from": 6}]}},
+        "pr": {"percentile_ranks": {"field": "turn_idx",
+                                    "values": [2, 5]}},
+    }})
+    ext = res["aggs"]["ext"]
+    assert ext["count"] == len(v)
+    assert ext["sum_of_squares"] == pytest.approx((v * v).sum())
+    assert ext["variance"] == pytest.approx(v.var(ddof=0))
+    assert ext["std_deviation"] == pytest.approx(v.std(ddof=0))
+    b = res["aggs"]["rng"]["buckets"]
+    assert [x["doc_count"] for x in b] == [
+        int((v < 3).sum()), int(((v >= 3) & (v < 6)).sum()),
+        int((v >= 6).sum())]
+    assert b[0]["key"] == "*-3" and b[2]["key"] == "6-*"
+    pr = res["aggs"]["pr"]["values"]
+    for x in (2, 5):
+        assert pr[str(float(x))] == pytest.approx(
+            100.0 * (v <= x).mean())
+    with pytest.raises(A.QueryError):
+        index.query_json({"query": {"all": {}}, "aggs": {
+            "x": {"range": {"field": "turn_idx", "ranges": [{}]}}}})
+    with pytest.raises(A.QueryError):
+        index.query_json({"query": {"all": {}}, "aggs": {
+            "x": {"percentile_ranks": {"field": "turn_idx"}}}})
+
+
 def test_aggs_approx_paths(index, corpus, oracle):
     """The 100 TB default paths: HLL cardinality within its published
     error envelope, sketch percentiles within the value range."""
