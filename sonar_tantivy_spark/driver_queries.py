@@ -1558,6 +1558,28 @@ def q_ft_agg_cardinality(spark, sf_dir):
         F.count_distinct("lang").cast("long").alias("n_langs"))
 
 
+def q_ft_agg_top_hits(spark, sf_dir):
+    """ES ``top_hits`` sub-agg under a terms agg (round-5 surface):
+    per source, the 2 best-scoring 'valu' docs under
+    (score desc, doc_id asc) — flat (key, doc_id, score, rn) rows for
+    the oracle.  Engine analog: search.py _bucket_top_hits — ONE
+    window hash-partitioned by the bucket key; Catalyst pushes the
+    rank filter into WindowGroupLimit (map-side top-k per group,
+    plan-asserted for the same shape in PLANS.md collapse_by_conv)."""
+    from pyspark.sql import Window
+
+    t = _ft(spark, sf_dir)
+    s = _scored(spark, sf_dir).filter(F.col("term") == "valu")
+    j = s.join(t["docs"].select("doc_id", "source"), on="doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.desc(F.round(F.col("score"), 7)), F.asc("doc_id"))
+    return (j.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 2)
+            .select(F.col("source").alias("key"), "doc_id",
+                    F.round("score", 4).alias("score"),
+                    F.col("rn").cast("long").alias("rn")))
+
+
 def q_ft_agg_extstats(spark, sf_dir):
     """ES ``extended_stats`` over the 'valu' match set (round-5
     surface): stats + sum_of_squares / population variance / population
@@ -2122,6 +2144,7 @@ QUERIES = {
     "ft_function_fvf": q_ft_function_fvf,
     "ft_function_gauss": q_ft_function_gauss,
     "ft_agg_extstats": q_ft_agg_extstats,
+    "ft_agg_top_hits": q_ft_agg_top_hits,
     "ft_agg_range": q_ft_agg_range,
     "ft_agg_pct_ranks": q_ft_agg_pct_ranks,
     "dd_para_dup": q_dd_para_dup,
@@ -2620,6 +2643,13 @@ SELECT * FROM (
                             ORDER BY round(s.score, 7) DESC, s.doc_id) AS rn
   FROM scored s JOIN documents d USING (doc_id) WHERE s.term = 'valu')
 WHERE rn = 1 ORDER BY round(score, 7) DESC, doc_id LIMIT 10""",
+        "ft_agg_top_hits": pre + """SELECT key, doc_id, score, rn FROM (
+  SELECT d.source AS key, s.doc_id, round(s.score, 4) AS score,
+         row_number() OVER (PARTITION BY d.source
+                            ORDER BY round(s.score, 7) DESC, s.doc_id)
+           ::BIGINT AS rn
+  FROM scored s JOIN documents d USING (doc_id) WHERE s.term = 'valu')
+WHERE rn <= 2""",
         "ft_agg_extstats": pre + """SELECT count(n_chars)::BIGINT AS cnt,
 min(n_chars)::BIGINT AS min_c, max(n_chars)::BIGINT AS max_c,
 round(avg(n_chars), 4) AS avg_c, sum(n_chars)::BIGINT AS sum_c,

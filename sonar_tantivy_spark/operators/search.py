@@ -1917,9 +1917,17 @@ class Searcher:
                             .agg(F.count("*").alias("doc_count"))
                             .orderBy(F.desc("doc_count"), F.asc("key"))
                             .limit(size).collect())
-                    out[name] = {"buckets": [
-                        {"key": r["key"], "doc_count": r["doc_count"]}
-                        for r in rows]}
+                    buckets = [{"key": r["key"], "doc_count": r["doc_count"]}
+                               for r in rows]
+                    th = self._top_hits_spec(name, body)
+                    if th and buckets:
+                        th_name, th_size = th
+                        per_key = self._bucket_top_hits(
+                            cands, body["field"],
+                            [b["key"] for b in buckets], th_size)
+                        for b in buckets:
+                            b[th_name] = {"hits": per_key.get(b["key"], [])}
+                    out[name] = {"buckets": buckets}
                 elif kind == "histogram":
                     interval = float(body["interval"])
                     if interval <= 0:
@@ -2034,6 +2042,55 @@ class Searcher:
             return out
         finally:
             matched.unpersist()
+
+    @staticmethod
+    def _top_hits_spec(name: str, body: dict) -> tuple[str, int] | None:
+        """Parse the optional ES sub-agg block of a terms agg:
+        {"terms": {...}, "aggs": {sub: {"top_hits": {"size": k}}}} —
+        the one sub-agg shape supported (one level, top_hits only)."""
+        sub = body.get("aggs") or {}
+        if not sub:
+            return None
+        if len(sub) != 1:
+            raise A.QueryError(f"agg {name!r}: one sub-agg supported")
+        (sub_name, sub_spec), = sub.items()
+        if not isinstance(sub_spec, dict) or \
+                list(sub_spec) != ["top_hits"]:
+            raise A.QueryError(
+                f"agg {name!r}: only a top_hits sub-agg is supported")
+        return sub_name, int(sub_spec["top_hits"].get("size", 3))
+
+    def _bucket_top_hits(self, cands: DataFrame, field: str,
+                         keys: list, size: int) -> dict:
+        """Per-bucket top documents (ES top_hits): ONE window
+        hash-partitioned by the bucket key over the scored candidates
+        joined to the doc store, rank <= size kept — Catalyst pushes
+        the rank filter into WindowGroupLimit (map-side top-k per
+        group), so no partition ever sorts a whole bucket.  Restricted
+        to the ALREADY-SELECTED buckets (a literal IN over <= size
+        keys), then the <= buckets*size winners fetch stored fields
+        through the normal bounded retrieve."""
+        from pyspark.sql import Window
+
+        g = self.with_global_docid(cands)
+        docs = self._table("docs").select("segment_id", "docid", field)
+        j = (g.join(docs, on=["segment_id", "docid"])
+             .filter(F.col(field).isin(list(keys))))
+        w = Window.partitionBy(field).orderBy(
+            F.desc("score"), F.asc("docid_g"))
+        top = (j.withColumn("__rn", F.row_number().over(w))
+               .filter(F.col("__rn") <= size)
+               .orderBy(field, "__rn"))
+        rows = top.collect()
+        hits_df = self.spark.createDataFrame(
+            [(r["segment_id"], r["docid"], r["score"], r["docid_g"])
+             for r in rows] or [],
+            "segment_id string, docid long, score double, docid_g long")
+        fetched = self.retrieve(hits_df)
+        per_key: dict = {}
+        for r, hit in zip(rows, fetched):
+            per_key.setdefault(r[field], []).append(hit)
+        return per_key
 
     def _sig_terms(self, body: dict, matched: DataFrame) -> dict:
         """ES ``significant_terms`` with the JLH heuristic: for each

@@ -507,6 +507,34 @@ def test_aggs_extended_range_ranks(index, corpus, oracle):
             "x": {"percentile_ranks": {"field": "turn_idx"}}}})
 
 
+def test_aggs_top_hits_sub_agg(index, corpus, oracle):
+    """terms agg with a top_hits sub-agg: per bucket, the bucket's
+    best-scoring docs under (score desc, docid asc), stored fields
+    included — verified against the oracle scores + corpus roles."""
+    node = A.parse_json({"term": {"text": "the"}}, index.schema)
+    scores = oracle.score(node)
+    res = index.query_json({"query": {"term": {"text": "the"}},
+                            "limit": 0, "aggs": {
+        "roles": {"terms": {"field": "role", "size": 3, "aggs": {
+            "best": {"top_hits": {"size": 2}}}}}}})
+    buckets = res["aggs"]["roles"]["buckets"]
+    assert buckets and all("best" in b for b in buckets)
+    for b in buckets:
+        members = [(d, s) for d, s in scores.items()
+                   if corpus.iloc[d]["role"] == b["key"]]
+        want = sorted(members, key=lambda t: (-t[1], t[0]))[:2]
+        got = [(h["docid"], h["score"]) for h in b["best"]["hits"]]
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (_, a), (_, wv) in zip(got, want):
+            assert a == pytest.approx(wv, rel=1e-9)
+        # stored fields ride along like normal query hits
+        assert b["best"]["hits"][0]["doc"]["role"] == [b["key"]]
+    with pytest.raises(A.QueryError):
+        index.query_json({"query": {"all": {}}, "aggs": {
+            "x": {"terms": {"field": "role", "aggs": {
+                "y": {"stats": {"field": "turn_idx"}}}}}}})
+
+
 def test_aggs_approx_paths(index, corpus, oracle):
     """The 100 TB default paths: HLL cardinality within its published
     error envelope, sketch percentiles within the value range."""
