@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sonar_tantivy_spark.operators.build import build_segments
-from sonar_tantivy_spark.operators.search import Searcher
+from sonar_tantivy_spark.operators.search import Searcher, collect_terms
 from sonar_tantivy_spark.operators.snippet import (
     collect_positive_terms,
     generate_snippet,
@@ -599,6 +599,37 @@ class Index:
                 for r in rows]
         return out
 
+    def validate(self, query: str | dict) -> dict:
+        """ES ``_validate/query`` analog: parse (and compile-check) a
+        query WITHOUT executing it.  Returns {"valid": bool,
+        "error": str | None}; never raises.  Cost: parsing + logical
+        compilation only — no Spark job runs (compilation is lazy)."""
+        try:
+            node = (A.parse_string(query, self.schema)
+                    if isinstance(query, str)
+                    else A.parse_json(query, self.schema))
+            for f in sorted({fld for fld, _t in collect_terms(node)}):
+                if self.schema.field(f) is None:
+                    raise A.QueryError(f"unknown field {f!r}")
+            self.searcher()._cand_opt(node)  # lazy: plans, never runs
+            return {"valid": True, "error": None}
+        except Exception as e:  # noqa: BLE001 — the API contract is no-raise
+            return {"valid": False, "error": str(e)}
+
+    def msearch(self, searches: list[dict]) -> list[dict]:
+        """ES ``_msearch`` analog: N search envelopes against this
+        index in one call, results in request order.  Runs the bodies
+        as CONCURRENT Spark jobs (same rationale as multi_query —
+        serial looping is pure added latency on a cluster that can
+        interleave)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if len(searches) <= 1:
+            return [self.query_json(s) for s in searches]
+        with ThreadPoolExecutor(max_workers=min(8, len(searches))) as pool:
+            futs = [pool.submit(self.query_json, s) for s in searches]
+            return [f.result() for f in futs]
+
     def num_deleted(self) -> int:
         """Live tombstone count (rows for already-compacted segments
         excluded)."""
@@ -723,15 +754,73 @@ class IndexCatalog:
         storage = MemStorage(name) if ram else FsStorage(self.base_path, name)
         if storage.exists():
             raise FileExistsError(f"index {name!r} already exists")
+        if name in self.aliases():
+            raise FileExistsError(f"{name!r} is an alias")  # ES rule
         storage.create(schema_json)
         if ram:
             self._ram[name] = storage
         return Index(self.spark, name, storage)
 
+    # ---------------------------------------------------------- aliases
+    def _aliases_path(self) -> str:
+        import os
+
+        return os.path.join(self.base_path, "_aliases.json")
+
+    def aliases(self) -> dict[str, str]:
+        """alias → index name (ES index-alias analog; persisted at the
+        catalog base path, one atomic JSON commit per change)."""
+        import json
+        import os
+
+        p = self._aliases_path()
+        if not os.path.exists(p):
+            return {}
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _write_aliases(self, aliases: dict[str, str]) -> None:
+        import json
+        import os
+
+        os.makedirs(self.base_path, exist_ok=True)
+        tmp = self._aliases_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(aliases, fh, sort_keys=True)
+        os.replace(tmp, self._aliases_path())  # atomic, like the manifest
+
+    def set_alias(self, alias: str, index_name: str) -> None:
+        """Point ``alias`` at ``index_name`` (create or repoint).  The
+        ES zero-downtime reindex pattern: build ``idx_v2``, repoint the
+        alias, drop ``idx_v1`` — readers never see a missing index."""
+        if not self._storage(index_name).exists():
+            raise KeyError(f"no such index {index_name!r}")
+        if self._storage(alias).exists():
+            raise FileExistsError(
+                f"{alias!r} names a real index, cannot alias over it")
+        a = self.aliases()
+        a[alias] = index_name
+        self._write_aliases(a)
+
+    def delete_alias(self, alias: str) -> None:
+        a = self.aliases()
+        if alias in a:
+            del a[alias]
+            self._write_aliases(a)
+
+    def _resolve(self, name: str) -> str:
+        """One level of alias indirection (no chains — ES rejects an
+        alias pointing at an alias, so do we by construction: set_alias
+        requires a REAL target index)."""
+        if self._storage(name).exists():
+            return name
+        return self.aliases().get(name, name)
+
     def has(self, name: str) -> bool:
-        return self._storage(name).exists()
+        return self._storage(self._resolve(name)).exists()
 
     def open(self, name: str) -> Index:
+        name = self._resolve(name)
         storage = self._storage(name)
         if not storage.exists():
             raise KeyError(f"no such index {name!r}")
@@ -745,6 +834,11 @@ class IndexCatalog:
     def delete(self, name: str) -> None:
         self._storage(name).delete()
         self._ram.pop(name, None)
+        # ES rule: deleting an index drops the aliases that point at it
+        a = self.aliases()
+        live = {k: v for k, v in a.items() if v != name}
+        if len(live) != len(a):
+            self._write_aliases(live)
 
     def multi_query(self, query: str, names: list[str]) -> dict[str, list[dict]]:
         """Same string query over N indexes; per-index limit 100, no
