@@ -208,6 +208,13 @@ class Index:
         sort_by = search.get("sort_by")
         facets = search.get("facets") or {}
         aggs = search.get("aggs") or {}
+        if (facets or aggs) and (search.get("rescore")
+                                 or search.get("collapse")):
+            # refuse rather than silently dropping one of them — the
+            # ES composition rules here are subtle enough that a quiet
+            # wrong answer is worse than an error
+            raise A.QueryError(
+                "rescore/collapse cannot combine with facets/aggs here")
         if facets or aggs:
             # MultiCollector (search.rs:32-42): facet counting and
             # aggregations need ALL matches (segment pruning is

@@ -397,6 +397,18 @@ def test_rescore_semantics(small):
     assert got == {d: pytest.approx(2.0 * p) for d, p in prim.items()}
 
 
+def test_rescore_collapse_vs_aggs_refused(small):
+    """Combining rescore/collapse with facets/aggs raises instead of
+    silently dropping one of them."""
+    base = {"query": {"term": {"body": "alpha"}},
+            "aggs": {"t": {"terms": {"field": "tool"}}}}
+    with pytest.raises(A.QueryError):
+        small.query_json({**base, "collapse": {"field": "tool"}})
+    with pytest.raises(A.QueryError):
+        small.query_json({**base, "rescore": {"query": {
+            "rescore_query": {"term": {"body": "beta"}}}}})
+
+
 def test_rescore_errors(small):
     base = {"query": {"term": {"body": "alpha"}}}
     with pytest.raises(A.QueryError):
