@@ -1838,7 +1838,17 @@ class Searcher:
              name: {"stats":          {"field": f}},
              name: {"percentiles":    {"field": f, "percents": [..],
                                        "approx": False}},
-             name: {"cardinality":    {"field": f, "exact": False}}}
+             name: {"cardinality":    {"field": f, "exact": False}},
+             name: {"avg"|"sum"|"min"|"max"|"value_count": {"field": f}},
+             name: {"missing":        {"field": f}},
+             name: {"filters":        {"filters": {fname: {..query..}}}}}
+
+        Bucket aggs (terms / histogram / date_histogram) take metric
+        sub-aggs (avg/sum/min/max/value_count/stats/cardinality) via an
+        in-body or ES-sibling ``"aggs"`` block — computed as extra
+        expressions in the bucket's own groupBy (one hash aggregation,
+        zero additional passes); a terms agg additionally takes ONE
+        ``top_hits`` sub-agg (per-bucket document fetch).
 
         Execution shape (the part that must survive 100×): ONE equi-join
         of the candidate set to the doc store on (segment_id, docid) —
@@ -1857,11 +1867,36 @@ class Searcher:
         sketch (approx_count_distinct, the ES semantics and the shape
         that scales); ``"exact": true`` switches to an exact distinct
         count."""
+        # accept the ES sibling shape {kind: {...}, "aggs": {...}} by
+        # folding the sub-agg block into the kind body (the in-body
+        # form {"terms": {..., "aggs": {...}}} stays supported)
+        norm: dict = {}
+        for name, spec in aggs.items():
+            if isinstance(spec, dict) and len(spec) == 2 and "aggs" in spec:
+                (kind, body), = ((k, v) for k, v in spec.items()
+                                 if k != "aggs")
+                if not isinstance(body, dict):
+                    raise A.QueryError(f"agg {name!r}: expected a dict body")
+                body = dict(body)
+                body["aggs"] = spec["aggs"]
+                norm[name] = {kind: body}
+            else:
+                norm[name] = spec
+        aggs = norm
         fields: set[str] = set()
         for name, spec in aggs.items():
             if not isinstance(spec, dict) or len(spec) != 1:
                 raise A.QueryError(f"agg {name!r}: expected one agg kind")
             kind, body = next(iter(spec.items()))
+            if kind == "filters":
+                flt = (body or {}).get("filters")
+                if not isinstance(flt, dict) or not flt:
+                    raise A.QueryError(
+                        f"agg {name!r}: filters needs a dict of named "
+                        f"filter queries")
+                for fname, q in flt.items():  # fail at parse time
+                    A.parse_json(q, self.schema)
+                continue
             f = (body or {}).get("field")
             if not f:
                 raise A.QueryError(f"agg {name!r}: missing field")
@@ -1880,7 +1915,8 @@ class Searcher:
             # fields, date_histogram needs a date — fail at parse time
             # instead of as an executor-side ANSI cast error
             if kind in ("stats", "extended_stats", "percentiles",
-                        "percentile_ranks", "histogram", "range") \
+                        "percentile_ranks", "histogram", "range",
+                        "avg", "sum", "min", "max") \
                     and fdef.type not in ("i64", "u64", "f64"):
                 raise A.QueryError(
                     f"agg {name!r}: {kind} needs a numeric field, "
@@ -1889,6 +1925,29 @@ class Searcher:
                 raise A.QueryError(
                     f"agg {name!r}: date_histogram needs a date field, "
                     f"{f!r} is {fdef.type}")
+            if kind in ("terms", "histogram", "date_histogram"):
+                metrics, th = self._sub_agg_plan(name, body)
+                if th is not None and kind != "terms":
+                    raise A.QueryError(
+                        f"agg {name!r}: a top_hits sub-agg is only "
+                        f"supported under a terms agg")
+                for sub_name, skind, sf in metrics:
+                    sdef = self.schema.field(sf)
+                    if sdef is None or not sdef.stored:
+                        raise A.QueryError(
+                            f"agg {name!r}: sub-agg {sub_name!r}: field "
+                            f"{sf!r} is not a stored field")
+                    if skind in ("avg", "sum", "min", "max", "stats") \
+                            and sdef.type not in ("i64", "u64", "f64"):
+                        raise A.QueryError(
+                            f"agg {name!r}: sub-agg {sub_name!r}: "
+                            f"{skind} needs a numeric field, "
+                            f"{sf!r} is {sdef.type}")
+                    fields.add(sf)
+            elif "aggs" in (body or {}):
+                raise A.QueryError(
+                    f"agg {name!r}: sub-aggs are only supported under "
+                    f"bucket aggs (terms/histogram/date_histogram)")
             fields.add(f)
         if cands is None:
             cands = self.candidates(node)
@@ -1906,6 +1965,24 @@ class Searcher:
                 if kind == "significant_terms":
                     out[name] = self._sig_terms(body, matched)
                     continue
+                if kind == "filters":
+                    # ES filters agg: one named bucket per sub-query,
+                    # each bucket counts matched docs ALSO matching the
+                    # filter — a left-semi join of the (persisted)
+                    # match keys against the filter's candidate keys,
+                    # so each filter costs one postings scan, never a
+                    # rescore of the main query
+                    mkeys = matched.select("segment_id", "docid")
+                    buckets = {}
+                    for fname, q in body["filters"].items():
+                        sub = A.parse_json(q, self.schema)
+                        skeys = (self.candidates(sub)
+                                 .select("segment_id", "docid"))
+                        buckets[fname] = {"doc_count": int(
+                            mkeys.join(skeys, on=["segment_id", "docid"],
+                                       how="left_semi").count())}
+                    out[name] = {"buckets": buckets}
+                    continue
                 col = F.col(body["field"])
                 # ES rule: docs missing the field fall out of every agg
                 # (count(col)/min/max/avg/sum skip nulls natively; the
@@ -1913,13 +1990,15 @@ class Searcher:
                 bucketed = matched.filter(col.isNotNull())
                 if kind == "terms":
                     size = int(body.get("size", 10))
+                    metrics, th = self._sub_agg_plan(name, body)
                     rows = (bucketed.groupBy(col.alias("key"))
-                            .agg(F.count("*").alias("doc_count"))
+                            .agg(F.count("*").alias("doc_count"),
+                                 *self._metric_exprs(metrics))
                             .orderBy(F.desc("doc_count"), F.asc("key"))
                             .limit(size).collect())
-                    buckets = [{"key": r["key"], "doc_count": r["doc_count"]}
+                    buckets = [{"key": r["key"], "doc_count": r["doc_count"],
+                                **self._shape_metrics(metrics, r)}
                                for r in rows]
-                    th = self._top_hits_spec(name, body)
                     if th and buckets:
                         th_name, th_size = th
                         per_key = self._bucket_top_hits(
@@ -1932,13 +2011,16 @@ class Searcher:
                     interval = float(body["interval"])
                     if interval <= 0:
                         raise A.QueryError(f"agg {name!r}: interval must be > 0")
+                    metrics, _ = self._sub_agg_plan(name, body)
                     key = (F.floor(col.cast("double") / interval)
                            * interval).alias("key")
                     rows = (bucketed.groupBy(key)
-                            .agg(F.count("*").alias("doc_count"))
+                            .agg(F.count("*").alias("doc_count"),
+                                 *self._metric_exprs(metrics))
                             .orderBy("key").collect())
                     out[name] = {"buckets": [
-                        {"key": float(r["key"]), "doc_count": r["doc_count"]}
+                        {"key": float(r["key"]), "doc_count": r["doc_count"],
+                         **self._shape_metrics(metrics, r)}
                         for r in rows]}
                 elif kind == "date_histogram":
                     unit = self._CALENDAR_INTERVALS.get(
@@ -1946,13 +2028,16 @@ class Searcher:
                     if unit is None:
                         raise A.QueryError(
                             f"agg {name!r}: unsupported calendar_interval")
+                    metrics, _ = self._sub_agg_plan(name, body)
                     key = F.date_trunc(unit, col).alias("key")
                     rows = (bucketed.groupBy(key)
-                            .agg(F.count("*").alias("doc_count"))
+                            .agg(F.count("*").alias("doc_count"),
+                                 *self._metric_exprs(metrics))
                             .orderBy("key").collect())
                     out[name] = {"buckets": [
                         {"key_as_string": r["key"].isoformat(),
-                         "doc_count": r["doc_count"]}
+                         "doc_count": r["doc_count"],
+                         **self._shape_metrics(metrics, r)}
                         for r in rows]}
                 elif kind == "stats":
                     r = matched.agg(
@@ -2037,28 +2122,109 @@ class Searcher:
                             else F.approx_count_distinct(col))
                     out[name] = {"value": int(
                         matched.agg(expr.alias("v")).collect()[0]["v"])}
+                elif kind in ("avg", "sum", "min", "max"):
+                    v = matched.agg(getattr(F, kind)(col)
+                                    .alias("v")).collect()[0]["v"]
+                    out[name] = {"value": v}
+                elif kind == "value_count":
+                    out[name] = {"value": int(
+                        matched.agg(F.count(col).alias("v"))
+                        .collect()[0]["v"])}
+                elif kind == "missing":
+                    # ES missing agg: matched docs WITHOUT the field —
+                    # the complement of every other agg's null rule
+                    out[name] = {"doc_count": int(
+                        matched.filter(col.isNull()).count())}
                 else:
                     raise A.QueryError(f"agg {name!r}: unknown kind {kind!r}")
             return out
         finally:
             matched.unpersist()
 
-    @staticmethod
-    def _top_hits_spec(name: str, body: dict) -> tuple[str, int] | None:
-        """Parse the optional ES sub-agg block of a terms agg:
-        {"terms": {...}, "aggs": {sub: {"top_hits": {"size": k}}}} —
-        the one sub-agg shape supported (one level, top_hits only)."""
+    _SUBAGG_METRICS = ("avg", "sum", "min", "max", "value_count",
+                       "stats", "cardinality")
+
+    @classmethod
+    def _sub_agg_plan(cls, name: str, body: dict) \
+            -> tuple[list[tuple[str, str, str]], tuple[str, int] | None]:
+        """Parse the ES sub-agg block of a bucket agg (one level)::
+
+            {"terms": {"field": f, "aggs": {
+                "mean_v":  {"avg": {"field": g}},
+                "seen":    {"cardinality": {"field": h}},
+                "best":    {"top_hits": {"size": 3}}}}}
+
+        Metric sub-aggs (avg/sum/min/max/value_count/stats/cardinality)
+        compute IN THE SAME groupBy as the bucket — extra agg
+        expressions riding the one hash aggregation, zero additional
+        passes.  top_hits is the exception (per-bucket document fetch,
+        terms-only).  Returns (metrics, top_hits) where metrics is
+        [(sub_name, kind, field)] and top_hits is (sub_name, size)."""
         sub = body.get("aggs") or {}
-        if not sub:
-            return None
-        if len(sub) != 1:
-            raise A.QueryError(f"agg {name!r}: one sub-agg supported")
-        (sub_name, sub_spec), = sub.items()
-        if not isinstance(sub_spec, dict) or \
-                list(sub_spec) != ["top_hits"]:
-            raise A.QueryError(
-                f"agg {name!r}: only a top_hits sub-agg is supported")
-        return sub_name, int(sub_spec["top_hits"].get("size", 3))
+        metrics: list[tuple[str, str, str]] = []
+        top_hits: tuple[str, int] | None = None
+        for sub_name, sub_spec in sub.items():
+            if not isinstance(sub_spec, dict) or len(sub_spec) != 1:
+                raise A.QueryError(
+                    f"agg {name!r}: sub-agg {sub_name!r}: expected one "
+                    f"agg kind")
+            (skind, sbody), = sub_spec.items()
+            if skind == "top_hits":
+                if top_hits is not None:
+                    raise A.QueryError(
+                        f"agg {name!r}: at most one top_hits sub-agg")
+                top_hits = (sub_name, int((sbody or {}).get("size", 3)))
+            elif skind in cls._SUBAGG_METRICS:
+                sf = (sbody or {}).get("field")
+                if not sf:
+                    raise A.QueryError(
+                        f"agg {name!r}: sub-agg {sub_name!r}: missing field")
+                metrics.append((sub_name, skind, sf))
+            else:
+                raise A.QueryError(
+                    f"agg {name!r}: sub-agg {sub_name!r}: unsupported "
+                    f"kind {skind!r} (metrics "
+                    f"{'/'.join(cls._SUBAGG_METRICS)} or top_hits)")
+        return metrics, top_hits
+
+    @staticmethod
+    def _metric_exprs(metrics: list[tuple[str, str, str]]) -> list:
+        """Grouped-agg expressions for metric sub-aggs — appended to the
+        bucket groupBy so Catalyst runs them with map-side partial
+        aggregation in the bucket's single shuffle."""
+        exprs = []
+        for i, (_, kind, f) in enumerate(metrics):
+            c = F.col(f)
+            if kind == "stats":
+                exprs += [F.count(c).alias(f"__s{i}_count"),
+                          F.min(c).alias(f"__s{i}_min"),
+                          F.max(c).alias(f"__s{i}_max"),
+                          F.avg(c).alias(f"__s{i}_avg"),
+                          F.sum(c).alias(f"__s{i}_sum")]
+            elif kind == "value_count":
+                exprs.append(F.count(c).alias(f"__s{i}_value"))
+            elif kind == "cardinality":
+                exprs.append(F.approx_count_distinct(c)
+                             .alias(f"__s{i}_value"))
+            else:  # avg / sum / min / max
+                exprs.append(getattr(F, kind)(c).alias(f"__s{i}_value"))
+        return exprs
+
+    @staticmethod
+    def _shape_metrics(metrics: list[tuple[str, str, str]], row) -> dict:
+        """Lift the __s{i}_* columns of one bucket row into the ES
+        response shape ({"value": v} per metric, the 5-key dict for
+        stats).  Nulls stay null (empty bucket / all-null field)."""
+        out: dict = {}
+        for i, (sub_name, kind, _) in enumerate(metrics):
+            if kind == "stats":
+                out[sub_name] = {k: row[f"__s{i}_{k}"] for k in
+                                 ("count", "min", "max", "avg", "sum")}
+            elif kind in ("value_count", "cardinality"):
+                out[sub_name] = {"value": int(row[f"__s{i}_value"])}
+            else:
+                out[sub_name] = {"value": row[f"__s{i}_value"]}
+        return out
 
     def _bucket_top_hits(self, cands: DataFrame, field: str,
                          keys: list, size: int) -> dict:

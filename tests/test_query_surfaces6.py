@@ -541,10 +541,10 @@ def test_aggs_top_hits_sub_agg(index, corpus, oracle):
             assert a == pytest.approx(wv, rel=1e-9)
         # stored fields ride along like normal query hits
         assert b["best"]["hits"][0]["doc"]["role"] == [b["key"]]
-    with pytest.raises(A.QueryError):
+    with pytest.raises(A.QueryError):  # unknown sub-agg kind
         index.query_json({"query": {"all": {}}, "aggs": {
             "x": {"terms": {"field": "role", "aggs": {
-                "y": {"stats": {"field": "turn_idx"}}}}}}})
+                "y": {"bogus": {"field": "turn_idx"}}}}}}})
 
 
 def test_aggs_approx_paths(index, corpus, oracle):
@@ -787,3 +787,141 @@ def test_constant_score_plan_shape(index):
     p = s.candidates(node)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in p and p.count("Scan parquet") == 1
     assert "element_at" not in p  # fieldnorm decode pruned out
+
+
+# --------------------------------------------------- metric sub-aggs (r5)
+def test_metric_sub_aggs_terms(index, corpus, oracle):
+    """Metric sub-aggs under a terms bucket — computed in the SAME
+    groupBy (one shuffle) — against pandas groupby truth.  Uses the
+    ES sibling shape for one agg to pin the normalization."""
+    node = A.parse_json({"term": {"text": "the"}}, index.schema)
+    rows = _matched_rows(corpus, oracle, node)
+    res = index.query_json({"query": {"term": {"text": "the"}},
+                            "limit": 0, "aggs": {
+        # in-body sub-agg form
+        "roles": {"terms": {"field": "role", "size": 10, "aggs": {
+            "mean_idx": {"avg": {"field": "turn_idx"}},
+            "sum_idx": {"sum": {"field": "turn_idx"}},
+            "lo": {"min": {"field": "turn_idx"}},
+            "hi": {"max": {"field": "turn_idx"}},
+            "n_tool": {"value_count": {"field": "tool"}},
+            "tools": {"cardinality": {"field": "tool"}},
+            "st": {"stats": {"field": "turn_idx"}},
+        }}},
+        # ES sibling form {kind: {...}, "aggs": {...}}
+        "roles2": {"terms": {"field": "role", "size": 10},
+                   "aggs": {"mean_idx": {"avg": {"field": "turn_idx"}}}},
+    }})
+    g = rows.groupby("role")
+    for b in res["aggs"]["roles"]["buckets"]:
+        grp = g.get_group(b["key"])
+        assert b["doc_count"] == len(grp)
+        assert b["mean_idx"]["value"] == pytest.approx(
+            float(grp["turn_idx"].mean()))
+        assert b["sum_idx"]["value"] == int(grp["turn_idx"].sum())
+        assert b["lo"]["value"] == int(grp["turn_idx"].min())
+        assert b["hi"]["value"] == int(grp["turn_idx"].max())
+        # value_count / cardinality skip nulls (ES missing-value rule)
+        assert b["n_tool"]["value"] == int(grp["tool"].notna().sum())
+        exact = grp["tool"].dropna().nunique()
+        assert abs(b["tools"]["value"] - exact) <= max(1, 0.1 * exact)
+        st = b["st"]
+        assert st["count"] == len(grp)
+        assert st["avg"] == pytest.approx(float(grp["turn_idx"].mean()))
+        assert st["sum"] == int(grp["turn_idx"].sum())
+    sib = {b["key"]: b for b in res["aggs"]["roles2"]["buckets"]}
+    for b in res["aggs"]["roles"]["buckets"]:
+        assert sib[b["key"]]["mean_idx"]["value"] == pytest.approx(
+            b["mean_idx"]["value"])
+
+
+def test_metric_sub_aggs_histogram(index, corpus, oracle):
+    """Metric sub-aggs ride histogram and date_histogram buckets too."""
+    node = A.parse_json({"term": {"text": "hello"}}, index.schema)
+    rows = _matched_rows(corpus, oracle, node)
+    res = index.query_json({"query": {"term": {"text": "hello"}},
+                            "limit": 0, "aggs": {
+        "h": {"histogram": {"field": "turn_idx", "interval": 3, "aggs": {
+            "n_tool": {"value_count": {"field": "tool"}}}}},
+        "d": {"date_histogram": {"field": "ts", "calendar_interval": "day",
+                                 "aggs": {
+            "mean_idx": {"avg": {"field": "turn_idx"}}}}},
+    }})
+    hg = rows.groupby(rows["turn_idx"] // 3 * 3)
+    for b in res["aggs"]["h"]["buckets"]:
+        grp = hg.get_group(int(b["key"]))
+        assert b["doc_count"] == len(grp)
+        assert b["n_tool"]["value"] == int(grp["tool"].notna().sum())
+    dg = rows.groupby(rows["ts"].dt.floor("D"))
+    for b in res["aggs"]["d"]["buckets"]:
+        grp = dg.get_group(b["key_as_string"])
+        assert b["mean_idx"]["value"] == pytest.approx(
+            float(grp["turn_idx"].mean()))
+
+
+def test_filters_agg(index, corpus, oracle):
+    """ES filters agg: named buckets, each counting matched docs that
+    ALSO match the filter query (left-semi of match keys x filter
+    candidates) — vs oracle set intersections."""
+    main = A.parse_json({"term": {"text": "the"}}, index.schema)
+    main_ids = set(oracle.score(main))
+    res = index.query_json({"query": {"term": {"text": "the"}},
+                            "limit": 0, "aggs": {
+        "split": {"filters": {"filters": {
+            "users": {"term": {"role": "user"}},
+            "hello": {"term": {"text": "hello"}},
+        }}}}})
+    b = res["aggs"]["split"]["buckets"]
+    for fname, q in (("users", {"term": {"role": "user"}}),
+                     ("hello", {"term": {"text": "hello"}})):
+        sub = A.parse_json(q, index.schema)
+        want = len(main_ids & set(oracle.score(sub)))
+        assert b[fname]["doc_count"] == want
+
+
+def test_missing_and_top_metrics(index, corpus, oracle):
+    """Top-level avg/sum/min/max/value_count/missing vs pandas truth."""
+    node = A.parse_json({"term": {"text": "the"}}, index.schema)
+    rows = _matched_rows(corpus, oracle, node)
+    res = index.query_json({"query": {"term": {"text": "the"}},
+                            "limit": 0, "aggs": {
+        "a": {"avg": {"field": "turn_idx"}},
+        "s": {"sum": {"field": "turn_idx"}},
+        "lo": {"min": {"field": "turn_idx"}},
+        "hi": {"max": {"field": "turn_idx"}},
+        "n": {"value_count": {"field": "tool"}},
+        "no_tool": {"missing": {"field": "tool"}},
+    }})
+    a = res["aggs"]
+    assert a["a"]["value"] == pytest.approx(float(rows["turn_idx"].mean()))
+    assert a["s"]["value"] == int(rows["turn_idx"].sum())
+    assert a["lo"]["value"] == int(rows["turn_idx"].min())
+    assert a["hi"]["value"] == int(rows["turn_idx"].max())
+    assert a["n"]["value"] == int(rows["tool"].notna().sum())
+    assert a["no_tool"]["doc_count"] == int(rows["tool"].isna().sum())
+
+
+def test_sub_agg_validation(index):
+    # top_hits only under terms
+    with pytest.raises(A.QueryError):
+        index.query_json({"query": {"all": {}}, "aggs": {
+            "x": {"histogram": {"field": "turn_idx", "interval": 2,
+                                "aggs": {"y": {"top_hits": {}}}}}}})
+    # sub-aggs only under bucket aggs
+    with pytest.raises(A.QueryError):
+        index.query_json({"query": {"all": {}}, "aggs": {
+            "x": {"stats": {"field": "turn_idx",
+                            "aggs": {"y": {"avg": {"field": "turn_idx"}}}}}}})
+    # numeric rule applies to sub-agg metrics
+    with pytest.raises(A.QueryError):
+        index.query_json({"query": {"all": {}}, "aggs": {
+            "x": {"terms": {"field": "role", "aggs": {
+                "y": {"avg": {"field": "role"}}}}}}})
+    # top-level metric typing
+    with pytest.raises(A.QueryError):
+        index.query_json({"query": {"all": {}}, "aggs": {
+            "x": {"avg": {"field": "role"}}}})
+    # filters agg needs named filters
+    with pytest.raises(A.QueryError):
+        index.query_json({"query": {"all": {}}, "aggs": {
+            "x": {"filters": {"filters": {}}}}})
