@@ -199,6 +199,8 @@ class Searcher:
                     walk(c)
             elif isinstance(n, (A.BoostQ, A.ConstScoreQ, A.FunctionScoreQ)):
                 walk(n.child)
+            elif isinstance(n, A.BoostingQ):
+                walk(n.positive)  # negative clauses never highlight
 
         walk(node)
         if not clauses:
@@ -317,6 +319,26 @@ class Searcher:
             return child.withColumn("score", F.lit(float(node.boost)))
         if isinstance(node, A.FunctionScoreQ):
             return self._cand_function_score(node, dfs)
+        if isinstance(node, A.BoostingQ):
+            # match set = positive's; one LEFT join against the negative
+            # match keys flags demoted docs (the must_not left-anti's
+            # scoring sibling) — the negative side compiles to its
+            # cheapest shape since only its keys survive
+            pos = self._cand_opt(node.positive, dfs)
+            if pos is None:
+                return None
+            neg = self._cand_opt(node.negative, dfs)
+            if neg is None:  # zero-df negative: nothing to demote
+                return pos
+            negk = (neg.select("segment_id", "docid")
+                    .withColumn("__neg", F.lit(True)))
+            nb = float(node.negative_boost)
+            return (pos.join(negk, on=["segment_id", "docid"], how="left")
+                    .withColumn("score",
+                                F.when(F.col("__neg"),
+                                       F.col("score") * F.lit(nb))
+                                .otherwise(F.col("score")))
+                    .drop("__neg"))
         raise A.QueryError(f"cannot compile {type(node).__name__}")
 
     def _function_col(self, fn: dict) -> Column:
@@ -1055,6 +1077,8 @@ class Searcher:
             return sum(subs)
         if isinstance(node, (A.BoostQ, A.ConstScoreQ, A.FunctionScoreQ)):
             return self._cand_size_bound(node.child)
+        if isinstance(node, A.BoostingQ):
+            return self._cand_size_bound(node.positive)
         if isinstance(node, A.BoolQ):
             musts = [self._cand_size_bound(c) for c in node.must]
             known = [b for b in musts if b is not None]
@@ -1342,6 +1366,10 @@ class Searcher:
             if b == 0.0:
                 return 0.0
             return None
+        if isinstance(node, A.BoostingQ):
+            # negative_boost <= 1 only ever shrinks scores, so the
+            # positive child's bound (and its absence proof) carries
+            return self._node_bound(node.positive, sid, idfs, mtf)
         return None
 
     def _term_cover(self, node: A.Node) -> bool:
@@ -1364,6 +1392,8 @@ class Searcher:
             return all(self._term_cover(c) for c in node.queries)
         if isinstance(node, (A.BoostQ, A.ConstScoreQ, A.FunctionScoreQ)):
             return self._term_cover(node.child)
+        if isinstance(node, A.BoostingQ):
+            return self._term_cover(node.positive)  # match set = positive's
         if isinstance(node, A.BoolQ):
             if any(self._term_cover(c)
                    for c in node.must + getattr(node, "filter", [])):
@@ -2358,6 +2388,9 @@ def collect_terms(node: A.Node) -> set[tuple[str, str]]:
         out.update(collect_terms(node.child))
     elif isinstance(node, A.FunctionScoreQ):
         out.update(collect_terms(node.child))
+    elif isinstance(node, A.BoostingQ):
+        out.update(collect_terms(node.positive))
+        out.update(collect_terms(node.negative))
     return out
 
 

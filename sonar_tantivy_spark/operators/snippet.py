@@ -105,6 +105,8 @@ def collect_positive_terms(node) -> dict[str, set[str]]:
             # must_not: skip
         elif isinstance(n, (A.BoostQ, A.ConstScoreQ, A.FunctionScoreQ)):
             walk(n.child, positive)
+        elif isinstance(n, A.BoostingQ):
+            walk(n.positive, positive)  # negative: demoted, not matched
 
     walk(node)
     return out

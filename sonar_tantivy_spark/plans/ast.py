@@ -193,6 +193,20 @@ class ConstScoreQ(Node):
     boost: float = 1.0
 
 
+@dataclass
+class BoostingQ(Node):
+    """ES ``boosting`` query: the match set is exactly ``positive``'s;
+    docs that ALSO match ``negative`` keep their hit but have their
+    score multiplied by ``negative_boost`` (∈ [0, 1], the ES rule) —
+    demotion, not exclusion (``must_not``'s softer sibling).  Because
+    the multiplier never exceeds 1, the positive child's block-max
+    bound stays a valid upper bound for WAND pruning."""
+
+    positive: Node
+    negative: Node
+    negative_boost: float = 0.5
+
+
 def _analyze_one(schema: IndexSchema, field: str, value: str) -> list[str]:
     return analyze_terms(str(value), schema.tokenizer_for(field))
 
@@ -533,6 +547,38 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
                       lte=bounds.get("lte"), lt=bounds.get("lt"))
     if kind == "all":
         return AllQ()
+    if kind == "boosting":
+        # ES shape: {"boosting": {"positive": {...}, "negative": {...},
+        #                         "negative_boost": 0.5}}
+        pos, neg = body.get("positive"), body.get("negative")
+        if not pos or not neg:
+            raise QueryError("boosting needs positive and negative queries")
+        nb = float(body.get("negative_boost", 0.5))
+        if not 0.0 <= nb <= 1.0:
+            raise QueryError("negative_boost must be in [0, 1]")
+        return BoostingQ(parse_json(pos, schema), parse_json(neg, schema), nb)
+    if kind == "query_string":
+        # ES query_string: the full string grammar (parens, ^boost,
+        # NOT, quoted phrases, field:term, prefix/fuzzy) behind the
+        # JSON DSL.  default_field scopes bare terms to one field;
+        # without it they search every indexed field (the Query::Raw
+        # behavior, search.rs:52-59).
+        if isinstance(body, dict):
+            qs = body.get("query")
+            dflt = body.get("default_field")
+        else:
+            qs, dflt = body, None
+        if not qs or not isinstance(qs, str):
+            raise QueryError("query_string needs a query string")
+        if dflt is not None:
+            fdef = schema.field(str(dflt))
+            if fdef is None or not fdef.indexed:
+                raise QueryError(
+                    f"default_field {dflt!r} is not an indexed field")
+            fields = [str(dflt)]
+        else:
+            fields = [f.name for f in schema.indexed_fields]
+        return parse_string(qs, schema, default_fields=fields)
     if kind == "raw":
         # Query::Raw builds its parser over ALL schema fields
         # (search.rs:52-59), unlike the string-RPC path which stops at the

@@ -101,6 +101,11 @@ class OracleIndex:
             return {d: node.boost for d in self.score(node.child)}
         if isinstance(node, A.FunctionScoreQ):
             return self._score_function(node)
+        if isinstance(node, A.BoostingQ):
+            pos = self.score(node.positive)
+            neg = self.score(node.negative)
+            return {d: (s * node.negative_boost if d in neg else s)
+                    for d, s in pos.items()}
         raise NotImplementedError(type(node).__name__)
 
     def _fn_value(self, fn: dict, docid: int) -> float:

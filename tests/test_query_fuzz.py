@@ -43,7 +43,8 @@ def oracle(corpus):
 def gen_node(rng: random.Random, depth: int = 0) -> A.Node:
     kinds = ["term", "term", "term", "phrase", "fuzzy", "range", "bool",
              "prefix", "slop", "terms_set", "dismax", "phrase_prefix",
-             "exists", "wildcard", "const_score", "function_score"]
+             "exists", "wildcard", "const_score", "function_score",
+             "boosting"]
     if depth >= 2:
         kinds = ["term", "term", "phrase", "range", "prefix",
                  "terms_set", "exists", "wildcard"]
@@ -56,6 +57,10 @@ def gen_node(rng: random.Random, depth: int = 0) -> A.Node:
     if kind == "const_score":
         return A.ConstScoreQ(gen_node(rng, depth + 1),
                              rng.choice([1.0, 0.5, 2.5]))
+    if kind == "boosting":
+        return A.BoostingQ(gen_node(rng, depth + 1),
+                           gen_node(rng, depth + 1),
+                           rng.choice([0.0, 0.2, 0.5, 1.0]))
     if kind == "function_score":
         fns = [{"kind": "field_value_factor", "field": "turn_idx",
                 "factor": rng.choice([0.5, 1.0]),

@@ -925,3 +925,87 @@ def test_sub_agg_validation(index):
     with pytest.raises(A.QueryError):
         index.query_json({"query": {"all": {}}, "aggs": {
             "x": {"filters": {"filters": {}}}}})
+
+
+# ------------------------------------------------ boosting + query_string (r5)
+def test_boosting_semantics(small):
+    """ES boosting query: positive's match set, negative matches demoted
+    by negative_boost — never excluded (must_not's softer sibling)."""
+    res = small.query_json({"query": {"boosting": {
+        "positive": {"term": {"body": "alpha"}},
+        "negative": {"term": {"body": "beta"}},
+        "negative_boost": 0.5}}, "limit": 10})
+    bodies = {h["doc"]["body"][0]: h["score"] for h in res["docs"]}
+    # match set unchanged: all three alpha docs still hit
+    assert set(bodies) == {"alpha beta gamma", "alpha delta",
+                           "alpha beta gamble"}
+    plain = small.query_json({"query": {"term": {"body": "alpha"}},
+                              "limit": 10})
+    base = {h["doc"]["body"][0]: h["score"] for h in plain["docs"]}
+    for b, s in bodies.items():
+        if "beta" in b:
+            assert s == pytest.approx(base[b] * 0.5)
+        else:
+            assert s == pytest.approx(base[b])
+    # negative_boost 0 demotes to score 0 but keeps the hit
+    res = small.query_json({"query": {"boosting": {
+        "positive": {"term": {"body": "alpha"}},
+        "negative": {"term": {"body": "beta"}},
+        "negative_boost": 0.0}}, "limit": 10})
+    assert len(res["docs"]) == 3
+    # zero-df negative: nothing demoted
+    res = small.query_json({"query": {"boosting": {
+        "positive": {"term": {"body": "alpha"}},
+        "negative": {"term": {"body": "zzznope"}},
+        "negative_boost": 0.1}}, "limit": 10})
+    got = {h["doc"]["body"][0]: h["score"] for h in res["docs"]}
+    assert got == pytest.approx(base)
+
+
+def test_boosting_oracle_parity_and_pruned(index, oracle):
+    """boosting through BOTH the exact and the block-max-pruned top-k:
+    identical ranks and scores vs the Python oracle."""
+    node = A.parse_json({"boosting": {
+        "positive": {"match": {"text": "the hello"}},
+        "negative": {"term": {"role": "tool"}},
+        "negative_boost": 0.3}}, index.schema)
+    want = oracle.top_k(node, 10)
+    s = index.searcher()
+    for df in (s.top_k(node, limit=10), s.top_k_pruned(node, limit=10)):
+        got = [(int(r["docid_g"]), float(r["score"])) for r in df.collect()]
+        assert [d for d, _ in got] == [d for d, _ in want]
+        for (_, a), (_, b) in zip(got, want):
+            assert a == pytest.approx(b, rel=1e-9, abs=1e-12)
+
+
+def test_boosting_parse_errors(index):
+    with pytest.raises(A.QueryError):
+        A.parse_json({"boosting": {"positive": {"all": {}}}}, index.schema)
+    with pytest.raises(A.QueryError):
+        A.parse_json({"boosting": {
+            "positive": {"all": {}}, "negative": {"all": {}},
+            "negative_boost": 1.5}}, index.schema)
+
+
+def test_query_string(index, oracle, small):
+    """query_string: the raw grammar behind the JSON DSL; default_field
+    scopes bare terms, absent → all indexed fields (Query::Raw rule)."""
+    n = A.parse_json({"query_string": {
+        "query": '"hello world" AND role:user',
+        "default_field": "text"}}, index.schema)
+    want = oracle.top_k(n, 10)
+    got = [(int(r["docid_g"]), float(r["score"])) for r in
+           index.searcher().top_k_pruned(n, limit=10).collect()]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    # scoped vs unscoped: bare term hits only the default field
+    scoped = A.parse_json({"query_string": {
+        "query": "user", "default_field": "text"}}, index.schema)
+    assert not oracle.score(scoped)  # 'user' only in role
+    unscoped = A.parse_json({"query_string": {"query": "user"}},
+                            index.schema)
+    assert oracle.score(unscoped)  # finds role:user
+    with pytest.raises(A.QueryError):
+        A.parse_json({"query_string": {"query": ""}}, index.schema)
+    with pytest.raises(A.QueryError):
+        A.parse_json({"query_string": {
+            "query": "x", "default_field": "nosuch"}}, index.schema)
