@@ -15,6 +15,8 @@ is intentionally gone — the API is in-process, backed by a SparkSession.
 
 from __future__ import annotations
 
+import itertools
+import math
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
@@ -605,6 +607,122 @@ class Index:
                  "freq": int(r["freq"])}
                 for r in rows]
         return out
+
+    def suggest_phrase(self, field: str, text: str, size: int = 3,
+                       max_dist: int = 2, cand_size: int = 3,
+                       alpha: float = 0.4) -> list[dict]:
+        """ES phrase suggester (``suggest`` with a ``phrase`` block;
+        BEYOND-REFERENCE): whole-phrase did-you-mean.  Per whitespace
+        token, correction candidates come from the term suggester's
+        OSA machinery (the typed token always stays a candidate, so
+        the original phrase is in the ranking and callers can compare
+        the winners' scores against it); candidate phrases are every
+        combination,
+        scored by an add-α-smoothed bigram language model over the
+        INDEXED corpus and returned as the top ``size``
+        ``[{"text", "score"}]`` (score = log-probability).  The input
+        phrase stays in the ranking — like ES without ``collate``;
+        callers compare the winners' scores against the original's to
+        decide whether to rewrite.
+
+        LM: ``log P(w1..wn) = log Pu(w1) + Σ log Pb(wi | wi-1)`` with
+        ``Pu(w) = (C(w)+α)/(N+αV)`` and
+        ``Pb(b|a) = (C(a,b)+α)/(C(a)+αV)``; C(w) is the corpus term
+        frequency, C(a,b) the ADJACENCY count (b at position p+1 after
+        a), V the field's dictionary size, N ≈ avgdl·num_docs (the
+        quantized-fieldnorm estimate — deterministic, and a constant
+        offset across candidates so ranks never depend on it).
+
+        Execution shape (100 TB story): candidate generation is the
+        term suggester's pushdown-filtered termdict scans; unigram
+        counts are ONE postings scan filtered to the ≤ k·(cand+1)
+        candidate terms; bigram counts are ONE self-join of two
+        pushdown-filtered postings scans on (segment_id, docid),
+        restricted to the allowed adjacent candidate pairs by a literal
+        IN before the aggregation — candidate-bounded, never an
+        all-pairs join; combination enumeration is driver-side over
+        ≤ (cand+1)^tokens phrases, capped by trimming per-token lists.
+        Reference has no suggester; Lucene semantics per ES
+        phrase-suggester docs (direct generator + smoothed LM)."""
+        fdef = self.schema.field(field)
+        if fdef is None or not fdef.has_positions:
+            raise A.QueryError(
+                "suggest_phrase needs a position-indexed field")
+        if alpha <= 0:
+            raise A.QueryError("alpha must be > 0")
+        tokens = [t.lower() for t in str(text).split()]
+        if not tokens or len(tokens) > 8:
+            raise A.QueryError("suggest_phrase takes 1..8 tokens")
+        s = self.searcher()
+        dfs = s.term_dfs({(field, t) for t in tokens})
+        sugg = self.suggest(field, text, size=cand_size,
+                            max_dist=max_dist, mode="always")
+        cands: list[list[str]] = []
+        for tok in tokens:
+            # the typed token ALWAYS stays a candidate (even out of
+            # dictionary — smoothing scores it) so the original phrase
+            # is in the ranking and callers can compare against it
+            c = [tok] + [o["text"] for o in sugg.get(tok, [])]
+            cands.append(list(dict.fromkeys(c)))
+        # cap the driver-side enumeration: trim the longest lists first
+        combos = 1
+        for c in cands:
+            combos *= len(c)
+        while combos > 256:
+            longest = max(range(len(cands)), key=lambda i: len(cands[i]))
+            combos //= len(cands[longest])
+            cands[longest] = cands[longest][:-1]
+            combos *= len(cands[longest])
+        all_terms = sorted({t for c in cands for t in c})
+        td = s._table("termdict")
+        p = s._table("postings")
+        if td is None or p is None:
+            return []
+        vocab = int(td.filter(F.col("field") == field)
+                    .select("term").distinct().count())
+        base = p.filter((F.col("field") == field)
+                        & F.col("term").isin(all_terms))
+        uni = {r["term"]: int(r["c"]) for r in
+               base.groupBy("term").agg(F.sum("tf").alias("c")).collect()}
+        # allowed adjacent candidate pairs, as '\x00'-joined literals
+        pairs: set[tuple[str, str]] = set()
+        for i in range(len(tokens) - 1):
+            pairs.update((a, b) for a in cands[i] for b in cands[i + 1])
+        bi: dict[tuple[str, str], int] = {}
+        if pairs:
+            lhs = base.select("segment_id", "docid",
+                              F.col("term").alias("__a"),
+                              F.col("positions").alias("__pa"))
+            rhs = base.select("segment_id", "docid",
+                              F.col("term").alias("__b"),
+                              F.col("positions").alias("__pb"))
+            key = F.concat_ws("\x00", F.col("__a"), F.col("__b"))
+            allowed = [f"{a}\x00{b}" for a, b in sorted(pairs)]
+            adj = F.size(F.array_intersect(
+                F.transform("__pa", lambda x: x + 1), F.col("__pb")))
+            rows = (lhs.join(rhs, on=["segment_id", "docid"])
+                    .filter(key.isin(allowed))
+                    .select("__a", "__b", adj.alias("__m"))
+                    .filter(F.col("__m") > 0)
+                    .groupBy("__a", "__b").agg(F.sum("__m").alias("c"))
+                    .collect())
+            bi = {(r["__a"], r["__b"]): int(r["c"]) for r in rows}
+        n_total = max(1.0, s.avgdl(field) * s.num_docs)
+        av = alpha * max(1, vocab)
+
+        def lp(phrase: tuple[str, ...]) -> float:
+            score = math.log((uni.get(phrase[0], 0) + alpha)
+                             / (n_total + av))
+            for a, b in zip(phrase, phrase[1:]):
+                score += math.log((bi.get((a, b), 0) + alpha)
+                                  / (uni.get(a, 0) + av))
+            return score
+
+        scored = sorted(
+            ((" ".join(ph), lp(ph)) for ph in itertools.product(*cands)),
+            key=lambda t: (-t[1], t[0]))
+        return [{"text": t, "score": round(sc, 6)}
+                for t, sc in scored[:size]]
 
     def validate(self, query: str | dict) -> dict:
         """ES ``_validate/query`` analog: parse (and compile-check) a

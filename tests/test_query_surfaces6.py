@@ -1009,3 +1009,64 @@ def test_query_string(index, oracle, small):
     with pytest.raises(A.QueryError):
         A.parse_json({"query_string": {
             "query": "x", "default_field": "nosuch"}}, index.schema)
+
+
+# --------------------------------------------------- phrase suggester (r5)
+@pytest.fixture(scope="module")
+def psidx(spark, tmp_path_factory):
+    """Corpus for the phrase suggester with hand-computable bigram
+    counts (stem-stable words only)."""
+    cat = IndexCatalog(spark, str(tmp_path_factory.mktemp("qs6p")))
+    schema = [{"name": "body", "type": "text",
+               "options": {"indexing": {"record": "position",
+                                        "tokenizer": "en_stem"},
+                           "stored": True}}]
+    idx = cat.create_index("p", schema)
+    rows = [("the quick brown fox",),
+            ("quick brown fox den",),
+            ("brown fox runs",),
+            ("brown dog",),
+            ("the brown dog den",)]
+    idx.add_df(spark.createDataFrame(rows, "body string"),
+               order_cols=["body"])
+    return idx
+
+
+def test_phrase_suggester(psidx):
+    """Smoothed-bigram LM did-you-mean vs hand counts.
+
+    Corpus unigrams: the=2 quick=2 brown=5 fox=3 den=2 dog=2 run=1
+    (V=7); bigrams: quick,brown=2 brown,fox=3 brown,dog=2 fox,den=1
+    fox,run=1 the,quick=1 the,brown=1 dog,den=1.  'dog' is itself a
+    dist-2 candidate for 'fox' — the LM, not the edit distance, must
+    prefer fox (brown,fox=3 > brown,dog=2)."""
+    import math
+
+    out = psidx.suggest_phrase("body", "quick broown fox", size=5)
+    assert out[0]["text"] == "quick brown fox"
+    # the engine's own phrase stays ranked (typo has no dictionary df,
+    # but the token is kept as a candidate) and scores strictly lower
+    texts = [o["text"] for o in out]
+    assert "quick broown fox" in texts
+    assert out[0]["score"] > dict((o["text"], o["score"])
+                                  for o in out)["quick broown fox"]
+    # exact LM check: replicate the engine's formula with hand counts
+    s = psidx.searcher()
+    n_total = s.avgdl("body") * s.num_docs
+    a, v = 0.4, 7
+    uni = {"quick": 2, "brown": 5, "fox": 3, "broown": 0}
+    bi = {("quick", "brown"): 2, ("brown", "fox"): 3}
+    want = (math.log((uni["quick"] + a) / (n_total + a * v))
+            + math.log((bi[("quick", "brown")] + a) / (uni["quick"] + a * v))
+            + math.log((bi[("brown", "fox")] + a) / (uni["brown"] + a * v)))
+    assert out[0]["score"] == pytest.approx(want, rel=1e-6)
+    # single token degenerates to unigram ranking
+    out1 = psidx.suggest_phrase("body", "brwn", size=2)
+    assert out1[0]["text"] == "brown"
+    # validation
+    with pytest.raises(A.QueryError):
+        psidx.suggest_phrase("body", "")
+    with pytest.raises(A.QueryError):
+        psidx.suggest_phrase("body", "a b c d e f g h i")
+    with pytest.raises(A.QueryError):
+        psidx.suggest_phrase("body", "x", alpha=0.0)
