@@ -1955,6 +1955,58 @@ def q_tx_ngram_freq(spark, sf_dir):
             .orderBy(F.desc("cnt"), F.asc("gram")).limit(NGRAM_TOP))
 
 
+DSIR_BUCKETS = 65536   # hashed-feature space: 4 hex chars of md5(gram)
+DSIR_ALPHA = 1.0       # Laplace smoothing for bucket probabilities
+
+
+def q_pl_dsir_weights(spark, sf_dir):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): per-document log
+    importance weight of the RAW pool against a TARGET distribution,
+    over hashed n-gram features.  Docs whose feature mix looks like
+    the target (here: the ``lang = 'en'`` slice) get high weights;
+    resampling by these weights is the paper's data-selection recipe.
+
+      logw(d) = Σ_b c_d[b] · [log p̂_t(b) − log p̂_r(b)],
+      p̂(b) = (C[b] + α) / (N + α·B)        (Laplace, α=1)
+
+    Features are unigrams + adjacent bigrams hashed into B=65536
+    buckets (first 4 hex chars of md5 — the same engine-portable
+    bucketing as pl_split_hash).  THE SCALE POINT: hashing bounds the
+    target/raw statistics table at B rows regardless of corpus size —
+    unlike raw n-gram tables (see tx_lm_xent's non-broadcastable gram
+    counts), the bucket stats are genuinely broadcast-safe at 100 TB,
+    so the per-doc join is a broadcast hash join and the only shuffle
+    is the per-doc bucket-count hash-agg (map-side combinable).
+    Everything else is column math."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", F.split("text", " ").alias("w"))
+    n = F.size("w")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.slice("w", i, 2)))
+    grams = (F.when(n >= 2, F.concat(F.col("w"), bigrams))
+             .otherwise(F.col("w")))
+    g = (d.select("doc_id", "lang", F.explode(grams).alias("gram"))
+         .select("doc_id", "lang",
+                 F.substring(F.md5("gram"), 1, 4).alias("b")))
+    doc_counts = (g.groupBy("doc_id", "b")
+                  .agg(F.count("*").cast("double").alias("c")))
+    stats = (g.groupBy("b")
+             .agg(F.count("*").cast("double").alias("rc"),
+                  F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+                  .cast("double").alias("tc")))
+    tot = stats.agg(F.sum("rc").alias("rn"), F.sum("tc").alias("tn"))
+    a, ab = float(DSIR_ALPHA), float(DSIR_ALPHA * DSIR_BUCKETS)
+    lr = (F.log((F.col("tc") + a) / (F.col("tn") + ab))
+          - F.log((F.col("rc") + a) / (F.col("rn") + ab)))
+    return (doc_counts.join(F.broadcast(stats), "b")
+            .crossJoin(F.broadcast(tot))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(F.col("c") * lr), 4).alias("logw"),
+                 F.sum("c").cast("long").alias("n_feats")))
+
+
 WINDOW_W = 8         # token width for dd_window_dup substring windows
 
 
@@ -2154,6 +2206,7 @@ QUERIES = {
     "tx_normalize": q_tx_normalize,
     "pl_split_hash": q_pl_split_hash,
     "tx_ngram_freq": q_tx_ngram_freq,
+    "pl_dsir_weights": q_pl_dsir_weights,
     "dd_window_dup": q_dd_window_dup,
     "tx_line_dedup": q_tx_line_dedup,
 }
@@ -3054,6 +3107,28 @@ CASE WHEN substring(md5(doc_id::VARCHAR), 1, 4) < 'e666' THEN 'train'
      ELSE 'test' END AS split,
 substring(md5(doc_id::VARCHAR), 1, 4) AS bucket
 FROM documents""",
+        "pl_dsir_weights": f"""WITH d AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents),
+g AS (
+  SELECT doc_id, lang, substring(md5(gram), 1, 4) AS b
+  FROM (SELECT doc_id, lang, unnest(
+          CASE WHEN len(w) >= 2
+               THEN list_concat(w, list_transform(
+                      generate_series(1, len(w) - 1),
+                      i -> w[i] || ' ' || w[i+1]))
+               ELSE w END) AS gram
+        FROM d)),
+dc AS (SELECT doc_id, b, count(*)::DOUBLE AS c FROM g GROUP BY 1, 2),
+st AS (SELECT b, count(*)::DOUBLE AS rc,
+              sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE AS tc
+       FROM g GROUP BY b),
+t AS (SELECT sum(rc) AS rn, sum(tc) AS tn FROM st)
+SELECT dc.doc_id,
+       round(sum(dc.c * (ln((st.tc + {DSIR_ALPHA}) / (t.tn + {DSIR_ALPHA * DSIR_BUCKETS}))
+                       - ln((st.rc + {DSIR_ALPHA}) / (t.rn + {DSIR_ALPHA * DSIR_BUCKETS})))), 4) AS logw,
+       sum(dc.c)::BIGINT AS n_feats
+FROM dc JOIN st USING (b) CROSS JOIN t
+GROUP BY dc.doc_id""",
         "tx_ngram_freq": f"""WITH d AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents),
 t AS (SELECT doc_id, unnest(w) AS tok,

@@ -124,3 +124,69 @@ def test_line_dedup_map_only(spark):
     plan = _physical_plan(dq.QUERIES["tx_line_dedup"](spark, SF))
     assert "Exchange" not in plan
     assert not any(b in plan for b in BANNED)
+
+
+# --------------------------------------------------------- pl_dsir_weights
+def test_dsir_weights_bruteforce(spark):
+    """logw matches a pure-Python DSIR computation (hashed unigram +
+    bigram features, Laplace-smoothed target-vs-raw log-ratio)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    rows = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    B, a = dq.DSIR_BUCKETS, dq.DSIR_ALPHA
+
+    def feats(text):
+        w = text.split(" ")
+        grams = list(w)
+        if len(w) >= 2:
+            grams += [f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)]
+        return Counter(hashlib.md5(g.encode()).hexdigest()[:4]
+                       for g in grams)
+
+    per_doc = {r["doc_id"]: feats(r["text"]) for r in rows}
+    raw, tgt = Counter(), Counter()
+    for r in rows:
+        raw.update(per_doc[r["doc_id"]])
+        if r["lang"] == "en":
+            tgt.update(per_doc[r["doc_id"]])
+    rn, tn = sum(raw.values()), sum(tgt.values())
+    want = {}
+    for d, c in per_doc.items():
+        lw = sum(v * (math.log((tgt[b] + a) / (tn + a * B))
+                      - math.log((raw[b] + a) / (rn + a * B)))
+                 for b, v in c.items())
+        want[d] = (round(lw, 4), sum(c.values()))
+    got = {r["doc_id"]: (r["logw"], r["n_feats"])
+           for r in dq.q_pl_dsir_weights(spark, SF).collect()}
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][1] == want[d][1], d
+        assert got[d][0] == pytest.approx(want[d][0], abs=2e-4), d
+
+
+def test_dsir_selects_target_like_docs(spark):
+    """The paper's point: target-language docs average a higher
+    importance weight than the rest of the pool."""
+    from pyspark.sql import functions as F
+
+    df = dq.q_pl_dsir_weights(spark, SF)
+    docs = (spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", (F.col("lang") == "en").alias("is_en")))
+    rows = (df.join(docs, "doc_id").groupBy("is_en")
+            .agg(F.avg("logw").alias("m")).collect())
+    j = {r["is_en"]: r["m"] for r in rows}
+    assert j[True] > j[False]
+
+
+def test_dsir_broadcasts_bounded_stats(spark):
+    """THE scale property: hashed features bound the stats table at
+    B=65536 rows, so the per-doc join must be a broadcast hash join —
+    never a shuffle of the doc-side on the bucket key."""
+    plan = _physical_plan(dq.q_pl_dsir_weights(spark, SF))
+    assert "CartesianProduct" not in plan
+    # the 1-row totals crossJoin broadcasts (benign BNLJ, same shape as
+    # tx_lm_xent); the BUCKET join must be a broadcast hash join
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
