@@ -1627,6 +1627,61 @@ def q_ft_agg_pct_ranks(spark, sf_dir):
         for x in (200, 400)])
 
 
+def q_ft_agg_subagg(spark, sf_dir):
+    """Metric sub-aggregations riding a terms bucket (round-5 surface):
+    terms on ``source`` over the 'valu' match set with avg(n_chars)
+    and value_count(lang) computed IN THE SAME groupBy — the engine
+    executes sub-agg metrics as extra expressions in the bucket's one
+    hash aggregation (search.py _metric_exprs), zero additional
+    passes; this pins that single-shuffle shape's values."""
+    return (_agg_matched(spark, sf_dir)
+            .groupBy(F.col("source").alias("key"))
+            .agg(F.count("*").cast("long").alias("doc_count"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_c"),
+                 F.count("lang").cast("long").alias("n_lang"))
+            .orderBy(F.desc("doc_count"), F.asc("key")).limit(10))
+
+
+def q_ft_agg_filters(spark, sf_dir):
+    """ES ``filters`` aggregation (round-5 surface): named buckets,
+    each counting 'valu' matches that ALSO match the filter term — the
+    engine left-semi-joins the persisted match keys against each
+    filter's candidates (search.py aggregations 'filters'); here the
+    same two semi-joins, one row per named bucket."""
+    m = _agg_matched(spark, sf_dir).select("doc_id")
+    p = _ft(spark, sf_dir)["postings"]
+    parts = []
+    for name in ("hash", "tabl"):
+        k = p.filter(F.col("term") == name).select("doc_id")
+        parts.append(
+            m.join(k, on="doc_id", how="left_semi")
+            .agg(F.count("*").cast("long").alias("doc_count"))
+            .select(F.lit(name).alias("filter_name"), "doc_count"))
+    return parts[0].unionByName(parts[1])
+
+
+BOOSTING_NB = 0.3    # ft_boosting negative_boost
+
+
+def q_ft_boosting(spark, sf_dir):
+    """ES boosting query (round-5 surface): BM25 matches of 'tabl'
+    with docs ALSO matching 'slow' demoted by negative_boost=0.3 —
+    kept in the result, unlike must_not (engine analog: search.py
+    BoostingQ compile — ONE left join against the negative keys, the
+    must_not left-anti's scoring sibling)."""
+    s = _scored(spark, sf_dir)
+    pos = s.filter(F.col("term") == "tabl").select("doc_id", "score")
+    neg = (_ft(spark, sf_dir)["postings"]
+           .filter(F.col("term") == "slow")
+           .select("doc_id").withColumn("__neg", F.lit(True)))
+    demoted = (pos.join(neg, on="doc_id", how="left")
+               .select("doc_id",
+                       F.when(F.col("__neg"),
+                              F.col("score") * F.lit(BOOSTING_NB))
+                       .otherwise(F.col("score")).alias("score")))
+    return _topk(demoted)
+
+
 FVF_FACTOR = 0.01    # ft_function_fvf: log1p(0.01 * n_chars)
 GAUSS_ORIGIN = 300.0  # ft_function_gauss decay center on n_chars
 GAUSS_SCALE = 150.0
@@ -2199,6 +2254,9 @@ QUERIES = {
     "ft_agg_top_hits": q_ft_agg_top_hits,
     "ft_agg_range": q_ft_agg_range,
     "ft_agg_pct_ranks": q_ft_agg_pct_ranks,
+    "ft_agg_subagg": q_ft_agg_subagg,
+    "ft_agg_filters": q_ft_agg_filters,
+    "ft_boosting": q_ft_boosting,
     "dd_para_dup": q_dd_para_dup,
     "pl_domain_quota": q_pl_domain_quota,
     "tx_lm_xent": q_tx_lm_xent,
@@ -2725,6 +2783,30 @@ round(100.0 * avg(CASE WHEN n_chars <= 400 THEN 1.0 ELSE 0.0 END), 4)
   AS p400
 FROM documents
 WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')""",
+        "ft_agg_subagg": pre + """SELECT d.source AS key,
+count(*)::BIGINT AS doc_count, round(avg(d.n_chars), 4) AS avg_c,
+count(d.lang)::BIGINT AS n_lang
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')
+GROUP BY d.source ORDER BY doc_count DESC, key LIMIT 10""",
+        "ft_agg_filters": pre + """SELECT 'hash' AS filter_name,
+count(*)::BIGINT AS doc_count FROM documents
+WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')
+  AND doc_id IN (SELECT doc_id FROM postings WHERE term = 'hash')
+UNION ALL
+SELECT 'tabl' AS filter_name, count(*)::BIGINT AS doc_count
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')
+  AND doc_id IN (SELECT doc_id FROM postings WHERE term = 'tabl')""",
+        "ft_boosting": pre + f"""SELECT doc_id,
+round(CASE WHEN doc_id IN (SELECT doc_id FROM postings
+                           WHERE term = 'slow')
+           THEN score * {BOOSTING_NB} ELSE score END, 4) AS score
+FROM scored WHERE term = 'tabl'
+ORDER BY round(CASE WHEN doc_id IN (SELECT doc_id FROM postings
+                                    WHERE term = 'slow')
+                    THEN score * {BOOSTING_NB} ELSE score END, 7) DESC,
+         doc_id LIMIT 10""",
         "ft_function_fvf": pre + f"""SELECT s.doc_id,
 round(s.score * ln(1.0 + {FVF_FACTOR} * d.n_chars), 4) AS score
 FROM scored s JOIN documents d USING (doc_id) WHERE s.term = 'valu'
