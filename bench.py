@@ -261,6 +261,12 @@ def run_attempt() -> dict:
         "q25_wildcard": {"wildcard": {"text": "h?llo"}},
         "q26_const_score": {"constant_score": {
             "filter": {"term": {"text": "hello"}}, "boost": 2.0}},
+        # final round-5 surfaces: boosting (one left join against the
+        # negative keys; WAND bound carried from the positive child)
+        "q29_boosting": {"boosting": {
+            "positive": {"term": {"text": "hello"}},
+            "negative": {"term": {"text": "world"}},
+            "negative_boost": 0.3}},
     }
     # query phase: modest shuffle fan-out wins for k=10 result sets.
     # top_k_pruned IS the default path (Index.query/query_df) — bench it,
@@ -315,7 +321,8 @@ def run_attempt() -> dict:
     # candidate scan persisted, top-k + a terms agg + a stats agg fed
     # from it (the full-match-set path; no segment pruning by design)
     agg_req = {"query": {"term": {"text": "the"}}, "limit": 10,
-               "aggs": {"roles": {"terms": {"field": "role"}},
+               "aggs": {"roles": {"terms": {"field": "role", "aggs": {
+                            "mean_idx": {"avg": {"field": "turn_idx"}}}}},
                         "ts": {"stats": {"field": "turn_idx"}}}}
     idx.query_json(agg_req)  # warmup
     times = []

@@ -512,6 +512,32 @@ def q_dd_embed_dup_clusters(spark, sf_dir):
                          F.col("cluster").cast("long").alias("cluster"))
 
 
+def q_dd_keep_representative(spark, sf_dir):
+    """Cluster → keep/drop decision (the curation step AFTER
+    clustering — RefinedWeb/C4 keep one document per near-dup family):
+    every clustered doc gets its cluster label and a ``keep`` flag;
+    the representative is the LONGEST doc (n_chars desc, doc_id asc
+    tie-break).  Unclustered docs never enter this surface (they are
+    trivially kept) — the join and window touch only the clustered
+    subset, a tiny fraction of any real corpus.
+
+    Scale shape: cluster labels come from the CC operator (O(log² n)
+    rounds); ONE equi-join to the doc store for the length column and
+    ONE window hash-partitioned by cluster (bounded by the largest
+    cluster, which exact-dup collapse already capped — see
+    _collapsed_band_pairs); no global sort."""
+    from pyspark.sql import Window
+
+    labels = q_dd_dup_clusters(spark, sf_dir)
+    d = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster").orderBy(
+        F.desc("n_chars"), F.asc("doc_id"))
+    return (labels.join(d, "doc_id")
+            .withColumn("__rn", F.row_number().over(w))
+            .select("doc_id", "cluster",
+                    (F.col("__rn") == 1).alias("keep")))
+
+
 def q_dd_simhash(spark, sf_dir):
     """16-bit SimHash over tf-weighted term hashes (md5-derived bits)."""
     p = _ft(spark, sf_dir)["postings"]
@@ -2198,6 +2224,7 @@ QUERIES = {
     "dd_minhash_bands": q_dd_minhash_bands,
     "dd_jaccard_pairs": q_dd_jaccard_pairs,
     "dd_dup_clusters": q_dd_dup_clusters,
+    "dd_keep_representative": q_dd_keep_representative,
     "dd_simhash": q_dd_simhash,
     "dd_embed_cosine_pairs": q_dd_embed_cosine_pairs,
     "dd_embed_dup_clusters": q_dd_embed_dup_clusters,
@@ -2371,6 +2398,30 @@ msig AS (
 stars AS (
   SELECT rep AS d1, doc_id AS d2 FROM grp
   WHERE doc_id <> rep AND rep IN (SELECT DISTINCT doc_id FROM msig))"""
+
+# MinHash-verified pair generation + CC transitive closure — shared by
+# the dd_dup_clusters and dd_keep_representative oracles (one source of
+# truth for the edge semantics; the final SELECT differs)
+_DUP_CLUSTER_CTES = _MINHASH_SIG_SQL + """,
+cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+          FROM msig a JOIN msig b
+            ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT c.d1, c.d2, count(*) AS i
+          FROM cands c
+          JOIN sh a ON a.doc_id = c.d1
+          JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+          GROUP BY c.d1, c.d2),
+jp AS (SELECT d1, d2
+       FROM inter JOIN sizes sa ON sa.doc_id = d1
+                  JOIN sizes sb ON sb.doc_id = d2
+       WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5
+       UNION ALL SELECT d1, d2 FROM stars),
+edges AS (SELECT d1, d2 FROM jp UNION SELECT d2 AS d1, d1 AS d2 FROM jp),
+reach(doc, r) AS (
+  SELECT d1, d1 FROM edges
+  UNION
+  SELECT e.d2, r.r FROM reach r JOIN edges e ON e.d1 = r.doc)"""
 
 
 def _embed_lsh_pairs_sql() -> str:
@@ -2876,28 +2927,17 @@ SELECT d1, d2, jaccard FROM (
   SELECT d1, d2, 1.0 AS jaccard FROM stars)""",
         # recursive CTE = the oracle for the iterative min-label CC;
         # WITH -> WITH RECURSIVE on the shared prefix
-        "dd_dup_clusters": (pre + _MINHASH_SIG_SQL + """,
-cands AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-          FROM msig a JOIN msig b
-            ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id),
-sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (SELECT c.d1, c.d2, count(*) AS i
-          FROM cands c
-          JOIN sh a ON a.doc_id = c.d1
-          JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
-          GROUP BY c.d1, c.d2),
-jp AS (SELECT d1, d2
-       FROM inter JOIN sizes sa ON sa.doc_id = d1
-                  JOIN sizes sb ON sb.doc_id = d2
-       WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5
-       UNION ALL SELECT d1, d2 FROM stars),
-edges AS (SELECT d1, d2 FROM jp UNION SELECT d2 AS d1, d1 AS d2 FROM jp),
-reach(doc, r) AS (
-  SELECT d1, d1 FROM edges
-  UNION
-  SELECT e.d2, r.r FROM reach r JOIN edges e ON e.d1 = r.doc)
+        "dd_dup_clusters": (pre + _DUP_CLUSTER_CTES + """
 SELECT doc AS doc_id, min(r)::BIGINT AS cluster
 FROM reach GROUP BY doc""").replace("WITH ", "WITH RECURSIVE ", 1),
+        "dd_keep_representative": (pre + _DUP_CLUSTER_CTES + """,
+labels AS (SELECT doc AS doc_id, min(r)::BIGINT AS cluster
+           FROM reach GROUP BY doc)
+SELECT l.doc_id, l.cluster,
+       (row_number() OVER (PARTITION BY l.cluster
+                           ORDER BY d.n_chars DESC, l.doc_id) = 1) AS keep
+FROM labels l JOIN documents d USING (doc_id)"""
+                                   ).replace("WITH ", "WITH RECURSIVE ", 1),
         "dd_simhash": pre + _simhash_sql(),
         "dd_embed_cosine_pairs": _embed_lsh_pairs_sql(),
         # min-label transitive closure over the same pair query (nested

@@ -88,3 +88,62 @@ def tool_call_rate(turns: DataFrame, window: str = "1 hour") -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "tool",
                 "n_calls", "n_convs")
     )
+
+
+def render_conversations(turns: DataFrame, sep: str = "\n") -> DataFrame:
+    """(conv_id, text, n_turns, n_tokens): each conversation rendered
+    as ONE training document — turns in turn_idx order, role-prefixed
+    (``role: text``), joined by ``sep``.  The canonical transcript →
+    pretraining-document step.  ONE hash-agg on conv_id:
+    ``array_sort(collect_list(struct(turn_idx, line)))`` restores turn
+    order inside the aggregation buffer (bounded by one conversation's
+    turns), so there is no window sort and no second exchange.
+    ``n_tokens`` is the sum of per-line whitespace token counts (the
+    separator never fuses tokens across turns)."""
+    line = F.concat_ws(": ", "role", "text")
+    rec = F.struct(F.col("turn_idx"), line.alias("line"),
+                   F.size(F.split(line, " ")).cast("long").alias("nt"))
+    recs = F.array_sort(F.collect_list(rec))
+    return (
+        turns.groupBy("conv_id").agg(
+            F.array_join(F.transform(recs, lambda s: s["line"]), sep)
+            .alias("text"),
+            F.count("*").cast("long").alias("n_turns"),
+            F.aggregate(recs, F.lit(0).cast("long"),
+                        lambda acc, s: acc + s["nt"]).alias("n_tokens"),
+        )
+    )
+
+
+PACK_CONVO_BUDGET = 512   # tokens per packed sequence
+PACK_CONVO_SHARDS = 1024  # pack-tape shards (parallelism unit)
+
+
+def pack_conversations(turns: DataFrame,
+                       budget: int = PACK_CONVO_BUDGET,
+                       n_shards: int = PACK_CONVO_SHARDS) -> DataFrame:
+    """Conversation-aware sequence packing: whole conversations laid on
+    a token tape (conv_id order within a hash shard) and cut every
+    ``budget`` tokens — a conversation lands in the bin its FIRST token
+    falls in and NEVER splits across sequences (the property plain
+    doc-packing can't give transcripts: a training example always sees
+    whole conversations).  Same compromise as q_pl_pack_sequences: a
+    bin may overflow by less than one conversation.
+
+    Scale shape: render is one conv_id hash-agg; packing is one
+    exchange on the hash shard with a per-shard running sum (window
+    bounded by the shard's rows).  Shards are independent, so packing
+    parallelizes to ``n_shards`` regardless of corpus size, and
+    appending new conversations only ever extends shards (no global
+    re-pack).  Deterministic: shard = xxhash64(conv_id) mod n_shards,
+    order within shard = conv_id."""
+    d = render_conversations(turns).withColumn(
+        "shard", F.pmod(F.xxhash64("conv_id"), F.lit(n_shards)))
+    w = (Window.partitionBy("shard").orderBy("conv_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    seq_id = F.concat_ws("#", F.col("shard").cast("string"),
+                         F.floor(start / budget).cast("string"))
+    return d.select("conv_id", seq_id.alias("seq_id"),
+                    (start % budget).cast("long").alias("seq_off"),
+                    "n_turns", "n_tokens")

@@ -85,3 +85,49 @@ def test_single_exchange_no_join(spark, turns, op):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_render_conversations(spark, turns):
+    """Rendered text = role-prefixed turns in turn_idx order; token
+    count = sum of per-line whitespace tokens."""
+    got = {r["conv_id"]: r for r in
+           convo.render_conversations(turns).collect()}
+    pdf = generate_transcripts(N)
+    for cid, grp in pdf.groupby("conv_id"):
+        g = grp.sort_values("turn_idx")
+        lines = [f"{r.role}: {r.text}" for r in g.itertuples()]
+        assert got[cid]["text"] == "\n".join(lines)
+        assert got[cid]["n_turns"] == len(g)
+        assert got[cid]["n_tokens"] == sum(
+            len(ln.split(" ")) for ln in lines)
+
+
+def test_pack_conversations(spark, turns):
+    """Bin assignment matches a pandas replay of the shard tape;
+    conversations never split (one seq_id per conv_id by construction
+    — assert the running offsets are consistent with whole-conv
+    placement)."""
+    out = convo.pack_conversations(turns, budget=64, n_shards=8).collect()
+    got = {r["conv_id"]: r for r in out}
+    assert len(got) == len(out)  # one row (= one sequence) per conv
+    rendered = {r["conv_id"]: r["n_tokens"] for r in
+                convo.render_conversations(turns).collect()}
+    shards = {r["conv_id"]: int(r["seq_id"].split("#")[0]) for r in out}
+    by_shard: dict[int, list] = {}
+    for cid, sh in shards.items():
+        by_shard.setdefault(sh, []).append(cid)
+    for sh, cids in by_shard.items():
+        run = 0
+        for cid in sorted(cids):
+            assert got[cid]["seq_id"] == f"{sh}#{run // 64}"
+            assert got[cid]["seq_off"] == run % 64
+            run += rendered[cid]
+
+
+def test_render_single_exchange(spark, turns):
+    plan = convo.render_conversations(turns) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1 and "Join" not in plan
+    plan2 = convo.pack_conversations(turns) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan2.count("Exchange") == 2 and "Join" not in plan2
