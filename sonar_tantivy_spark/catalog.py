@@ -855,6 +855,64 @@ class Index:
         )
         return s.retrieve(hits)
 
+    def termvectors(self, docid: int, field: str) -> list[dict]:
+        """ES ``_termvectors`` analog (BEYOND-REFERENCE): the per-term
+        view of ONE document — ``[{"term", "tf", "positions", "df"}]``
+        sorted by term.  Same bounded seed read as more_like_this: a
+        STORED analyzed field comes off the doc store (the docid
+        equality predicate prunes to one row group) and is re-analyzed
+        driver-side with the field's own tokenizer — identical
+        analyzer, identical tf/positions; non-stored fields fall back
+        to a filtered postings scan.  dfs are summed across segments
+        via one pushdown-filtered termdict scan.  Total data touched:
+        one document plus ≤ |doc terms| dictionary rows — never a
+        corpus-wide job."""
+        from pyspark.sql import functions as F
+
+        s = self.searcher()
+        sid, local = None, None
+        for seg_id, base in sorted(s.bases.items(), key=lambda kv: kv[1]):
+            if docid >= base:
+                sid, local = seg_id, docid - base
+        max_docs = {seg["segment_id"]: int(seg["max_doc"])
+                    for seg in s.segments}
+        if sid is None or local >= max_docs.get(sid, 0):
+            raise KeyError(f"docid {docid} out of range")
+        rows: list[dict] | None = None
+        fd = self.schema.field(field)
+        if fd is not None and fd.stored and fd.tokenizer is not None:
+            docs = s._table("docs")
+            if docs is not None and field in docs.columns:
+                got = (docs.filter((F.col("segment_id") == sid)
+                                   & (F.col("docid") == local))
+                       .select(field).collect())
+                if got and isinstance(got[0][0], str):
+                    from sonar_tantivy_spark import analyzer
+
+                    pos: dict[str, list[int]] = {}
+                    for i, t in enumerate(analyzer.analyze_terms(
+                            got[0][0], fd.tokenizer)):
+                        pos.setdefault(t, []).append(i)
+                    rows = [{"term": t, "tf": len(p), "positions": p}
+                            for t, p in pos.items()]
+        if rows is None:
+            p = s._table("postings")
+            if p is None:
+                return []
+            rows = [{"term": r["term"], "tf": int(r["tf"] or 1),
+                     "positions": list(r["positions"] or [])}
+                    for r in p.filter(
+                        (F.col("segment_id") == sid)
+                        & (F.col("docid") == local)
+                        & (F.col("field") == field))
+                    .select("term", "tf", "positions").collect()]
+        if not rows:
+            return []
+        dfs = s.term_dfs({(field, r["term"]) for r in rows})
+        for r in rows:
+            r["df"] = int(dfs.get((field, r["term"]), 0))
+        return sorted(rows, key=lambda r: r["term"])
+
 
 class IndexCatalog:
     """Named indexes under one base path (index.rs:18-21, 49-87)."""

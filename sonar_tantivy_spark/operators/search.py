@@ -1927,6 +1927,27 @@ class Searcher:
                 for fname, q in flt.items():  # fail at parse time
                     A.parse_json(q, self.schema)
                 continue
+            if kind == "global":
+                # ES global agg: one bucket over the WHOLE index,
+                # ignoring the query — only meaningful with sub-aggs
+                metrics, th = self._sub_agg_plan(name, body or {})
+                if th is not None:
+                    raise A.QueryError(
+                        f"agg {name!r}: top_hits is not supported "
+                        f"under global")
+                for sub_name, skind, sf in metrics:
+                    sdef = self.schema.field(sf)
+                    if sdef is None or not sdef.stored:
+                        raise A.QueryError(
+                            f"agg {name!r}: sub-agg {sub_name!r}: field "
+                            f"{sf!r} is not a stored field")
+                    if skind in ("avg", "sum", "min", "max", "stats") \
+                            and sdef.type not in ("i64", "u64", "f64"):
+                        raise A.QueryError(
+                            f"agg {name!r}: sub-agg {sub_name!r}: "
+                            f"{skind} needs a numeric field, "
+                            f"{sf!r} is {sdef.type}")
+                continue  # runs off its own all-docs frame, not matched
             f = (body or {}).get("field")
             if not f:
                 raise A.QueryError(f"agg {name!r}: missing field")
@@ -1994,6 +2015,24 @@ class Searcher:
                 kind, body = next(iter(spec.items()))
                 if kind == "significant_terms":
                     out[name] = self._sig_terms(body, matched)
+                    continue
+                if kind == "global":
+                    # whole-index bucket (tombstone-filtered like every
+                    # other surface): count + metric sub-aggs in ONE
+                    # aggregation over the all-docs candidate keys
+                    metrics, _ = self._sub_agg_plan(name, body or {})
+                    gkeys = (self.candidates(A.AllQ())
+                             .select("segment_id", "docid"))
+                    gfields = sorted({f for _, _, f in metrics})
+                    gm = gkeys
+                    if gfields:
+                        gdocs = self._table("docs").select(
+                            "segment_id", "docid", *gfields)
+                        gm = gkeys.join(gdocs, on=["segment_id", "docid"])
+                    row = gm.agg(F.count("*").alias("doc_count"),
+                                 *self._metric_exprs(metrics)).collect()[0]
+                    out[name] = {"doc_count": int(row["doc_count"]),
+                                 **self._shape_metrics(metrics, row)}
                     continue
                 if kind == "filters":
                     # ES filters agg: one named bucket per sub-query,

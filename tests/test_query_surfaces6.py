@@ -1070,3 +1070,47 @@ def test_phrase_suggester(psidx):
         psidx.suggest_phrase("body", "a b c d e f g h i")
     with pytest.raises(A.QueryError):
         psidx.suggest_phrase("body", "x", alpha=0.0)
+
+
+# -------------------------------------------------- global agg + termvectors
+def test_global_agg(index, corpus):
+    """global bucket ignores the query: doc_count = whole corpus, and
+    metric sub-aggs ride the one all-docs aggregation."""
+    res = index.query_json({"query": {"term": {"text": "mundo"}},
+                            "limit": 0, "aggs": {
+        "everything": {"global": {}, "aggs": {
+            "mean_idx": {"avg": {"field": "turn_idx"}},
+            "n_tool": {"value_count": {"field": "tool"}}}},
+        "matched": {"value_count": {"field": "turn_idx"}},
+    }})
+    g = res["aggs"]["everything"]
+    assert g["doc_count"] == len(corpus)
+    assert g["mean_idx"]["value"] == pytest.approx(
+        float(corpus["turn_idx"].mean()))
+    assert g["n_tool"]["value"] == int(corpus["tool"].notna().sum())
+    # the sibling agg still sees only the match set
+    assert res["aggs"]["matched"]["value"] < len(corpus)
+    with pytest.raises(A.QueryError):
+        index.query_json({"query": {"all": {}}, "aggs": {
+            "x": {"global": {}, "aggs": {"y": {"top_hits": {}}}}}})
+
+
+def test_termvectors(index, corpus, oracle):
+    """One doc's term vector vs a driver-side re-analysis of the same
+    stored text; dfs vs the oracle's postings."""
+    from sonar_tantivy_spark.analyzer import analyze_terms
+
+    docid = 17
+    got = index.termvectors(docid, "text")
+    text = corpus.iloc[docid]["text"]
+    toks = analyze_terms(text, "en_stem")
+    want: dict[str, list[int]] = {}
+    for i, t in enumerate(toks):
+        want.setdefault(t, []).append(i)
+    assert {r["term"]: r["positions"] for r in got} == want
+    assert [r["term"] for r in got] == sorted(want)
+    for r in got:
+        assert r["tf"] == len(want[r["term"]])
+        assert r["df"] == len(oracle.postings.get(("text", r["term"]), {}))
+    with pytest.raises(KeyError):
+        index.termvectors(10 ** 9, "text")
