@@ -1453,6 +1453,24 @@ def q_ft_const_score(spark, sf_dir):
             .orderBy("doc_id").limit(10))
 
 
+IDS_SET = (3, 57, 211, 499, 1_000_000_000)  # last id is out of range
+
+
+def q_ft_ids(spark, sf_dir):
+    """ES ``ids`` query (round-5 surface): match documents by explicit
+    docid at constant score 1.0; unknown / out-of-range ids silently
+    drop (ES rule), docid order.  Engine analog: search.py _cand_ids —
+    the only ZERO-SCAN query node (no postings, no termdict, no doc
+    store: a literal driver-built frame bounded by the user's id list,
+    with an exact per-segment AND per-block manifest absence proof in
+    _node_bound), so at 100 TB it costs exactly the tombstone anti-join
+    every query pays."""
+    return (_docs(spark, sf_dir)
+            .filter(F.col("doc_id").isin(*IDS_SET))
+            .select("doc_id", F.lit(1.0).alias("score"))
+            .orderBy("doc_id"))
+
+
 def q_ft_match_and(spark, sf_dir):
     """ES ``match`` query "value group" with operator=and (round-5
     surface): the text analyzes to stems ('valu', 'group') compiled as
@@ -2259,6 +2277,7 @@ QUERIES = {
     "ft_phrase_slop_unordered": q_ft_phrase_slop_unordered,
     "ft_more_like_this": q_ft_more_like_this,
     "ft_terms_set": q_ft_terms_set,
+    "ft_ids": q_ft_ids,
     "ft_dismax": q_ft_dismax,
     "ft_phrase_prefix": q_ft_phrase_prefix,
     "ft_wildcard": q_ft_wildcard,
@@ -2697,6 +2716,8 @@ ORDER BY round(gs + ss, 7) DESC, doc_id LIMIT 10""",
 CAST(1.0 AS DOUBLE) AS score
 FROM postings WHERE term IN ('valu', 'spark')
 ORDER BY doc_id LIMIT 10""",
+        "ft_ids": f"""SELECT doc_id, CAST(1.0 AS DOUBLE) AS score
+FROM documents WHERE doc_id IN {IDS_SET} ORDER BY doc_id""",
         "ft_dismax": pre + f"""SELECT doc_id,
 round(max(score) + {DISMAX_TIE} * (sum(score) - max(score)), 4) AS score
 FROM scored WHERE term IN ('tabl', 'row') GROUP BY doc_id

@@ -297,6 +297,8 @@ class Searcher:
             return self._cand_term_set(node, dfs)
         if isinstance(node, A.ExistsQ):
             return self._cand_exists(node)
+        if isinstance(node, A.IdsQ):
+            return self._cand_ids(node)
         if isinstance(node, A.DisMaxQ):
             return self._cand_dismax(node, dfs)
         if isinstance(node, A.PhrasePrefixQ):
@@ -629,6 +631,39 @@ class Searcher:
             return None
         return (docs.filter(F.col(node.field).isNotNull())
                 .select("segment_id", "docid")
+                .withColumn("score", F.lit(1.0)))
+
+    def _ids_rows(self, values: list[int]) -> list[tuple[str, int]]:
+        """Map GLOBAL docids to live (segment_id, local docid) pairs.
+        Same base-walk + max_doc bound-check as catalog.delete_docs
+        (out-of-range ids are ES-silently dropped, never phantom
+        rows).  Driver-side, bounded by the user's explicit id list."""
+        ordered = sorted(self.bases.items(), key=lambda kv: kv[1])
+        max_docs = {s["segment_id"]: int(s["max_doc"])
+                    for s in self.segments}
+        rows: list[tuple[str, int]] = []
+        for d in values:
+            sid, local = None, -1
+            for seg_id, base in ordered:
+                if d >= base:
+                    sid, local = seg_id, d - base
+            if sid is not None and 0 <= local < max_docs.get(sid, 0):
+                rows.append((sid, local))
+        return rows
+
+    def _cand_ids(self, node: A.IdsQ) -> DataFrame | None:
+        """ES ``ids`` — constant score 1.0 by direct docid lookup.
+        The ONLY zero-scan query node: the candidate set IS a literal
+        local frame (no postings, no termdict, no doc store), so at
+        100 TB it costs exactly the tombstone anti-join every query
+        pays.  Resolution happens on the driver against the manifest
+        (already in memory); the frame is bounded by the user's id
+        list, the same contract as catalog.delete_docs."""
+        rows = self._ids_rows(node.values)
+        if not rows:
+            return None
+        return (self.spark.createDataFrame(
+                    rows, "segment_id string, docid long")
                 .withColumn("score", F.lit(1.0)))
 
     def _cand_dismax(self, node: A.DisMaxQ, dfs: dict) -> DataFrame | None:
@@ -1311,6 +1346,33 @@ class Searcher:
             return total + should_sum  # must_not only shrinks the match set
         if isinstance(node, A.RangeQ):
             return self._range_bound(node, sid)  # zone-map absence proof
+        if isinstance(node, A.IdsQ):
+            # exact absence proof from the manifest alone: a unit
+            # holding none of the requested ids cannot match.  ``sid``
+            # is either a segment_id or a (segment_id, block) pair
+            # (block-granular WAND, _prune_units) — blocks span local
+            # docids [b*block_docs, (b+1)*block_docs), so the proof
+            # stays exact at block granularity too.
+
+            memo = getattr(self, "_ids_memo", None)
+            if memo is None:
+                memo = self._ids_memo = {}
+            key = tuple(node.values)
+            rows = memo.get(key)
+            if rows is None:
+                rows = memo[key] = self._ids_rows(node.values)
+            seg, blk = sid if isinstance(sid, tuple) else (sid, None)
+            if blk is None:
+                return 1.0 if any(s == seg for s, _ in rows) else 0.0
+            by_id = getattr(self, "_seg_by_id", None)
+            if by_id is None:
+                by_id = self._seg_by_id = {
+                    s["segment_id"]: s for s in self.segments}
+            bd = (by_id.get(seg) or {}).get("block_docs")
+            if not bd:
+                return 1.0 if any(s == seg for s, _ in rows) else 0.0
+            return 1.0 if any(s == seg and d // bd == blk
+                              for s, d in rows) else 0.0
         if isinstance(node, (A.AllQ, A.FuzzyQ, A.RegexQ, A.PrefixQ,
                              A.ExistsQ)):
             return 1.0  # constant-score; cheap absence proof unavailable

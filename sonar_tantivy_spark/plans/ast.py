@@ -99,6 +99,21 @@ class ExistsQ(Node):
 
 
 @dataclass
+class IdsQ(Node):
+    """ES ``ids`` query: match documents by GLOBAL docid (the ``docid``
+    field of query hits — manifest base + local id, the engine's stable
+    external identifier).  Constant score 1.0, ES semantics: unknown /
+    out-of-range ids are silently ignored, never an error.  Compiles to
+    a literal candidate frame — ZERO index scan (the only query node
+    that touches neither postings nor termdict); tombstone filtering
+    still applies, so a deleted doc cannot be resurrected by id.
+    BEYOND-REFERENCE extension (ES Ids query / Lucene TermInSetQuery
+    over _id)."""
+
+    values: list[int]
+
+
+@dataclass
 class DisMaxQ(Node):
     """ES/Lucene ``dis_max``: matches the union of ``queries``; score =
     max(clause scores) + tie_breaker * (sum - max).  tie_breaker=0 is
@@ -416,6 +431,20 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
         if schema.field(field) is None:
             raise QueryError(f"unknown field {field!r}")
         return ExistsQ(field)
+    if kind == "ids":
+        # ES shape: {"ids": {"values": [0, 17, ...]}} (bare-list sugar
+        # accepted).  Values are GLOBAL docids; floats with integral
+        # values pass (JSON numbers), anything else is a parse error.
+        vals = body.get("values") if isinstance(body, dict) else body
+        if not isinstance(vals, (list, tuple)) or not vals:
+            raise QueryError("ids query needs a non-empty values list")
+        out: list[int] = []
+        for v in vals:
+            if isinstance(v, bool) or not isinstance(v, (int, float)) \
+                    or int(v) != v or v < 0:
+                raise QueryError(f"ids values must be docids, got {v!r}")
+            out.append(int(v))
+        return IdsQ(list(dict.fromkeys(out)))
     if kind == "dis_max":
         subs = [parse_json(sub, schema) for sub in body.get("queries", [])]
         if not subs:

@@ -1114,3 +1114,63 @@ def test_termvectors(index, corpus, oracle):
         assert r["df"] == len(oracle.postings.get(("text", r["term"]), {}))
     with pytest.raises(KeyError):
         index.termvectors(10 ** 9, "text")
+
+
+# ----------------------------------------------------------------- ids query
+def test_ids_parse(index):
+    n = A.parse_json({"ids": {"values": [0, 2, 2, 7]}}, index.schema)
+    assert isinstance(n, A.IdsQ) and n.values == [0, 2, 7]  # deduped
+    n2 = A.parse_json({"ids": [3, 1]}, index.schema)  # bare-list sugar
+    assert isinstance(n2, A.IdsQ) and n2.values == [3, 1]
+    # JSON numbers arrive as floats; integral floats pass
+    assert A.parse_json({"ids": {"values": [4.0]}}, index.schema).values == [4]
+    for bad in ([], [-1], [1.5], [True], ["7"], None):
+        with pytest.raises(A.QueryError):
+            A.parse_json({"ids": {"values": bad}}, index.schema)
+
+
+def test_ids_semantics(small):
+    """Exact hits at constant score 1.0; out-of-range ids are ES-silently
+    ignored; results keep the docid tie-break order."""
+    res = small.query_json(
+        {"query": {"ids": {"values": [3, 0, 999_999]}}, "limit": 10})
+    hits = res["docs"]
+    assert [h["docid"] for h in hits] == [0, 3]
+    assert all(h["score"] == 1.0 for h in hits)
+    # all-out-of-range → empty, never an error (ES rule)
+    assert small.query_json(
+        {"query": {"ids": {"values": [10_000]}}, "limit": 10})["docs"] == []
+
+
+def test_ids_multi_segment_and_bool_compose(index, corpus):
+    """Global docids resolve across segment boundaries (3-segment
+    fixture), and ids composes as a bool filter clause: scored term
+    matches restricted to an explicit id set keep their BM25 scores."""
+    want = [1, 299, 301, 599, 601, 899]  # straddles both segment seams
+    res = index.query_json({"query": {"ids": {"values": want}}, "limit": 10})
+    assert [h["docid"] for h in res["docs"]] == want
+    # stored text of each hit matches the source row (per-turn equality)
+    for h in res["docs"]:
+        assert h["doc"]["text"] == [corpus.iloc[h["docid"]]["text"]]
+    scored = index.query_json({"query": {"bool": {
+        "must": [{"term": {"role": "user"}}],
+        "filter": [{"ids": {"values": list(range(0, 900, 2))}}],
+    }}, "limit": 5})["docs"]
+    assert scored and all(h["docid"] % 2 == 0 for h in scored)
+    assert all(h["score"] > 0.0 for h in scored)
+
+
+def test_ids_cannot_resurrect_deleted(spark, tmp_path_factory):
+    cat = IndexCatalog(spark, str(tmp_path_factory.mktemp("qs6ids")))
+    idx = cat.create_index("d", [
+        {"name": "body", "type": "text",
+         "options": {"indexing": {"record": "position",
+                                  "tokenizer": "en_stem"},
+                     "stored": True}}])
+    idx.add_df(spark.createDataFrame(
+        [("alpha one",), ("alpha two",), ("alpha three",)], "body string"),
+        order_cols=["body"])
+    assert idx.delete_docs([1]) == 1
+    res = idx.query_json({"query": {"ids": {"values": [0, 1, 2]}},
+                          "limit": 10})
+    assert [h["docid"] for h in res["docs"]] == [0, 2]
