@@ -86,6 +86,8 @@ class OracleIndex:
         if isinstance(node, A.ExistsQ):
             return {d: 1.0 for (f, _t), pl in self.postings.items()
                     if f == node.field for d in pl}
+        if isinstance(node, A.IdsQ):
+            return {d: 1.0 for d in node.values if 0 <= d < self.N}
         if isinstance(node, A.DisMaxQ):
             subs = [self.score(c) for c in node.queries]
             out = {}

@@ -44,11 +44,16 @@ def gen_node(rng: random.Random, depth: int = 0) -> A.Node:
     kinds = ["term", "term", "term", "phrase", "fuzzy", "range", "bool",
              "prefix", "slop", "terms_set", "dismax", "phrase_prefix",
              "exists", "wildcard", "const_score", "function_score",
-             "boosting"]
+             "boosting", "ids"]
     if depth >= 2:
         kinds = ["term", "term", "phrase", "range", "prefix",
-                 "terms_set", "exists", "wildcard"]
+                 "terms_set", "exists", "wildcard", "ids"]
     kind = rng.choice(kinds)
+    if kind == "ids":
+        # mix in-range, segment-straddling, and out-of-range ids; the
+        # engine resolves globally, the oracle clamps to [0, N)
+        pool = [0, 1, 5, N // 3, N // 2, 2 * N // 3, N - 1, N, N + 50]
+        return A.IdsQ(sorted(rng.sample(pool, rng.randint(1, 4))))
     if kind == "wildcard":
         # the term-dictionary regexes a wildcard pattern translates to
         # (ast._wildcard_node): 'h?llo', 'w*d', 'he*o', dead pattern
