@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sonar_tantivy_spark.functions import bm25
@@ -1704,6 +1704,164 @@ def q_ft_agg_filters(spark, sf_dir):
     return parts[0].unionByName(parts[1])
 
 
+def _hist_buckets(spark, sf_dir):
+    """The ft_agg_histogram bucket table (key, doc_count) — the parent
+    every pipeline-agg contract query reduces over.  Bucket cardinality
+    is bounded by the value range / interval, never by corpus size, so
+    everything downstream of this frame is reduce-phase work."""
+    key = (F.floor(F.col("n_chars") / HIST_INTERVAL)
+           * HIST_INTERVAL).cast("double").alias("key")
+    return (_agg_matched(spark, sf_dir).groupBy(key)
+            .agg(F.count("*").cast("long").alias("doc_count")))
+
+
+def q_ft_agg_cumsum(spark, sf_dir):
+    """ES ``cumulative_sum`` pipeline agg over the n_chars histogram
+    (round-5 surface): running total of doc_count in bucket-key order.
+    Engine analog: search.py _apply_pipes 'cumulative_sum' — a
+    driver-side reduce over the ALREADY-AGGREGATED bucket list (ES
+    runs pipeline aggs on the coordinating node for the same reason);
+    here the same math as one window over the tiny bucket table."""
+    w = Window.orderBy("key").rowsBetween(Window.unboundedPreceding, 0)
+    return (_hist_buckets(spark, sf_dir)
+            .select("key", "doc_count",
+                    F.sum("doc_count").over(w).cast("double").alias("cum"))
+            .orderBy("key"))
+
+
+def q_ft_agg_derivative(spark, sf_dir):
+    """ES ``derivative`` pipeline agg over the n_chars histogram
+    (round-5 surface): doc_count[i] − doc_count[i−1]; the first bucket
+    has no derivative (the ES contract) so it is absent from the flat
+    contract rows.  Engine analog: search.py _apply_pipes
+    'derivative'."""
+    w = Window.orderBy("key")
+    return (_hist_buckets(spark, sf_dir)
+            .select("key", "doc_count",
+                    (F.col("doc_count")
+                     - F.lag("doc_count").over(w)).cast("double")
+                    .alias("deriv"))
+            .filter(F.col("deriv").isNotNull())
+            .orderBy("key"))
+
+
+def q_ft_agg_moving_fn(spark, sf_dir):
+    """ES ``moving_fn`` (unweightedAvg, window 3) over the n_chars
+    histogram (round-5 surface): avg of the 3 PRIOR buckets' doc_count
+    — ES default shift=0 excludes the current bucket, so bucket 0 is
+    null and absent here.  Engine analog: search.py _apply_pipes
+    'moving_fn' (window semantics pinned by
+    tests/test_pipeline_aggs.py::test_moving_fn_window_semantics)."""
+    w = Window.orderBy("key").rowsBetween(-3, -1)
+    return (_hist_buckets(spark, sf_dir)
+            .select("key", "doc_count",
+                    F.round(F.avg(F.col("doc_count").cast("double"))
+                            .over(w), 4).alias("mv"))
+            .filter(F.col("mv").isNotNull())
+            .orderBy("key"))
+
+
+def q_ft_agg_bucket_sort(spark, sf_dir):
+    """ES ``bucket_sort`` pipeline agg (round-5 surface): the n_chars
+    histogram re-sorted by (doc_count desc, key asc) and truncated to
+    3 — a reduce-phase sort of the bucket list, never a re-aggregation.
+    Engine analog: search.py _apply_pipes 'bucket_sort' (applied LAST,
+    after value-producing pipes)."""
+    return (_hist_buckets(spark, sf_dir)
+            .orderBy(F.desc("doc_count"), F.asc("key")).limit(3))
+
+
+def q_ft_agg_sibling(spark, sf_dir):
+    """ES sibling pipeline aggs (round-5 surface): max_bucket /
+    avg_bucket / sum_bucket over the n_chars histogram's doc_counts in
+    ONE row — max value + its first key (ES returns all arg-keys; the
+    contract pins the minimum for a flat row), mean and total bucket
+    size.  Engine analog: search.py aggregations' deferred sibling
+    loop."""
+    b = _hist_buckets(spark, sf_dir)
+    mx = b.agg(F.max("doc_count").alias("mxv"))
+    arg = (b.join(F.broadcast(mx), on=(F.col("doc_count") == F.col("mxv")))
+           .agg(F.min("key").alias("max_key"),
+                F.first(F.col("mxv").cast("double"), ignorenulls=True)
+                .alias("max_count")))
+    stats = b.agg(F.round(F.avg("doc_count"), 4).alias("avg_count"),
+                  F.sum("doc_count").cast("double").alias("sum_count"))
+    return arg.crossJoin(F.broadcast(stats)) \
+        .select("max_key", "max_count", "avg_count", "sum_count")
+
+
+COMPOSITE_PAGE = 10  # ft_agg_composite page size
+
+
+def q_ft_agg_composite(spark, sf_dir):
+    """ES ``composite`` agg page 2 (round-5 surface): buckets keyed by
+    (source, lang), ordered by the full key tuple asc, rows 11–20 —
+    the after-key cursor page.  The ENGINE pages with a strict
+    lexicographic after-key predicate BEFORE the ordered limit
+    (search.py aggregations 'composite': one hash-agg + top-size per
+    page, never a depth-(N·size) re-rank — the shape that pages a
+    100 TB match set; paging covered by tests/test_pipeline_aggs.py::
+    test_composite_paging_covers_all_buckets); the contract pins page
+    2's values via the equivalent rank window."""
+    g = (_agg_matched(spark, sf_dir)
+         .filter(F.col("source").isNotNull() & F.col("lang").isNotNull())
+         .groupBy("source", "lang")
+         .agg(F.count("*").cast("long").alias("doc_count")))
+    w = Window.orderBy(F.asc("source"), F.asc("lang"))
+    return (g.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") > COMPOSITE_PAGE)
+                    & (F.col("rn") <= 2 * COMPOSITE_PAGE))
+            .select("source", "lang", "doc_count"))
+
+
+RRF_K = 60       # reciprocal-rank-fusion constant (the ES default)
+RRF_DEPTH = 50   # per-ranking window handed to the fuser
+
+
+def q_ft_rrf_hybrid(spark, sf_dir):
+    """Hybrid lexical+vector retrieval with reciprocal rank fusion
+    (round-5 surface; the ES 8.x RRF retriever shape): BM25 top-50 for
+    'valu' fused with exact-cosine top-50 against the vec_id=0 query
+    vector (ids align doc_id↔vec_id), rrf = Σ 1/(60+rank) over the
+    rankings that contain the id, final top 10.
+
+    100 TB shape: each leg is an independent bounded top-k (BM25 rides
+    the block-max pruned path in the engine; the vector leg is the ANN
+    operator family), and the fuser only ever sees 2×RRF_DEPTH rows —
+    a driver-trivial full-outer join of two k-row frames, broadcast
+    both sides.  Fusing never touches the corpus."""
+    # lexical leg: BM25 ranking, deterministic (score desc, doc_id asc)
+    s = _scored(spark, sf_dir).filter(F.col("term") == "valu")
+    wl = Window.orderBy(F.desc(F.round(F.col("score"), 7)),
+                        F.asc("doc_id"))
+    lex = (s.withColumn("r", F.row_number().over(wl))
+           .filter(F.col("r") <= RRF_DEPTH)
+           .select(F.col("doc_id").alias("id"), F.col("r").alias("rl")))
+    # vector leg: exact cosine vs the vec_id=0 embedding
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qn = float(sum(float(x) * float(x) for x in q)) ** 0.5
+    dot = _dot_lit(F.col("embedding"), q)
+    nrm = F.sqrt(F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda a, x: a + x))
+    cos = (dot / (nrm * F.lit(qn))).alias("cos")
+    wv = Window.orderBy(F.desc(F.round(F.col("cos"), 7)), F.asc("vec_id"))
+    vec = (emb.filter(F.col("vec_id") != 0).select("vec_id", cos)
+           .withColumn("r", F.row_number().over(wv))
+           .filter(F.col("r") <= RRF_DEPTH)
+           .select(F.col("vec_id").alias("id"), F.col("r").alias("rv")))
+    fused = (lex.join(vec, on="id", how="full_outer")
+             .select("id",
+                     (F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rl")),
+                                 F.lit(0.0))
+                      + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rv")),
+                                   F.lit(0.0))).alias("rrf")))
+    return (fused.orderBy(F.desc(F.round("rrf", 9)), F.asc("id")).limit(10)
+            .select(F.col("id").alias("doc_id"),
+                    F.round("rrf", 6).alias("rrf")))
+
+
 BOOSTING_NB = 0.3    # ft_boosting negative_boost
 
 
@@ -2302,6 +2460,13 @@ QUERIES = {
     "ft_agg_pct_ranks": q_ft_agg_pct_ranks,
     "ft_agg_subagg": q_ft_agg_subagg,
     "ft_agg_filters": q_ft_agg_filters,
+    "ft_agg_cumsum": q_ft_agg_cumsum,
+    "ft_agg_derivative": q_ft_agg_derivative,
+    "ft_agg_moving_fn": q_ft_agg_moving_fn,
+    "ft_agg_bucket_sort": q_ft_agg_bucket_sort,
+    "ft_agg_sibling": q_ft_agg_sibling,
+    "ft_agg_composite": q_ft_agg_composite,
+    "ft_rrf_hybrid": q_ft_rrf_hybrid,
     "ft_boosting": q_ft_boosting,
     "dd_para_dup": q_dd_para_dup,
     "pl_domain_quota": q_pl_domain_quota,
@@ -2870,6 +3035,87 @@ SELECT 'tabl' AS filter_name, count(*)::BIGINT AS doc_count
 FROM documents
 WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')
   AND doc_id IN (SELECT doc_id FROM postings WHERE term = 'tabl')""",
+        "ft_agg_cumsum": pre + f"""SELECT key, doc_count,
+sum(doc_count) OVER (ORDER BY key
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE AS cum
+FROM (SELECT (floor(n_chars / {HIST_INTERVAL})
+              * {HIST_INTERVAL})::DOUBLE AS key,
+             count(*)::BIGINT AS doc_count
+      FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')
+      GROUP BY key)
+ORDER BY key""",
+        "ft_agg_derivative": pre + f"""SELECT key, doc_count, deriv
+FROM (SELECT key, doc_count,
+             (doc_count - lag(doc_count) OVER (ORDER BY key))::DOUBLE
+               AS deriv
+      FROM (SELECT (floor(n_chars / {HIST_INTERVAL})
+                    * {HIST_INTERVAL})::DOUBLE AS key,
+                   count(*)::BIGINT AS doc_count
+            FROM documents
+            WHERE doc_id IN (SELECT doc_id FROM postings
+                             WHERE term = 'valu')
+            GROUP BY key))
+WHERE deriv IS NOT NULL ORDER BY key""",
+        "ft_agg_moving_fn": pre + f"""SELECT key, doc_count, mv
+FROM (SELECT key, doc_count,
+             round(avg(doc_count::DOUBLE) OVER (ORDER BY key
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 4) AS mv
+      FROM (SELECT (floor(n_chars / {HIST_INTERVAL})
+                    * {HIST_INTERVAL})::DOUBLE AS key,
+                   count(*)::BIGINT AS doc_count
+            FROM documents
+            WHERE doc_id IN (SELECT doc_id FROM postings
+                             WHERE term = 'valu')
+            GROUP BY key))
+WHERE mv IS NOT NULL ORDER BY key""",
+        "ft_agg_bucket_sort": pre + f"""SELECT
+(floor(n_chars / {HIST_INTERVAL}) * {HIST_INTERVAL})::DOUBLE AS key,
+count(*)::BIGINT AS doc_count
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')
+GROUP BY key ORDER BY doc_count DESC, key LIMIT 3""",
+        "ft_agg_sibling": pre + f""", h AS (
+  SELECT (floor(n_chars / {HIST_INTERVAL})
+          * {HIST_INTERVAL})::DOUBLE AS key,
+         count(*)::BIGINT AS doc_count
+  FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')
+  GROUP BY key)
+SELECT (SELECT min(key) FROM h
+        WHERE doc_count = (SELECT max(doc_count) FROM h)) AS max_key,
+       (SELECT max(doc_count) FROM h)::DOUBLE AS max_count,
+       (SELECT round(avg(doc_count), 4) FROM h) AS avg_count,
+       (SELECT sum(doc_count) FROM h)::DOUBLE AS sum_count""",
+        "ft_agg_composite": pre + f"""SELECT source, lang, doc_count
+FROM (SELECT source, lang, count(*)::BIGINT AS doc_count,
+             row_number() OVER (ORDER BY source, lang) AS rn
+      FROM documents
+      WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')
+        AND source IS NOT NULL AND lang IS NOT NULL
+      GROUP BY source, lang)
+WHERE rn > {COMPOSITE_PAGE} AND rn <= {2 * COMPOSITE_PAGE}""",
+        "ft_rrf_hybrid": pre + f""", lex AS (
+  SELECT doc_id AS id,
+         row_number() OVER (ORDER BY round(score, 7) DESC, doc_id) AS rl
+  FROM scored WHERE term = 'valu'
+  QUALIFY rl <= {RRF_DEPTH}),
+qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+vec AS (
+  SELECT vec_id AS id,
+         row_number() OVER (
+           ORDER BY round(list_cosine_similarity(
+             e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 7) DESC,
+           vec_id) AS rv
+  FROM embeddings e CROSS JOIN qv q
+  WHERE e.vec_id <> 0
+  QUALIFY rv <= {RRF_DEPTH})
+SELECT id AS doc_id, round(rrf, 6) AS rrf
+FROM (SELECT coalesce(l.id, v.id) AS id,
+             coalesce(1.0 / ({RRF_K} + l.rl), 0.0)
+               + coalesce(1.0 / ({RRF_K} + v.rv), 0.0) AS rrf
+      FROM lex l FULL OUTER JOIN vec v ON l.id = v.id)
+ORDER BY round(rrf, 9) DESC, id LIMIT 10""",
         "ft_boosting": pre + f"""SELECT doc_id,
 round(CASE WHEN doc_id IN (SELECT doc_id FROM postings
                            WHERE term = 'slow')

@@ -1997,6 +1997,10 @@ class Searcher:
                     raise A.QueryError(
                         f"agg {name!r}: top_hits is not supported "
                         f"under global")
+                if self._pipe_agg_plan(name, body or {}):
+                    raise A.QueryError(
+                        f"agg {name!r}: pipeline sub-aggs need a "
+                        f"bucket agg parent")
                 for sub_name, skind, sf in metrics:
                     sdef = self.schema.field(sf)
                     if sdef is None or not sdef.stored:
@@ -2010,6 +2014,58 @@ class Searcher:
                             f"{skind} needs a numeric field, "
                             f"{sf!r} is {sdef.type}")
                 continue  # runs off its own all-docs frame, not matched
+            if kind in self._SIBLING_KINDS:
+                # ES sibling pipeline agg: reduces ANOTHER agg's bucket
+                # list ("parent>path"), deferred until parents ran
+                path = (body or {}).get("buckets_path", "")
+                parent = path.split(">", 1)[0]
+                if ">" not in path or parent not in aggs:
+                    raise A.QueryError(
+                        f"agg {name!r}: {kind} needs buckets_path "
+                        f"'<sibling bucket agg>>metric'")
+                pkind = next(iter(aggs[parent]))
+                if pkind not in ("terms", "histogram", "date_histogram",
+                                 "composite"):
+                    raise A.QueryError(
+                        f"agg {name!r}: buckets_path parent {parent!r} "
+                        f"is not a bucket agg")
+                continue
+            if kind == "composite":
+                sources = (body or {}).get("sources")
+                if not isinstance(sources, list) or not sources:
+                    raise A.QueryError(
+                        f"agg {name!r}: composite needs a sources list")
+                for s in sources:
+                    if not isinstance(s, dict) or len(s) != 1:
+                        raise A.QueryError(
+                            f"agg {name!r}: each composite source is "
+                            f"{{name: {{'terms': {{'field': ..}}}}}}")
+                    (sname, sspec), = s.items()
+                    sf = (sspec or {}).get("terms", {}).get("field") \
+                        if isinstance(sspec, dict) else None
+                    if not sf:
+                        raise A.QueryError(
+                            f"agg {name!r}: composite source {sname!r}: "
+                            f"only terms sources are supported")
+                    sdef = self.schema.field(sf)
+                    if sdef is None or not sdef.stored:
+                        raise A.QueryError(
+                            f"agg {name!r}: composite source {sname!r}: "
+                            f"field {sf!r} is not a stored field")
+                    fields.add(sf)
+                metrics, th = self._sub_agg_plan(name, body)
+                if th is not None:
+                    raise A.QueryError(
+                        f"agg {name!r}: top_hits is not supported "
+                        f"under composite")
+                for sub_name, skind, sf in metrics:
+                    sdef = self.schema.field(sf)
+                    if sdef is None or not sdef.stored:
+                        raise A.QueryError(
+                            f"agg {name!r}: sub-agg {sub_name!r}: field "
+                            f"{sf!r} is not a stored field")
+                    fields.add(sf)
+                continue
             f = (body or {}).get("field")
             if not f:
                 raise A.QueryError(f"agg {name!r}: missing field")
@@ -2039,6 +2095,7 @@ class Searcher:
                     f"agg {name!r}: date_histogram needs a date field, "
                     f"{f!r} is {fdef.type}")
             if kind in ("terms", "histogram", "date_histogram"):
+                self._pipe_agg_plan(name, body)  # fail-fast validation
                 metrics, th = self._sub_agg_plan(name, body)
                 if th is not None and kind != "terms":
                     raise A.QueryError(
@@ -2073,8 +2130,14 @@ class Searcher:
             matched = keys.persist()
         try:
             out: dict[str, Any] = {}
+            siblings: list[tuple[str, str, dict]] = []
             for name, spec in aggs.items():
                 kind, body = next(iter(spec.items()))
+                if kind in self._SIBLING_KINDS:
+                    # runs over a sibling's REDUCED buckets — defer
+                    # until every parent agg has produced its output
+                    siblings.append((name, kind, body or {}))
+                    continue
                 if kind == "significant_terms":
                     out[name] = self._sig_terms(body, matched)
                     continue
@@ -2114,6 +2177,53 @@ class Searcher:
                                        how="left_semi").count())}
                     out[name] = {"buckets": buckets}
                     continue
+                if kind == "composite":
+                    # ES composite agg: deterministic multi-source key
+                    # paging.  ONE hash aggregation on the source tuple
+                    # (map-side partials), then the after-key predicate
+                    # prunes BEFORE the ordered limit — page N costs one
+                    # agg + top-size under the key's total order, never
+                    # a depth-(N·size) re-rank, which is what pages a
+                    # 100 TB match set to exhaustion.
+                    snames, sfields = [], []
+                    for s in body["sources"]:
+                        (sname, sspec), = s.items()
+                        snames.append(sname)
+                        sfields.append(sspec["terms"]["field"])
+                    size = int(body.get("size", 10))
+                    after = body.get("after")
+                    metrics, _ = self._sub_agg_plan(name, body)
+                    b = matched
+                    for sf in sfields:  # ES: missing any source → out
+                        b = b.filter(F.col(sf).isNotNull())
+                    g = (b.groupBy(*[F.col(sf).alias(sn)
+                                     for sn, sf in zip(snames, sfields)])
+                         .agg(F.count("*").alias("doc_count"),
+                              *self._metric_exprs(metrics)))
+                    if after:
+                        if set(after) != set(snames):
+                            raise A.QueryError(
+                                f"agg {name!r}: after key must name "
+                                f"every source")
+                        pred, eq = None, None
+                        for sn in snames:  # strict lexicographic >
+                            gt = F.col(sn) > F.lit(after[sn])
+                            step = gt if eq is None else eq & gt
+                            pred = step if pred is None else pred | step
+                            e = F.col(sn) == F.lit(after[sn])
+                            eq = e if eq is None else eq & e
+                        g = g.filter(pred)
+                    rows = (g.orderBy(*[F.asc(sn) for sn in snames])
+                            .limit(size).collect())
+                    buckets = [
+                        {"key": {sn: r[sn] for sn in snames},
+                         "doc_count": int(r["doc_count"]),
+                         **self._shape_metrics(metrics, r)}
+                        for r in rows]
+                    out[name] = {"buckets": buckets}
+                    if len(buckets) == size:
+                        out[name]["after_key"] = dict(buckets[-1]["key"])
+                    continue
                 col = F.col(body["field"])
                 # ES rule: docs missing the field fall out of every agg
                 # (count(col)/min/max/avg/sum skip nulls natively; the
@@ -2130,6 +2240,8 @@ class Searcher:
                     buckets = [{"key": r["key"], "doc_count": r["doc_count"],
                                 **self._shape_metrics(metrics, r)}
                                for r in rows]
+                    buckets = self._apply_pipes(
+                        name, buckets, self._pipe_agg_plan(name, body))
                     if th and buckets:
                         th_name, th_size = th
                         per_key = self._bucket_top_hits(
@@ -2149,10 +2261,12 @@ class Searcher:
                             .agg(F.count("*").alias("doc_count"),
                                  *self._metric_exprs(metrics))
                             .orderBy("key").collect())
-                    out[name] = {"buckets": [
+                    buckets = [
                         {"key": float(r["key"]), "doc_count": r["doc_count"],
                          **self._shape_metrics(metrics, r)}
-                        for r in rows]}
+                        for r in rows]
+                    out[name] = {"buckets": self._apply_pipes(
+                        name, buckets, self._pipe_agg_plan(name, body))}
                 elif kind == "date_histogram":
                     unit = self._CALENDAR_INTERVALS.get(
                         str(body.get("calendar_interval", "day")).lower())
@@ -2165,11 +2279,13 @@ class Searcher:
                             .agg(F.count("*").alias("doc_count"),
                                  *self._metric_exprs(metrics))
                             .orderBy("key").collect())
-                    out[name] = {"buckets": [
+                    buckets = [
                         {"key_as_string": r["key"].isoformat(),
                          "doc_count": r["doc_count"],
                          **self._shape_metrics(metrics, r)}
-                        for r in rows]}
+                        for r in rows]
+                    out[name] = {"buckets": self._apply_pipes(
+                        name, buckets, self._pipe_agg_plan(name, body))}
                 elif kind == "stats":
                     r = matched.agg(
                         F.count(col).alias("count"),
@@ -2268,6 +2384,35 @@ class Searcher:
                         matched.filter(col.isNull()).count())}
                 else:
                     raise A.QueryError(f"agg {name!r}: unknown kind {kind!r}")
+            for name, kind, body in siblings:
+                # ES sibling pipeline aggs (max/min/avg/sum/stats
+                # _bucket): a pure reduce over the parent's final
+                # bucket list — no distributed work, like the parent
+                # pipeline aggs in _apply_pipes
+                parent, _, sub = body["buckets_path"].partition(">")
+                bl = out[parent].get("buckets") or []
+                pairs = [(b.get("key", b.get("key_as_string")),
+                          self._bpath(b, sub or "doc_count")) for b in bl]
+                vv = [v for _, v in pairs if v is not None]
+                if kind in ("max_bucket", "min_bucket"):
+                    if not vv:
+                        out[name] = {"keys": [], "value": None}
+                    else:
+                        best = max(vv) if kind == "max_bucket" else min(vv)
+                        out[name] = {"keys": [k for k, v in pairs
+                                              if v == best],
+                                     "value": best}
+                elif kind == "avg_bucket":
+                    out[name] = {"value": sum(vv) / len(vv) if vv else None}
+                elif kind == "sum_bucket":
+                    out[name] = {"value": sum(vv) if vv else None}
+                else:  # stats_bucket
+                    out[name] = {
+                        "count": len(vv),
+                        "min": min(vv) if vv else None,
+                        "max": max(vv) if vv else None,
+                        "avg": sum(vv) / len(vv) if vv else None,
+                        "sum": sum(vv) if vv else None}
             return out
         finally:
             matched.unpersist()
@@ -2311,12 +2456,135 @@ class Searcher:
                     raise A.QueryError(
                         f"agg {name!r}: sub-agg {sub_name!r}: missing field")
                 metrics.append((sub_name, skind, sf))
+            elif skind in cls._PIPE_KINDS:
+                continue  # parsed by _pipe_agg_plan (bucket aggs only)
             else:
                 raise A.QueryError(
                     f"agg {name!r}: sub-agg {sub_name!r}: unsupported "
                     f"kind {skind!r} (metrics "
-                    f"{'/'.join(cls._SUBAGG_METRICS)} or top_hits)")
+                    f"{'/'.join(cls._SUBAGG_METRICS)}, pipeline "
+                    f"{'/'.join(cls._PIPE_KINDS)}, or top_hits)")
         return metrics, top_hits
+
+    _PIPE_KINDS = ("cumulative_sum", "derivative", "moving_fn",
+                   "bucket_sort")
+    _SIBLING_KINDS = ("max_bucket", "min_bucket", "avg_bucket",
+                      "sum_bucket", "stats_bucket")
+    _MOVING_FNS = {"avg": lambda xs: sum(xs) / len(xs), "sum": sum,
+                   "min": min, "max": max}
+
+    @classmethod
+    def _pipe_agg_plan(cls, name: str, body: dict) \
+            -> list[tuple[str, str, dict]]:
+        """Parse (and fail-fast validate) the PIPELINE sub-aggs of a
+        bucket agg — ES parent pipeline aggregations
+        (cumulative_sum / derivative / moving_fn / bucket_sort).  These
+        never touch the doc store: like ES's coordinating-node reduce
+        phase they run over the bucket agg's ALREADY-REDUCED bucket
+        list (cardinality = #buckets, bounded by size/interval — never
+        #docs), so they are pure driver-side post-passes and add zero
+        distributed work at any corpus scale."""
+        pipes: list[tuple[str, str, dict]] = []
+        for sub_name, sub_spec in (body.get("aggs") or {}).items():
+            if not isinstance(sub_spec, dict) or len(sub_spec) != 1:
+                continue  # shape errors raised by _sub_agg_plan
+            (skind, sbody), = sub_spec.items()
+            if skind not in cls._PIPE_KINDS:
+                continue
+            sbody = sbody or {}
+            if skind == "moving_fn":
+                fn = str(sbody.get("fn", "avg"))
+                if fn not in cls._MOVING_FNS:
+                    raise A.QueryError(
+                        f"agg {name!r}: sub-agg {sub_name!r}: moving_fn "
+                        f"fn must be one of "
+                        f"{'/'.join(sorted(cls._MOVING_FNS))}")
+                if int(sbody.get("window", 5)) <= 0:
+                    raise A.QueryError(
+                        f"agg {name!r}: sub-agg {sub_name!r}: window "
+                        f"must be > 0")
+            if skind == "bucket_sort":
+                for s in sbody.get("sort") or []:
+                    if not isinstance(s, dict) or len(s) != 1:
+                        raise A.QueryError(
+                            f"agg {name!r}: sub-agg {sub_name!r}: each "
+                            f"sort entry is {{path: {{'order': ..}}}}")
+            pipes.append((sub_name, skind, sbody))
+        return pipes
+
+    @staticmethod
+    def _bpath(bucket: dict, path: str):
+        """Resolve an ES ``buckets_path`` against one reduced bucket:
+        ``doc_count``/``_count``, ``_key``, a metric sub-agg name
+        (→ its ``value``), or ``name.stat`` for a stats sub-agg."""
+        parts = str(path).split(".")
+        head = parts[0]
+        if head in ("doc_count", "_count"):
+            v = bucket["doc_count"]
+        elif head == "_key":
+            v = bucket.get("key", bucket.get("key_as_string"))
+        else:
+            m = bucket.get(head)
+            if not isinstance(m, dict):
+                raise A.QueryError(
+                    f"buckets_path {path!r}: no metric {head!r} in bucket")
+            v = m[parts[1]] if len(parts) > 1 else m.get("value")
+        return None if v is None else float(v)
+
+    @classmethod
+    def _apply_pipes(cls, name: str, buckets: list[dict],
+                     pipes: list[tuple[str, str, dict]]) -> list[dict]:
+        """Execute parent pipeline aggs over the reduced bucket list —
+        the ES reduce-phase semantics, driver-side by design (input is
+        ≤ size/interval buckets, not documents):
+
+        - cumulative_sum: running total of buckets_path, every bucket
+        - derivative: bucket[i] − bucket[i−1]; FIRST bucket gets no
+          value (the ES contract — there is nothing to diff against)
+        - moving_fn: fn over the window [i−window+shift, i+shift) of
+          prior values (ES default shift=0 excludes the current
+          bucket, so bucket 0 is null); fn ∈ avg/sum/min/max
+        - bucket_sort: applied LAST — re-sorts the final bucket list
+          by buckets_path keys and truncates with from/size (ES: a
+          reduce-phase sort, never a re-aggregation)"""
+        sorts: list[dict] = []
+        for sub_name, pkind, pbody in pipes:
+            if pkind == "bucket_sort":
+                sorts.append(pbody)
+                continue
+            path = pbody.get("buckets_path", "doc_count")
+            vals = [cls._bpath(b, path) for b in buckets]
+            if pkind == "cumulative_sum":
+                run = 0.0
+                for b, v in zip(buckets, vals):
+                    run += (v or 0.0)
+                    b[sub_name] = {"value": run}
+            elif pkind == "derivative":
+                for i, b in enumerate(buckets):
+                    if i and vals[i] is not None and vals[i - 1] is not None:
+                        b[sub_name] = {"value": vals[i] - vals[i - 1]}
+            elif pkind == "moving_fn":
+                w = int(pbody.get("window", 5))
+                shift = int(pbody.get("shift", 0))
+                fn = cls._MOVING_FNS[str(pbody.get("fn", "avg"))]
+                for i, b in enumerate(buckets):
+                    lo = max(0, i - w + shift)
+                    hi = max(0, min(len(buckets), i + shift))
+                    win = [v for v in vals[lo:hi] if v is not None]
+                    b[sub_name] = {"value": fn(win) if win else None}
+        for pbody in sorts:
+            for s in reversed(pbody.get("sort") or []):
+                (path, sb), = s.items()
+                desc = str((sb or {}).get("order", "asc")).lower() == "desc"
+                buckets.sort(  # stable → reversed spec = multi-key sort
+                    key=lambda b: ((v := cls._bpath(b, path)) is None,
+                                   0.0 if v is None else v),
+                    reverse=desc)
+            frm = int(pbody.get("from", 0))
+            size = pbody.get("size")
+            buckets = (buckets[frm:frm + int(size)]
+                       if size is not None else buckets[frm:])
+        return buckets
 
     @staticmethod
     def _metric_exprs(metrics: list[tuple[str, str, str]]) -> list:
