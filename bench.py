@@ -332,6 +332,52 @@ def run_attempt() -> dict:
         times.append(time.time() - tq)
     q_p50["q27_aggs"] = round(statistics.median(times), 4)
 
+    # q30_pipeline_aggs — bucket agg + parent pipeline reduce
+    # (cumulative_sum / derivative / bucket_sort) + a sibling
+    # max_bucket: the distributed cost is the ONE histogram hash-agg;
+    # every pipe is a driver-side reduce over <= #buckets rows, so this
+    # should price within noise of a bare histogram
+    pipe_req = {"query": {"term": {"text": "the"}}, "limit": 0,
+                "aggs": {"h": {"histogram": {
+                    "field": "turn_idx", "interval": 4, "aggs": {
+                        "cs": {"cumulative_sum":
+                               {"buckets_path": "doc_count"}},
+                        "dv": {"derivative": {"buckets_path": "doc_count"}},
+                        "top": {"bucket_sort": {"sort": [
+                            {"doc_count": {"order": "desc"}}],
+                            "size": 5}}}}},
+                    "best": {"max_bucket": {"buckets_path": "h>doc_count"}}}}
+    idx.query_json(pipe_req)  # warmup
+    times = []
+    for _ in range(reps):
+        tq = time.time()
+        idx.query_json(pipe_req)
+        times.append(time.time() - tq)
+    q_p50["q30_pipeline_aggs"] = round(statistics.median(times), 4)
+
+    # q31_composite_page — composite agg page 2 through the after-key
+    # cursor (one hash-agg + ordered limit per page; depth-independent)
+    comp1 = idx.query_json({"query": {"term": {"text": "the"}},
+                            "limit": 0, "aggs": {"c": {"composite": {
+                                "sources": [{"r": {"terms":
+                                                   {"field": "role"}}},
+                                            {"t": {"terms":
+                                                   {"field": "tool"}}}],
+                                "size": 2}}}})
+    after = comp1["aggs"]["c"].get("after_key")
+    comp_req = {"query": {"term": {"text": "the"}}, "limit": 0,
+                "aggs": {"c": {"composite": {
+                    "sources": [{"r": {"terms": {"field": "role"}}},
+                                {"t": {"terms": {"field": "tool"}}}],
+                    "size": 2, "after": after}}}}
+    idx.query_json(comp_req)  # warmup
+    times = []
+    for _ in range(reps):
+        tq = time.time()
+        idx.query_json(comp_req)
+        times.append(time.time() - tq)
+    q_p50["q31_composite_page"] = round(statistics.median(times), 4)
+
     # q28_search_after — cursor page 2 of the hot-term ranking through
     # the pruned path (a pure sort-key filter: page depth never grows)
     s = idx.searcher()
