@@ -104,3 +104,120 @@ def pca_project(df: DataFrame, mean, components, eigenvalues=None,
         return pd.Series(list(out))
 
     return df.withColumn(out_col, _proj(F.col(col)))
+
+
+# ------------------------------------------------------------------ k-means
+# Distributed Lloyd's k-means — the clustering stage SemDeDup-style
+# pipelines run between PCA and within-cluster dedup, and the retrain
+# path for the IVF index (operators/ann.py trains its own cells the
+# same way; this is the standalone, reusable form).
+#
+# 100 TB shape per iteration: ONE map-only pass (assign: argmin over a
+# broadcast (k, d) centroid matrix inside an Arrow batch) + per-
+# partition partial sums (k·(d+1) floats per task, independent of
+# partition size) collected and combined on the driver — the identical
+# two-phase pattern as covariance_stats above.  Nothing shuffles; the
+# per-iteration driver traffic is k·#partitions small rows.
+#
+# Determinism: farthest-point (k-center) seeding from the minimum-id
+# vector, ties broken by id; assignment ties broken by lowest centroid
+# index — so a fixed (input, k, n_iter) always yields the same
+# clustering regardless of partitioning (float-sum ordering across
+# partitions can differ at the ulp level, but assignments are integer
+# argmins and the planted-cluster test pins them exactly).
+
+
+def kmeans_init(df: DataFrame, k: int, col: str = "embedding",
+                id_col: str = "vec_id") -> np.ndarray:
+    """Deterministic farthest-point seeding: start from the minimum-id
+    vector, then k−1 rounds of "the vector farthest from its nearest
+    chosen centroid" (tie → minimum id).  Each round is one distributed
+    pass; for large k, sample first and seed on the sample."""
+    row = df.select(id_col, col).orderBy(F.asc(id_col)).first()
+    if row is None:
+        raise ValueError("empty embedding table")
+    cents = [np.asarray(row[col], dtype=np.float64)]
+    for _ in range(k - 1):
+        c = np.array(cents)
+
+        @F.pandas_udf(T.DoubleType())
+        def _mind(vs: pd.Series) -> pd.Series:
+            m = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+            d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(d2.min(axis=1))
+
+        far = (df.select(id_col, col)
+               .withColumn("__d", _mind(F.col(col)))
+               .orderBy(F.desc(F.round(F.col("__d"), 9)), F.asc(id_col))
+               .first())
+        cents.append(np.asarray(far[col], dtype=np.float64))
+    return np.array(cents)
+
+
+def kmeans_assign(df: DataFrame, centroids, col: str = "embedding",
+                  out_col: str = "cluster") -> DataFrame:
+    """Map-only assignment: nearest centroid by squared euclidean
+    distance (ties → lowest centroid index, numpy argmin's rule); the
+    (k, d) centroid matrix rides into executors as a closured
+    constant."""
+    c = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.IntegerType())
+    def _assign(vs: pd.Series) -> pd.Series:
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vs])
+        d2 = ((m[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d2.argmin(axis=1).astype("int32"))
+
+    return df.withColumn(out_col, _assign(F.col(col)))
+
+
+def kmeans_fit(df: DataFrame, k: int, n_iter: int = 10,
+               col: str = "embedding", id_col: str = "vec_id"):
+    """Lloyd's iterations with exact per-cluster means via the
+    two-phase partial-sum pattern.  Returns (centroids, assigned_df)
+    where assigned_df carries the FINAL assignment under the returned
+    centroids.  A cluster that empties keeps its previous centroid
+    (the standard convention)."""
+    first = df.select(col).first()
+    if first is None:
+        raise ValueError("empty embedding table")
+    d = len(first[0])
+    cents = kmeans_init(df, k, col=col, id_col=id_col)
+    part_schema = T.StructType([
+        T.StructField("c", T.IntegerType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("s", T.ArrayType(T.DoubleType())),
+    ])
+    for _ in range(n_iter):
+        a = kmeans_assign(df.select(col), cents, col=col)
+
+        def partials(batches):
+            n = np.zeros(k, dtype=np.int64)
+            s = np.zeros((k, d))
+            for pdf in batches:
+                m = np.array([np.asarray(v, dtype=np.float64)
+                              for v in pdf[col]])
+                cl = pdf["cluster"].to_numpy()
+                if len(m):
+                    np.add.at(n, cl, 1)
+                    np.add.at(s, cl, m)
+            live = np.nonzero(n)[0]
+            if len(live):
+                yield pd.DataFrame({"c": live.astype("int32"),
+                                    "n": n[live],
+                                    "s": [s[i].tolist() for i in live]})
+
+        rows = a.mapInPandas(partials, part_schema).collect()
+        n = np.zeros(k, dtype=np.int64)
+        s = np.zeros((k, d))
+        for r in rows:
+            n[r["c"]] += r["n"]
+            s[r["c"]] += np.asarray(r["s"])
+        nxt = cents.copy()
+        live = n > 0
+        nxt[live] = s[live] / n[live, None]
+        if np.allclose(nxt, cents, rtol=0, atol=1e-12):
+            cents = nxt
+            break
+        cents = nxt
+    return cents, kmeans_assign(df, cents, col=col)
