@@ -130,6 +130,32 @@ def main() -> None:
                    "map-side partial aggregation before the exchange",
                    "partial_count" in plan))
 
+    # composite agg page 2: after-key predicate + ordered limit (the
+    # frame aggregations('composite') builds before its bounded collect)
+    from pyspark.sql import functions as F
+
+    comp = (cand.select("segment_id", "docid")
+            .join(s._table("docs").select("segment_id", "docid", "role"),
+                  on=["segment_id", "docid"])
+            .filter(F.col("role").isNotNull())
+            .groupBy(F.col("role").alias("r"))
+            .agg(F.count("*").alias("doc_count"))
+            .filter(F.col("r") > F.lit("assistant"))
+            .orderBy(F.asc("r")).limit(2))
+    plan = formatted(comp)
+    sections.append(f"## composite_after_page\n\n```\n{plan}\n```\n")
+    checks.append(("composite_after_page",
+                   "map-side partial aggregation before the exchange",
+                   "partial_count" in plan))
+    checks.append(("composite_after_page",
+                   "page = TakeOrderedAndProject (one agg + top-size, "
+                   "depth-independent)",
+                   "TakeOrderedAndProject" in plan))
+    checks.append(("composite_after_page",
+                   "after-key predicate evaluated below the final limit "
+                   "(grouping-key filter pushed through the aggregate)",
+                   bool(re.search(r"^\(\d+\) Filter", plan, re.M))))
+
     # pipeline + ANN shapes over the driver testdata tables
     from sonar_tantivy_spark import driver_queries as dq
 
