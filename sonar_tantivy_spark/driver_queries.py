@@ -2267,6 +2267,63 @@ def q_pl_dsir_weights(spark, sf_dir):
 WINDOW_W = 8         # token width for dd_window_dup substring windows
 
 
+SEMDEDUP_K = 8       # k-means clusters for dd_semdedup_kmeans
+SEMDEDUP_ITERS = 4   # fixed Lloyd's iterations (determinism)
+SEMDEDUP_TAU = 0.45  # within-cluster cosine threshold (same family as
+                     # dd_embed_cosine_pairs)
+
+
+def q_dd_semdedup_kmeans(spark, sf_dir):
+    """SemDeDup proper (Abbas et al. 2023): k-means-cluster the
+    embeddings, then near-dup ONLY within clusters — keep = no
+    cluster-mate with cosine >= tau and a smaller vec_id (the paper's
+    keep-one rule, id-deterministic).  Output: (vec_id, cluster, keep)
+    for every vector.
+
+    100 TB shape: clustering is operators/embed.kmeans_fit (map-only
+    assign + driver-combined partial sums per iteration, nothing
+    shuffles); the pair stage self-joins ON THE CLUSTER ID — candidate
+    volume is Σ|cluster|², bounded by raising k with n (the paper runs
+    k ≈ √n; here k is fixed small because the corpus is), never the
+    all-pairs cross join.  Zero-norm vectors have undefined cosine and
+    are always kept.
+
+    NO SQL ORACLE (the contract's sanctioned exemption for iterative
+    algorithms — k-means is a fixed-point loop): the driver records a
+    rows-only check; the semantics are pinned instead by
+    tests/test_kmeans.py (numpy same-algorithm clustering replica) and
+    tests/test_semdedup.py (brute-force keep-set replica)."""
+    from sonar_tantivy_spark.operators.embed import kmeans_fit
+
+    emb = _emb(spark, sf_dir)
+    _, assigned = kmeans_fit(emb, SEMDEDUP_K, n_iter=SEMDEDUP_ITERS)
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    e = assigned.select("vec_id", "cluster", v.alias("v"),
+                        nrm.alias("nrm")).persist()
+    a = (e.filter(F.col("nrm") > 0)
+         .select("cluster", F.col("vec_id").alias("v1"),
+                 F.col("v").alias("va"), F.col("nrm").alias("na")))
+    b = (e.filter(F.col("nrm") > 0)
+         .select("cluster", F.col("vec_id").alias("v2"),
+                 F.col("v").alias("vb"), F.col("nrm").alias("nb")))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    dropped = (a.join(b, on="cluster")
+               .filter(F.col("v1") > F.col("v2"))  # smaller-id mate wins
+               .filter(F.round(dot / (F.col("na") * F.col("nb")), 4)
+                       >= SEMDEDUP_TAU)
+               .select(F.col("v1").alias("vec_id")).distinct())
+    return (e.select("vec_id", "cluster")
+            .join(dropped.withColumn("keep", F.lit(False)),
+                  on="vec_id", how="left")
+            .select("vec_id", F.col("cluster").cast("int").alias("cluster"),
+                    F.coalesce("keep", F.lit(True)).alias("keep"))
+            .orderBy("vec_id"))
+
+
 def q_dd_window_dup(spark, sf_dir):
     """Exact-substring duplication signal (the Lee et al. 2022
     "Deduplicating Training Data Makes Language Models Better" shape,
@@ -2477,6 +2534,7 @@ QUERIES = {
     "tx_ngram_freq": q_tx_ngram_freq,
     "pl_dsir_weights": q_pl_dsir_weights,
     "dd_window_dup": q_dd_window_dup,
+    "dd_semdedup_kmeans": q_dd_semdedup_kmeans,
     "tx_line_dedup": q_tx_line_dedup,
 }
 
