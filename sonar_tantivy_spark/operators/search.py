@@ -2232,11 +2232,43 @@ class Searcher:
                 if kind == "terms":
                     size = int(body.get("size", 10))
                     metrics, th = self._sub_agg_plan(name, body)
-                    rows = (bucketed.groupBy(col.alias("key"))
-                            .agg(F.count("*").alias("doc_count"),
-                                 *self._metric_exprs(metrics))
-                            .orderBy(F.desc("doc_count"), F.asc("key"))
-                            .limit(size).collect())
+                    # ES order knob: _count (default) / _key / a
+                    # single-value metric sub-agg's name; all resolve
+                    # to a column of the SAME one hash aggregation, so
+                    # ordering by a metric costs nothing extra — the
+                    # ordered limit stays TakeOrderedAndProject
+                    order = body.get("order") or {"_count": "desc"}
+                    if not isinstance(order, dict) or len(order) != 1:
+                        raise A.QueryError(
+                            f"agg {name!r}: order is {{path: asc|desc}}")
+                    (okey, odir), = order.items()
+                    desc = str(odir).lower() == "desc"
+                    if okey == "_count":
+                        ocols = [F.desc("doc_count") if desc
+                                 else F.asc("doc_count"), F.asc("key")]
+                    elif okey == "_key":
+                        ocols = [F.desc("key") if desc else F.asc("key")]
+                    else:
+                        mi = next((i for i, (sn, mk, _) in
+                                   enumerate(metrics)
+                                   if sn == okey
+                                   and mk not in ("stats",)), None)
+                        if mi is None:
+                            raise A.QueryError(
+                                f"agg {name!r}: order key {okey!r} is "
+                                f"not _count/_key/a single-value "
+                                f"metric sub-agg")
+                        oc = F.col(f"__s{mi}_value")
+                        ocols = [oc.desc_nulls_last() if desc
+                                 else oc.asc_nulls_last(), F.asc("key")]
+                    mdc = int(body.get("min_doc_count", 1))
+                    grouped = (bucketed.groupBy(col.alias("key"))
+                               .agg(F.count("*").alias("doc_count"),
+                                    *self._metric_exprs(metrics)))
+                    if mdc > 1:
+                        grouped = grouped.filter(
+                            F.col("doc_count") >= mdc)
+                    rows = grouped.orderBy(*ocols).limit(size).collect()
                     buckets = [{"key": r["key"], "doc_count": r["doc_count"],
                                 **self._shape_metrics(metrics, r)}
                                for r in rows]
@@ -2257,14 +2289,39 @@ class Searcher:
                     metrics, _ = self._sub_agg_plan(name, body)
                     key = (F.floor(col.cast("double") / interval)
                            * interval).alias("key")
-                    rows = (bucketed.groupBy(key)
-                            .agg(F.count("*").alias("doc_count"),
-                                 *self._metric_exprs(metrics))
-                            .orderBy("key").collect())
+                    mdc = int(body.get("min_doc_count", 1))
+                    grouped = (bucketed.groupBy(key)
+                               .agg(F.count("*").alias("doc_count"),
+                                    *self._metric_exprs(metrics)))
+                    if mdc > 1:
+                        grouped = grouped.filter(
+                            F.col("doc_count") >= mdc)
+                    rows = grouped.orderBy("key").collect()
                     buckets = [
                         {"key": float(r["key"]), "doc_count": r["doc_count"],
                          **self._shape_metrics(metrics, r)}
                         for r in rows]
+                    if mdc == 0 and len(buckets) > 1:
+                        # ES min_doc_count=0: fill interior gaps with
+                        # empty buckets (doc_count 0, metrics null) —
+                        # a driver-side pass over the REDUCED bucket
+                        # list; this is what makes derivative /
+                        # moving_fn see evenly spaced buckets
+                        filled, expect = [], buckets[0]["key"]
+                        for b in buckets:
+                            while b["key"] - expect > interval / 2:
+                                filled.append({
+                                    "key": expect, "doc_count": 0,
+                                    **{sn: ({k: None for k in
+                                             ("count", "min", "max",
+                                              "avg", "sum")}
+                                            if mk == "stats"
+                                            else {"value": None})
+                                       for sn, mk, _ in metrics}})
+                                expect += interval
+                            filled.append(b)
+                            expect = b["key"] + interval
+                        buckets = filled
                     out[name] = {"buckets": self._apply_pipes(
                         name, buckets, self._pipe_agg_plan(name, body))}
                 elif kind == "date_histogram":

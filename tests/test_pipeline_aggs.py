@@ -226,3 +226,72 @@ def test_pipeline_validation_errors(index):
                 "sources": [{"r": {"terms": {"field": "role"}}},
                             {"t": {"terms": {"field": "tool"}}}],
                 "after": {"r": "user"}}}}})
+
+
+# ----------------------------------------------------- ES agg knobs (r5)
+def test_terms_order_by_metric_and_key(index, corpus, oracle):
+    node = A.parse_json({"term": {"text": "hello"}}, index.schema)
+    rows = corpus.iloc[sorted(oracle.score(node))]
+    res = index.query_json({"query": {"term": {"text": "hello"}},
+                            "limit": 0, "aggs": {
+        "by_metric": {"terms": {"field": "role", "size": 10,
+                                "order": {"mean_idx": "desc"},
+                                "aggs": {"mean_idx":
+                                         {"avg": {"field": "turn_idx"}}}}},
+        "by_key": {"terms": {"field": "role", "size": 10,
+                             "order": {"_key": "asc"}}}}})
+    truth = rows.groupby("role")["turn_idx"].mean()
+    want = sorted(truth.index, key=lambda k: (-truth[k], k))
+    assert [b["key"] for b in res["aggs"]["by_metric"]["buckets"]] == want
+    assert [b["key"] for b in res["aggs"]["by_key"]["buckets"]] == \
+        sorted(truth.index)
+
+
+def test_terms_min_doc_count(index, corpus, oracle):
+    node = A.parse_json({"term": {"text": "the"}}, index.schema)
+    rows = corpus.iloc[sorted(oracle.score(node))]
+    vc = rows["role"].value_counts()
+    assert len(vc) > 1  # the hot term spans roles — a real floor test
+    floor = int(vc.max())  # keeps only the biggest bucket(s)
+    res = index.query_json({"query": {"term": {"text": "the"}},
+                            "limit": 0, "aggs": {
+        "r": {"terms": {"field": "role", "size": 10,
+                        "min_doc_count": floor}}}})
+    got = {b["key"]: b["doc_count"] for b in res["aggs"]["r"]["buckets"]}
+    assert got == {k: int(c) for k, c in vc.items() if c >= floor}
+    assert len(got) < len(vc)  # the floor actually cut buckets
+
+
+def test_histogram_min_doc_count_zero_fills_gaps(index, corpus, oracle):
+    # interval 1 over turn_idx guarantees interior gaps are possible;
+    # compare against the full dense range of the matched values
+    node = A.parse_json({"term": {"text": "mundo"}}, index.schema)
+    rows = corpus.iloc[sorted(oracle.score(node))]
+    res = index.query_json({"query": {"term": {"text": "mundo"}},
+                            "limit": 0, "aggs": {
+        "h": {"histogram": {"field": "turn_idx", "interval": 1,
+                            "min_doc_count": 0, "aggs": {
+            "dv": {"derivative": {"buckets_path": "doc_count"}}}}}}})
+    buckets = res["aggs"]["h"]["buckets"]
+    vc = rows["turn_idx"].value_counts()
+    lo, hi = int(rows["turn_idx"].min()), int(rows["turn_idx"].max())
+    assert [b["key"] for b in buckets] == [float(k) for k in
+                                           range(lo, hi + 1)]
+    for b in buckets:
+        assert b["doc_count"] == int(vc.get(int(b["key"]), 0))
+    # derivative sees the evenly spaced (gap-filled) sequence
+    for i in range(1, len(buckets)):
+        assert buckets[i]["dv"]["value"] == pytest.approx(
+            buckets[i]["doc_count"] - buckets[i - 1]["doc_count"])
+
+
+def test_agg_knob_validation_errors(index):
+    with pytest.raises(A.QueryError):  # unknown order key
+        index.query_json({"query": {"all": {}}, "limit": 0, "aggs": {
+            "r": {"terms": {"field": "role",
+                            "order": {"nope": "desc"}}}}})
+    with pytest.raises(A.QueryError):  # stats is not single-valued
+        index.query_json({"query": {"all": {}}, "limit": 0, "aggs": {
+            "r": {"terms": {"field": "role", "order": {"s": "desc"},
+                            "aggs": {"s": {"stats":
+                                           {"field": "turn_idx"}}}}}}})
