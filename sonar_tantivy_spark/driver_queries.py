@@ -194,6 +194,57 @@ def q_ft_phrase(spark, sf_dir):
     return _topk(j.select("doc_id", (F.lit(idf_sum * (K1 + 1.0)) * tf / denom).alias("score")))
 
 
+def q_ft_span_near(spark, sf_dir):
+    """span_near [span_term 'tabl', span_or('row','hash')] slop=2
+    ordered (Lucene span semantics, engine pin at plans/ast.py
+    SpanNearQ): clause-1 positions are the union of the alternatives'
+    arrays; a position q survives iff some 'tabl' position p has
+    p < q <= p + 1 + slop; tf = surviving positions, idf = Σ over the
+    live alternatives.  One postings scan + one aggregation exchange
+    at any scale (operators/search.py _cand_span)."""
+    t = _ft(spark, sf_dir)
+    p, slop = t["postings"], 2
+    a = p.filter(F.col("term") == "tabl").select(
+        "doc_id", F.col("positions").alias("pa"))
+    b = (p.filter(F.col("term").isin("row", "hash"))
+         .groupBy("doc_id")
+         .agg(F.array_sort(F.array_distinct(
+             F.flatten(F.collect_list("positions")))).alias("pb")))
+    j = a.join(b, on="doc_id").withColumn(
+        "m", F.filter("pb", lambda q: F.exists(
+            "pa", lambda pp: (q > pp) & (q <= pp + 1 + slop)))
+    ).filter(F.size("m") > 0)
+    terms = ("tabl", "row", "hash")
+    dfs = {r["term"]: r["df"] for r in
+           t["termdf"].filter(F.col("term").isin(*terms)).collect()}
+    idf_sum = sum(bm25.idf(dfs[x], t["N"]) for x in terms if x in dfs)
+    j = j.join(t["doclen"], on="doc_id")
+    tf = F.size("m").cast("double")
+    denom = tf + F.lit(K1) * (F.lit(1.0 - B)
+                              + F.lit(B / t["avgdl"]) * F.col("dl").cast("double"))
+    return _topk(j.select(
+        "doc_id", (F.lit(idf_sum * (K1 + 1.0)) * tf / denom).alias("score")))
+
+
+def q_ft_span_first(spark, sf_dir):
+    """span_first(span_term 'valu', end=4): matches whose span END
+    (position + 1 for a single term) is <= 4 — the Lucene
+    SpanFirstQuery rule; tf = qualifying positions."""
+    t = _ft(spark, sf_dir)
+    end = 4
+    j = (t["postings"].filter(F.col("term") == "valu")
+         .withColumn("m", F.filter("positions", lambda q: q + 1 <= F.lit(end)))
+         .filter(F.size("m") > 0))
+    df_t = t["termdf"].filter(F.col("term") == "valu").collect()
+    idf = bm25.idf(df_t[0]["df"], t["N"]) if df_t else 0.0
+    j = j.join(t["doclen"], on="doc_id")
+    tf = F.size("m").cast("double")
+    denom = tf + F.lit(K1) * (F.lit(1.0 - B)
+                              + F.lit(B / t["avgdl"]) * F.col("dl").cast("double"))
+    return _topk(j.select(
+        "doc_id", (F.lit(idf * (K1 + 1.0)) * tf / denom).alias("score")))
+
+
 def q_ft_all(spark, sf_dir):
     """AllQuery: every document, constant score 1.0, docid tie-break
     (tantivy AllQuery semantics, search.rs:60)."""
@@ -2440,6 +2491,8 @@ QUERIES = {
     "ft_bool_filter": q_ft_bool_filter,
     "ft_must_not": q_ft_must_not,
     "ft_phrase": q_ft_phrase,
+    "ft_span_near": q_ft_span_near,
+    "ft_span_first": q_ft_span_first,
     "ft_all": q_ft_all,
     "ft_phrase3": q_ft_phrase3,
     "ft_boost": q_ft_boost,
@@ -2868,6 +2921,16 @@ scored AS (SELECT c.vec_id,
            FROM cand c CROSS JOIN q)
 SELECT vec_id, round(cos, 4) AS cos FROM scored
 ORDER BY round(cos, 7) DESC, vec_id LIMIT 5"""
+
+
+# Queries registered WITHOUT a SQL oracle — the contract's sanctioned
+# exemption for iterative / fixed-point algorithms the driver checks
+# rows-only.  Every name here must justify itself in its docstring and
+# carry a pytest replica pinning the semantics instead.
+NO_ORACLE = frozenset({
+    "dd_semdedup_kmeans",  # k-means is a fixed-point loop; pinned by
+                           # tests/test_kmeans.py + tests/test_semdedup.py
+})
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3481,6 +3544,32 @@ SELECT j.doc_id,
              / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 4) AS score
 FROM adj j JOIN dlq q USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
 ORDER BY round(i.idf_sum * 2.2 * j.ptf
+               / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 7) DESC, j.doc_id
+LIMIT 10""",
+        "ft_span_near": pre + """, adj AS (
+  SELECT b.doc_id, count(DISTINCT b.pos) AS ptf FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id
+             AND b.pos > a.pos AND b.pos <= a.pos + 3
+  WHERE a.term = 'tabl' AND b.term IN ('row', 'hash') GROUP BY b.doc_id),
+idfs AS (SELECT sum(ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5))) AS idf_sum
+         FROM tdf t CROSS JOIN stats s WHERE t.term IN ('tabl', 'row', 'hash'))
+SELECT j.doc_id,
+       round(i.idf_sum * 2.2 * j.ptf
+             / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 4) AS score
+FROM adj j JOIN dlq q USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
+ORDER BY round(i.idf_sum * 2.2 * j.ptf
+               / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 7) DESC, j.doc_id
+LIMIT 10""",
+        "ft_span_first": pre + """, adj AS (
+  SELECT doc_id, count(*) AS ptf FROM toks
+  WHERE term = 'valu' AND pos + 1 <= 4 GROUP BY doc_id),
+idfs AS (SELECT ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5)) AS idf
+         FROM tdf t CROSS JOIN stats s WHERE t.term = 'valu')
+SELECT j.doc_id,
+       round(i.idf * 2.2 * j.ptf
+             / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 4) AS score
+FROM adj j JOIN dlq q USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
+ORDER BY round(i.idf * 2.2 * j.ptf
                / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 7) DESC, j.doc_id
 LIMIT 10""",
         "ft_more_like_this": pre + f""", seedw AS (

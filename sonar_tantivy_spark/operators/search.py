@@ -303,6 +303,10 @@ class Searcher:
             return self._cand_dismax(node, dfs)
         if isinstance(node, A.PhrasePrefixQ):
             return self._cand_phrase_prefix(node, dfs)
+        if isinstance(node, A.SpanNearQ):
+            return self._cand_span(node, dfs)
+        if isinstance(node, A.SpanFirstQ):
+            return self._cand_span(node.child, dfs, first_end=node.end)
         if isinstance(node, A.BoostQ):
             child = self._cand_opt(node.child, dfs)
             if child is None:
@@ -514,6 +518,97 @@ class Searcher:
                 )
         agg = agg.withColumn("__m", match).filter(F.size("__m") > 0)
         idf_sum = sum(bm25.idf(dfs[(node.field, t)], self.num_docs) for t in terms)
+        return agg.select(
+            "segment_id", "docid",
+            self._score_col(node.field, idf_sum, F.size("__m")),
+        )
+
+    def _cand_span(self, node: "A.SpanNearQ", dfs: dict,
+                   first_end: int | None = None) -> DataFrame | None:
+        """span_near / span_or / span_term / span_first — the phrase
+        plan generalized to per-clause ALTERNATIVES: ONE postings scan
+        filtered to every live alternative term, grouped per (segment,
+        docid) into a term→positions map; each clause's position set is
+        the (sorted, deduped) union of its alternatives' arrays, and the
+        chain is the SAME per-adjacent-pair window as PhraseQ slop
+        (ordered or Lucene-transposing per ``in_order``).  ``first_end``
+        implements span_first: final chain positions p must satisfy
+        span end p + 1 <= end.
+
+        Scale shape is identical to the phrase path — one scan + one
+        aggregation exchange regardless of clause count, with the same
+        rare-clause broadcast skew guard (clause df = Σ alternative
+        dfs).  Scoring: tf = surviving final-clause positions,
+        idf = Σ idf over every live alternative (the Lucene SpanWeight
+        rule of summing the stats of all involved terms)."""
+        clauses = [tuple(c) for c in node.clauses]
+        if not clauses:
+            return None
+        live: list[tuple[str, ...]] = []
+        for c in clauses:
+            alts = tuple(t for t in dict.fromkeys(c)
+                         if dfs.get((node.field, t), 0) > 0)
+            if not alts:
+                return None  # a clause with no live alternative → no match
+            live.append(alts)
+        uterms = list(dict.fromkeys(t for c in live for t in c))
+        p = self._table("postings")
+        if p is None:
+            return None
+        scan = p.filter(
+            (F.col("field") == node.field) & F.col("term").isin(uterms))
+        if len(live) > 1:
+            cdfs = [sum(dfs[(node.field, t)] for t in c) for c in live]
+            rare_i = min(range(len(live)), key=lambda i: cdfs[i])
+            if cdfs[rare_i] * _BYTES_PER_KEY <= _BCAST_KEY_BYTES_CAP \
+                    and cdfs[rare_i] * _SKEW_SPREAD <= max(cdfs) \
+                    and max(cdfs) * _PHRASE_ROW_BYTES \
+                    >= _SKEW_MIN_SAVED_BYTES:
+                rare_keys = scan.filter(
+                    F.col("term").isin(list(live[rare_i]))
+                ).select("segment_id", "docid")
+                scan = scan.join(F.broadcast(rare_keys),
+                                 on=["segment_id", "docid"], how="left_semi")
+        agg = scan.groupBy("segment_id", "docid").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))).alias("__pos"),
+            F.first("norm_id").alias("norm_id"),
+        )
+
+        def clause_pos(alts: tuple[str, ...]):
+            arrs = [
+                F.coalesce(F.element_at(F.col("__pos"), F.lit(t)),
+                           F.array().cast("array<int>"))
+                for t in alts
+            ]
+            if len(arrs) == 1:
+                return arrs[0]
+            return F.array_sort(F.array_distinct(F.concat(*arrs)))
+
+        # every clause must be present in the doc (the AND); with
+        # alternatives the phrase path's row-count trick doesn't apply,
+        # so filter on each clause's (possibly union) array directly
+        for alts in live:
+            agg = agg.filter(F.size(clause_pos(alts)) > 0)
+        match = clause_pos(live[0])
+        slop = int(node.slop or 0)
+        for alts in live[1:]:
+            prev = match
+            nxt = clause_pos(alts)
+            if node.in_order:
+                match = F.filter(nxt, lambda q: F.exists(
+                    prev, lambda p: (q > p) & (q <= p + 1 + slop)))
+            else:
+                match = F.filter(nxt, lambda q: F.exists(
+                    prev, lambda p: (q != p)
+                    & (q >= p + 1 - slop) & (q <= p + 1 + slop)))
+        if first_end is not None:
+            # Lucene SpanFirstQuery: span END <= end; the chain's final
+            # position p is the last token, so the span end is p + 1
+            match = F.filter(match, lambda q: q + 1 <= F.lit(first_end))
+        agg = agg.withColumn("__m", match).filter(F.size("__m") > 0)
+        idf_sum = sum(bm25.idf(dfs[(node.field, t)], self.num_docs)
+                      for c in live for t in c)
         return agg.select(
             "segment_id", "docid",
             self._score_col(node.field, idf_sum, F.size("__m")),
@@ -1105,6 +1200,16 @@ class Searcher:
                 return None  # pure prefix expansion — unbounded
             dfs = self.term_dfs({(node.field, t) for t in node.terms})
             return min(dfs.get((node.field, t), 0) for t in node.terms)
+        if isinstance(node, A.SpanNearQ):
+            if not node.clauses:
+                return 0
+            dfs = self.term_dfs(
+                {(node.field, t) for c in node.clauses for t in c})
+            # the match set is bounded by the sparsest clause's union
+            return min(sum(dfs.get((node.field, t), 0) for t in c)
+                       for c in node.clauses)
+        if isinstance(node, A.SpanFirstQ):
+            return self._cand_size_bound(node.child)
         if isinstance(node, A.DisMaxQ):
             subs = [self._cand_size_bound(c) for c in node.queries]
             if any(b is None for b in subs):
@@ -1305,6 +1410,29 @@ class Searcher:
             slop = int(getattr(node, "slop", 0) or 0)
             m = mtfs[-1] if slop > 0 else min(mtfs)
             idf_sum = sum(idfs.get((node.field, t), 0.0) for t in node.terms)
+            denom = m + bm25.K1 * (1.0 - bm25.B)
+            return idf_sum * (bm25.K1 + 1.0) * m / denom
+        if isinstance(node, A.SpanFirstQ):
+            # the end-filter only SHRINKS the match set; the child's
+            # bound (and its absence proof) carries over unchanged
+            return self._node_bound(node.child, sid, idfs, mtf)
+        if isinstance(node, A.SpanNearQ):
+            if not node.clauses:
+                return 0.0
+            # per-clause presence: a clause whose every alternative is
+            # absent from the segment is an exact absence proof
+            cmtfs = [sum(mtf.get((sid, node.field, t), 0) for t in c)
+                     for c in node.clauses]
+            if min(cmtfs) == 0:
+                return 0.0
+            # tf = surviving final-clause positions ⊆ the union of the
+            # LAST clause's alternatives' postings (the sloppy-phrase
+            # rule generalized: a predecessor can validate up to 1+slop
+            # successors, so min-over-clauses is NOT a bound; the
+            # last-clause union sum is)
+            m = cmtfs[-1]
+            idf_sum = sum(idfs.get((node.field, t), 0.0)
+                          for c in node.clauses for t in c)
             denom = m + bm25.K1 * (1.0 - bm25.B)
             return idf_sum * (bm25.K1 + 1.0) * m / denom
         if isinstance(node, A.BoolQ):
@@ -2801,6 +2929,10 @@ def collect_terms(node: A.Node) -> set[tuple[str, str]]:
         # the prefix slot expands in-scan; only the exact terms have
         # per-term stats (df=0 short-circuit + segment absence proofs)
         out.update((node.field, t) for t in node.terms)
+    elif isinstance(node, A.SpanNearQ):
+        out.update((node.field, t) for c in node.clauses for t in c)
+    elif isinstance(node, A.SpanFirstQ):
+        out.update(collect_terms(node.child))
     elif isinstance(node, A.DisMaxQ):
         for c in node.queries:
             out.update(collect_terms(c))

@@ -96,6 +96,11 @@ def collect_positive_terms(node) -> dict[str, set[str]]:
             # exact chain terms highlight; the prefix slot's expansions
             # go through expand_snippet_terms like PrefixQ
             out.setdefault(n.field, set()).update(n.terms)
+        elif isinstance(n, A.SpanNearQ) and positive:
+            out.setdefault(n.field, set()).update(
+                t for c in n.clauses for t in c)
+        elif isinstance(n, A.SpanFirstQ):
+            walk(n.child, positive)
         elif isinstance(n, A.DisMaxQ):
             for c in n.queries:
                 walk(c, positive)

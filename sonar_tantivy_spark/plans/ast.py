@@ -138,6 +138,36 @@ class PhrasePrefixQ(Node):
 
 
 @dataclass
+class SpanNearQ(Node):
+    """Lucene/ES ``span_near`` over ``span_term`` / ``span_or`` leaf
+    clauses (BEYOND-REFERENCE; toshi's DSL exposes no spans).  Each
+    clause is a tuple of alternative analyzed terms — length 1 is a
+    plain ``span_term``, length > 1 is a ``span_or`` of span_terms.
+    A single clause degenerates to that term/union on its own.
+
+    Window semantics are the SAME documented pin as PhraseQ slop
+    (per-adjacent-pair windows, selected by ``in_order``); Lucene's
+    k-clause greedy repositioning is not reproduced.  Nested
+    ``span_near`` clauses are rejected at parse with a clear error
+    rather than silently approximated."""
+
+    field: str
+    clauses: list[tuple[str, ...]]
+    slop: int = 0
+    in_order: bool = True
+
+
+@dataclass
+class SpanFirstQ(Node):
+    """Lucene/ES ``span_first``: matches of ``child`` whose span END
+    position is <= ``end`` (Lucene SpanFirstQuery rule; for a chain
+    ending at token position p the span end is p + 1)."""
+
+    child: SpanNearQ
+    end: int
+
+
+@dataclass
 class FuzzyQ(Node):
     field: str
     term: str
@@ -375,6 +405,73 @@ def _wildcard_node(schema: IndexSchema, field: str, pattern: str) -> Node:
 # ---------------------------------------------------------------- JSON DSL
 
 
+def _span_leaf(kind: str, body: dict,
+               schema: IndexSchema) -> tuple[str, tuple[str, ...]]:
+    """span_term / span_or → (field, alternative-terms clause).  Each
+    span_term value must analyze to EXACTLY one token (a multi-token
+    value inside a span is ambiguous — Lucene rejects it too)."""
+    if kind == "span_term":
+        (field, value), = body.items()
+        value = value["value"] if isinstance(value, dict) else str(value)
+        fdef = schema.field(field)
+        if fdef is None or not fdef.has_positions:
+            raise QueryError(f"field {field!r} does not record positions")
+        toks = _analyze_one(schema, field, value)
+        if len(toks) != 1:
+            raise QueryError(
+                f"span_term value {value!r} analyzes to {len(toks)} tokens"
+                " (exactly 1 required)")
+        return field, (toks[0],)
+    if kind == "span_or":
+        clauses = body.get("clauses") or []
+        if not clauses:
+            raise QueryError("span_or needs a non-empty clauses list")
+        field, alts = None, []
+        for sub in clauses:
+            if not (isinstance(sub, dict) and len(sub) == 1):
+                raise QueryError("span_or clause must be a single span query")
+            skind, sbody = next(iter(sub.items()))
+            if skind not in ("span_term", "span_or"):
+                raise QueryError(
+                    f"span_or supports span_term/span_or clauses, got {skind!r}")
+            f, terms = _span_leaf(skind, sbody, schema)
+            if field is not None and f != field:
+                raise QueryError("span_or clauses must share one field")
+            field = f
+            alts.extend(terms)
+        return field, tuple(dict.fromkeys(alts))
+    raise QueryError(f"unsupported span clause {kind!r}")
+
+
+def _parse_span(kind: str, body: dict, schema: IndexSchema) -> SpanNearQ:
+    if kind in ("span_term", "span_or"):
+        field, clause = _span_leaf(kind, body, schema)
+        return SpanNearQ(field, [clause])
+    if kind == "span_near":
+        clauses = body.get("clauses") or []
+        if len(clauses) < 1:
+            raise QueryError("span_near needs a non-empty clauses list")
+        slop = int(body.get("slop", 0))
+        if slop < 0:
+            raise QueryError("span_near slop must be >= 0")
+        in_order = bool(body.get("in_order", True))
+        field, parsed = None, []
+        for sub in clauses:
+            if not (isinstance(sub, dict) and len(sub) == 1):
+                raise QueryError("span_near clause must be a single span query")
+            skind, sbody = next(iter(sub.items()))
+            if skind == "span_near":
+                raise QueryError(
+                    "nested span_near is not supported (flatten the clauses)")
+            f, clause = _span_leaf(skind, sbody, schema)
+            if field is not None and f != field:
+                raise QueryError("span_near clauses must share one field")
+            field = f
+            parsed.append(clause)
+        return SpanNearQ(field, parsed, slop=slop, in_order=in_order)
+    raise QueryError(f"unsupported span query {kind!r}")
+
+
 def parse_json(q: dict, schema: IndexSchema) -> Node:
     """toshi JSON query → AST.  Shapes per the reference tests
     (test/basic.js:70-77) and search.rs:44-61."""
@@ -401,6 +498,17 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
         for t in terms:
             analyzed.extend(_analyze_one(schema, field, t))
         return PhraseQ(field, analyzed, slop=slop, in_order=in_order)
+    if kind in ("span_term", "span_or", "span_near"):
+        return _parse_span(kind, body, schema)
+    if kind == "span_first":
+        match = body.get("match")
+        if not (isinstance(match, dict) and len(match) == 1):
+            raise QueryError("span_first needs a single span query in 'match'")
+        end = int(body.get("end", 0))
+        if end <= 0:
+            raise QueryError("span_first end must be >= 1")
+        mkind, mbody = next(iter(match.items()))
+        return SpanFirstQ(_parse_span(mkind, mbody, schema), end)
     if kind == "prefix":
         (field, value), = body.items()
         value = value["value"] if isinstance(value, dict) else str(value)

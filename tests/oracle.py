@@ -97,6 +97,10 @@ class OracleIndex:
             return out
         if isinstance(node, A.PhrasePrefixQ):
             return self._score_phrase_prefix(node)
+        if isinstance(node, A.SpanNearQ):
+            return self._score_span(node)
+        if isinstance(node, A.SpanFirstQ):
+            return self._score_span(node.child, first_end=node.end)
         if isinstance(node, A.BoostQ):
             return {d: s * node.boost for d, s in self.score(node.child).items()}
         if isinstance(node, A.ConstScoreQ):
@@ -208,6 +212,57 @@ class OracleIndex:
                     }
             if match:
                 out[d] = bm25.score(len(match), self._dl(node.field, d), avgdl, idf_sum)
+        return out
+
+    def _score_span(self, node: A.SpanNearQ,
+                    first_end: int | None = None) -> dict[int, float]:
+        """span_near/span_or/span_term (+ span_first via ``first_end``):
+        the phrase scorer generalized to per-clause alternative unions,
+        same per-adjacent-pair windows, tf = surviving final positions,
+        idf = sum over LIVE (df > 0) alternatives — the engine's
+        _cand_span semantics, independently re-derived."""
+        field = node.field
+        live = []
+        for c in node.clauses:
+            alts = [t for t in dict.fromkeys(c)
+                    if self.postings.get((field, t), {})]
+            if not alts:
+                return {}
+            live.append(alts)
+        if not live:
+            return {}
+
+        def cpos(alts, d):
+            out: set[int] = set()
+            for t in alts:
+                out |= set(self.postings.get((field, t), {}).get(d, []))
+            return out
+
+        docs = set()
+        for t in live[0]:
+            docs |= set(self.postings.get((field, t), {}))
+        for alts in live[1:]:
+            docs &= {d for t in alts
+                     for d in self.postings.get((field, t), {})}
+        slop = int(node.slop or 0)
+        idf_sum = sum(self.idf(field, t) for alts in live for t in alts)
+        avgdl = self.avgdl(field)
+        out: dict[int, float] = {}
+        for d in docs:
+            match = cpos(live[0], d)
+            for alts in live[1:]:
+                if node.in_order:
+                    match = {q for q in cpos(alts, d)
+                             if any(p < q <= p + 1 + slop for p in match)}
+                else:
+                    match = {q for q in cpos(alts, d)
+                             if any(q != p and abs(q - p - 1) <= slop
+                                    for p in match)}
+            if first_end is not None:
+                match = {q for q in match if q + 1 <= first_end}
+            if match:
+                out[d] = bm25.score(len(match), self._dl(field, d),
+                                    avgdl, idf_sum)
         return out
 
     def _score_prefix(self, node: A.PrefixQ) -> dict[int, float]:

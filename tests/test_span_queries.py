@@ -1,0 +1,193 @@
+"""Span queries (span_term / span_or / span_near / span_first) —
+BEYOND-REFERENCE (toshi's DSL exposes no spans; semantics follow
+Lucene's span family with the engine's documented per-adjacent-pair
+window pin, plans/ast.py SpanNearQ).  Verified by: JSON-DSL grammar
+unit tests, rank+score parity against the pure-Python oracle replica
+on the deterministic transcript corpus, and degeneration identities
+(span_term == term scores; slop-0 single-term clauses == exact
+phrase)."""
+
+import pytest
+
+from sonar_tantivy_spark import IndexCatalog
+from sonar_tantivy_spark.plans import ast as A
+from sonar_tantivy_spark.sources.transcripts import (
+    TRANSCRIPT_SCHEMA,
+    generate_transcripts,
+)
+from tests.oracle import OracleIndex
+
+N_TURNS = 1200
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_transcripts(N_TURNS)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    docs = corpus.to_dict("records")
+    return OracleIndex(docs, {"text": "en_stem", "role": "raw", "tool": "raw"})
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("idxspan"))
+    cat = IndexCatalog(spark, base)
+    idx = cat.create_index("transcripts", TRANSCRIPT_SCHEMA)
+    idx.add_df(spark.createDataFrame(corpus),
+               order_cols=["conv_id", "turn_idx"], num_segments=4)
+    return idx
+
+
+def _engine_topk(index, node, k=10):
+    s = index.searcher()
+    rows = s.top_k_pruned(node, limit=k).collect()
+    return [(int(r["docid_g"]), float(r["score"])) for r in rows]
+
+
+# -------------------------------------------------------------- grammar
+def test_parse_span_shapes(index):
+    schema = index.schema
+    n = A.parse_json({"span_term": {"text": "hello"}}, schema)
+    assert isinstance(n, A.SpanNearQ) and n.clauses == [("hello",)]
+    n = A.parse_json({"span_or": {"clauses": [
+        {"span_term": {"text": "hello"}},
+        {"span_term": {"text": "needle"}}]}}, schema)
+    assert n.clauses == [("hello", "needl")]  # Porter2-stemmed
+    n = A.parse_json({"span_near": {"clauses": [
+        {"span_term": {"text": "hello"}},
+        {"span_or": {"clauses": [{"span_term": {"text": "world"}},
+                                 {"span_term": {"text": "needle"}}]}}],
+        "slop": 2, "in_order": False}}, schema)
+    assert n.clauses == [("hello",), ("world", "needl")]
+    assert n.slop == 2 and n.in_order is False
+    n = A.parse_json({"span_first": {
+        "match": {"span_term": {"text": "hello"}}, "end": 3}}, schema)
+    assert isinstance(n, A.SpanFirstQ) and n.end == 3
+    # span_term values are ANALYZED (stemming included), like the
+    # engine's term/phrase inputs
+    n = A.parse_json({"span_term": {"text": "Stems"}}, schema)
+    assert n.clauses == [("stem",)]
+
+
+def test_parse_span_errors(index):
+    schema = index.schema
+    with pytest.raises(A.QueryError):  # nested span_near
+        A.parse_json({"span_near": {"clauses": [
+            {"span_near": {"clauses": [{"span_term": {"text": "a"}}]}},
+            {"span_term": {"text": "b"}}]}}, schema)
+    with pytest.raises(A.QueryError):  # mixed fields
+        A.parse_json({"span_near": {"clauses": [
+            {"span_term": {"text": "hello"}},
+            {"span_term": {"role": "user"}}]}}, schema)
+    with pytest.raises(A.QueryError):  # multi-token span_term value
+        A.parse_json({"span_term": {"text": "hello world"}}, schema)
+    with pytest.raises(A.QueryError):  # span_first needs end >= 1
+        A.parse_json({"span_first": {
+            "match": {"span_term": {"text": "hello"}}, "end": 0}}, schema)
+    with pytest.raises(A.QueryError):  # negative slop
+        A.parse_json({"span_near": {"clauses": [
+            {"span_term": {"text": "a"}}, {"span_term": {"text": "b"}}],
+            "slop": -1}}, schema)
+    with pytest.raises(A.QueryError):  # empty clause list
+        A.parse_json({"span_or": {"clauses": []}}, schema)
+
+
+# ------------------------------------------------------- degenerations
+def test_span_term_equals_term_query(index):
+    """A lone span_term scores tf = positions count = the term's tf —
+    bit-identical to the plain term query."""
+    span = A.parse_json({"span_term": {"text": "hello"}}, index.schema)
+    term = A.parse_json({"term": {"text": "hello"}}, index.schema)
+    assert _engine_topk(index, span) == _engine_topk(index, term)
+
+
+def test_span_near_slop0_equals_exact_phrase(index):
+    span = A.parse_json({"span_near": {"clauses": [
+        {"span_term": {"text": "hello"}},
+        {"span_term": {"text": "world"}}], "slop": 0}}, index.schema)
+    phrase = A.parse_json(
+        {"phrase": {"text": {"terms": ["hello", "world"]}}}, index.schema)
+    assert _engine_topk(index, span) == _engine_topk(index, phrase)
+
+
+def test_span_first_monotone_in_end(index):
+    """Growing ``end`` only ADDS matches; end >= max dl is the plain
+    span."""
+    def docs(end):
+        node = A.parse_json({"span_first": {
+            "match": {"span_term": {"text": "hello"}}, "end": end}},
+            index.schema)
+        return {d for d, _ in _engine_topk(index, node, k=500)}
+
+    d3, d10, d_all = docs(3), docs(10), docs(100000)
+    assert d3 <= d10 <= d_all
+    span = A.parse_json({"span_term": {"text": "hello"}}, index.schema)
+    assert d_all == {d for d, _ in _engine_topk(index, span, k=500)}
+
+
+# ------------------------------------------------------- oracle parity
+PARITY = {
+    "span_or": {"span_or": {"clauses": [
+        {"span_term": {"text": "hello"}},
+        {"span_term": {"text": "needle"}}]}},
+    "span_near_ordered": {"span_near": {"clauses": [
+        {"span_term": {"text": "hello"}},
+        {"span_term": {"text": "world"}}], "slop": 2}},
+    "span_near_unordered": {"span_near": {"clauses": [
+        {"span_term": {"text": "world"}},
+        {"span_term": {"text": "hello"}}],
+        "slop": 2, "in_order": False}},
+    "span_near_with_or": {"span_near": {"clauses": [
+        {"span_term": {"text": "hello"}},
+        {"span_or": {"clauses": [{"span_term": {"text": "world"}},
+                                 {"span_term": {"text": "needle"}}]}}],
+        "slop": 3}},
+    "span_first": {"span_first": {
+        "match": {"span_term": {"text": "hello"}}, "end": 4}},
+    "span_first_near": {"span_first": {
+        "match": {"span_near": {"clauses": [
+            {"span_term": {"text": "hello"}},
+            {"span_term": {"text": "world"}}], "slop": 1}}, "end": 6}},
+    "span_in_bool": {"bool": {
+        "must": [{"span_near": {"clauses": [
+            {"span_term": {"text": "hello"}},
+            {"span_term": {"text": "world"}}], "slop": 2}}],
+        "should": [{"term": {"text": "needle"}}]}},
+    "span_dead_alternative": {"span_near": {"clauses": [
+        {"span_term": {"text": "hello"}},
+        {"span_or": {"clauses": [
+            {"span_term": {"text": "world"}},
+            {"span_term": {"text": "zzznosuchterm"}}]}}], "slop": 1}},
+}
+
+
+@pytest.mark.parametrize("name", sorted(PARITY))
+def test_span_parity(index, oracle, name):
+    node = A.parse_json(PARITY[name], index.schema)
+    got = _engine_topk(index, node)
+    want = oracle.top_k(node, 10)
+    assert [d for d, _ in got] == [d for d, _ in want], name
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=1e-9)
+
+
+def test_span_all_dead_clause_matches_nothing(index):
+    node = A.parse_json({"span_near": {"clauses": [
+        {"span_term": {"text": "hello"}},
+        {"span_term": {"text": "zzznosuchterm"}}]}}, index.schema)
+    assert _engine_topk(index, node) == []
+
+
+def test_span_count_and_explain(index):
+    """Spans ride the whole collector surface: count + explain."""
+    q = {"span_near": {"clauses": [
+        {"span_term": {"text": "hello"}},
+        {"span_term": {"text": "world"}}], "slop": 2}}
+    n = index.count(q)
+    assert n == len(_engine_topk(index, A.parse_json(q, index.schema),
+                                 k=100000))
+    ex = index.explain(q)
+    assert ex["segments_total"] >= 1
