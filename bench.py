@@ -267,6 +267,16 @@ def run_attempt() -> dict:
             "positive": {"term": {"text": "hello"}},
             "negative": {"term": {"text": "world"}},
             "negative_boost": 0.3}},
+        # span family: same single-scan positions plan as the phrase
+        # classes — an or-clause unions position arrays, span_first is
+        # an in-array position predicate (no extra exchange vs q17)
+        "q32_span_near": {"span_near": {"clauses": [
+            {"span_term": {"text": "hello"}},
+            {"span_or": {"clauses": [{"span_term": {"text": "world"}},
+                                     {"span_term": {"text": "mundo"}}]}}],
+            "slop": 2, "in_order": True}},
+        "q33_span_first": {"span_first": {
+            "match": {"span_term": {"text": "hello"}}, "end": 3}},
     }
     # query phase: modest shuffle fan-out wins for k=10 result sets.
     # top_k_pruned IS the default path (Index.query/query_df) — bench it,
