@@ -413,6 +413,37 @@ def run_attempt() -> dict:
         times.append(time.time() - tq)
     q_p50["q21_term_deleted"] = round(statistics.median(times), 4)
 
+    # percolation throughput: 8 saved queries (term / phrase-slop /
+    # bool / prefix / span shapes) against the full corpus in ONE
+    # map-only pass — turns/sec is the alerting-pipeline capacity
+    # number (scales with doc volume only; query count widens the
+    # projection, it never adds passes)
+    for pname, pq in {
+        "alert_hello": {"term": {"text": "hello"}},
+        "alert_phrase": '"hello world"~2',
+        "alert_bool": {"bool": {"must": [{"term": {"text": "world"}}],
+                                "must_not": [{"term": {"text": "mundo"}}]}},
+        "alert_prefix": "hell*",
+        "alert_terms": {"terms": {"text": ["needle", "mundo"]}},
+        "alert_span": {"span_near": {"clauses": [
+            {"span_term": {"text": "hello"}},
+            {"span_or": {"clauses": [{"span_term": {"text": "world"}},
+                                     {"span_term": {"text": "mundo"}}]}}],
+            "slop": 2}},
+        "alert_tool": {"exists": {"field": "tool"}},
+        "alert_msm": {"bool": {"should": [{"term": {"text": "hello"}},
+                                          {"term": {"text": "world"}},
+                                          {"term": {"text": "needle"}}],
+                               "minimum_should_match": 2}},
+    }.items():
+        idx.register_query(pname, pq)
+    t0 = time.time()
+    n_alerts = idx.percolate(docs, keep_cols=["conv_id"]).count()
+    perc_wall = time.time() - t0
+    perc_stats = {"queries": 8, "alerts": int(n_alerts),
+                  "wall_s": round(perc_wall, 2),
+                  "turns_per_sec": round(n_turns / perc_wall, 1)}
+
     # ANN quality: recall@5 of the multiprobe-LSH path vs the exact
     # cosine baseline over the sf embeddings (engine-side execution)
     from sonar_tantivy_spark.operators.ann import (measure_recall,
@@ -434,6 +465,7 @@ def run_attempt() -> dict:
         "segments_skipped": q_skips,
         "ann": ann_stats,
         "ann_ivf": ivf_stats,
+        "percolate": perc_stats,
         "sf": sf,
         "build": {
             "turns": n_turns,

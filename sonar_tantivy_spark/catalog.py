@@ -913,6 +913,56 @@ class Index:
             r["df"] = int(dfs.get((field, r["term"]), 0))
         return sorted(rows, key=lambda r: r["term"])
 
+    # -------------------------------------------------------- percolator
+    def _parse_any(self, query: "str | dict") -> "A.Node":
+        return (A.parse_string(query, self.schema) if isinstance(query, str)
+                else A.parse_json(query, self.schema))
+
+    def register_query(self, name: str, query: "str | dict") -> None:
+        """Save a query for percolation (the ES percolator-document
+        analog).  Parsed AND validated now — unsupported shapes (ids,
+        OSA fuzzy) fail at registration, never at batch time.  The
+        registry is one atomic JSON commit beside the manifest; it is a
+        saved-SEARCH store (at most thousands of entries), never data."""
+        from sonar_tantivy_spark.operators.percolate import (
+            validate_for_percolation,
+        )
+
+        node = self._parse_any(query)
+        validate_for_percolation(node, self.schema)
+        reg = self.storage.read_aux("percolator.json", {})
+        reg[name] = {"query": query}
+        self.storage.write_aux("percolator.json", reg)
+
+    def unregister_query(self, name: str) -> bool:
+        reg = self.storage.read_aux("percolator.json", {})
+        if name not in reg:
+            return False
+        del reg[name]
+        self.storage.write_aux("percolator.json", reg)
+        return True
+
+    def registered_queries(self) -> dict:
+        """name → the saved query (verbatim grammar string / JSON DSL)."""
+        reg = self.storage.read_aux("percolator.json", {})
+        return {k: v["query"] for k, v in sorted(reg.items())}
+
+    def percolate(self, df: DataFrame, keep_cols: "list[str] | None" = None,
+                  explode: bool = True) -> DataFrame:
+        """Which registered queries match each row of ``df``?  Map-only
+        (one Arrow tokenize pass per referenced field + one projection
+        of compiled JVM predicates — no shuffle, no index access), so
+        the SAME call percolates a streaming DataFrame: alerting is
+        ``idx.percolate(readStream_df).writeStream...``.  Membership
+        parity with the search path is pinned in tests/test_percolate.py.
+        See operators/percolate.py for the execution-shape contract."""
+        from sonar_tantivy_spark.operators.percolate import percolate_df
+
+        nodes = {name: self._parse_any(q)
+                 for name, q in self.registered_queries().items()}
+        return percolate_df(df, self.schema, nodes,
+                            keep_cols=keep_cols, explode=explode)
+
 
 class IndexCatalog:
     """Named indexes under one base path (index.rs:18-21, 49-87)."""

@@ -245,6 +245,32 @@ def q_ft_span_first(spark, sf_dir):
         "doc_id", (F.lit(idf * (K1 + 1.0)) * tf / denom).alias("score")))
 
 
+def q_ft_percolate(spark, sf_dir):
+    """Percolation (reverse search, ES percolate-query shaped): three
+    SAVED queries — a term, an ordered sloppy phrase, a bool with a
+    must_not — evaluated against every document in ONE map-only pass
+    (operators/percolate.py: one Arrow tokenize per referenced field +
+    compiled JVM predicates, zero exchanges; the same transform
+    percolates a readStream for alerting).  Output = the (doc,
+    saved-query) alert pairs."""
+    from sonar_tantivy_spark.operators.percolate import percolate_df
+    from sonar_tantivy_spark.plans import ast as A
+    from sonar_tantivy_spark.plans.schema import IndexSchema
+
+    schema = IndexSchema.from_json(
+        '[{"name": "text", "type": "text", "options": {"indexing": '
+        '{"record": "position", "tokenizer": "en_stem"}, "stored": true}}]')
+    saved = {
+        "perc_term": A.TermQ("text", "valu"),
+        "perc_slop": A.PhraseQ("text", ["valu", "tabl"], slop=2),
+        "perc_bool": A.BoolQ(must=[A.TermQ("text", "row")],
+                             must_not=[A.TermQ("text", "hash")]),
+    }
+    out = percolate_df(_docs(spark, sf_dir), schema, saved,
+                       keep_cols=["doc_id"])
+    return out.orderBy("doc_id", "query_name")
+
+
 def q_ft_all(spark, sf_dir):
     """AllQuery: every document, constant score 1.0, docid tie-break
     (tantivy AllQuery semantics, search.rs:60)."""
@@ -2493,6 +2519,7 @@ QUERIES = {
     "ft_phrase": q_ft_phrase,
     "ft_span_near": q_ft_span_near,
     "ft_span_first": q_ft_span_first,
+    "ft_percolate": q_ft_percolate,
     "ft_all": q_ft_all,
     "ft_phrase3": q_ft_phrase3,
     "ft_boost": q_ft_boost,
@@ -3560,6 +3587,21 @@ FROM adj j JOIN dlq q USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
 ORDER BY round(i.idf_sum * 2.2 * j.ptf
                / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 7) DESC, j.doc_id
 LIMIT 10""",
+        "ft_percolate": pre + """, m1 AS (
+  SELECT DISTINCT doc_id, 'perc_term' AS query_name FROM toks
+  WHERE term = 'valu'),
+m2 AS (
+  SELECT DISTINCT a.doc_id, 'perc_slop' AS query_name FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id
+             AND b.pos > a.pos AND b.pos <= a.pos + 3
+  WHERE a.term = 'valu' AND b.term = 'tabl'),
+m3 AS (
+  SELECT doc_id, 'perc_bool' AS query_name
+  FROM (SELECT DISTINCT doc_id FROM toks WHERE term = 'row')
+  WHERE doc_id NOT IN (SELECT doc_id FROM toks WHERE term = 'hash'))
+SELECT doc_id, query_name FROM (
+  SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3)
+ORDER BY doc_id, query_name""",
         "ft_span_first": pre + """, adj AS (
   SELECT doc_id, count(*) AS ptf FROM toks
   WHERE term = 'valu' AND pos + 1 <= 4 GROUP BY doc_id),

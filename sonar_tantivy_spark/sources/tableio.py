@@ -102,6 +102,17 @@ class FsStorage:
             for r in rows:
                 fh.write(json.dumps(r) + "\n")
 
+    # -- auxiliary JSON blobs (percolator registry, ...) -------------------
+    def read_aux(self, rel: str, default: Any) -> Any:
+        path = os.path.join(self.root, rel)
+        if not os.path.exists(path):
+            return default
+        with open(path) as fh:
+            return json.load(fh)
+
+    def write_aux(self, rel: str, obj: Any) -> None:
+        self._write_json(rel, obj)  # same atomic replace as the manifest
+
     # -- data -------------------------------------------------------------
     def epoch_dir(self, epoch: str, table: str) -> str:
         return os.path.join(self.root, "data", epoch, table)
@@ -185,6 +196,7 @@ class MemStorage:
         self._manifest: dict = {"opstamp": 0, "segments": []}
         self._tables: dict[tuple[str, str], DataFrame] = {}
         self.metrics: list[dict] = []
+        self._aux: dict[str, Any] = {}
 
     def exists(self) -> bool:
         return self._schema_json is not None
@@ -198,6 +210,7 @@ class MemStorage:
         self._tables.clear()
         self._schema_json = None
         self._manifest = {"opstamp": 0, "segments": []}
+        self._aux.clear()
 
     def schema_json(self) -> str:
         assert self._schema_json is not None
@@ -220,6 +233,12 @@ class MemStorage:
 
     def log_metrics(self, rows: list[dict]) -> None:
         self.metrics.extend(rows)
+
+    def read_aux(self, rel: str, default: Any) -> Any:
+        return json.loads(json.dumps(self._aux.get(rel, default)))
+
+    def write_aux(self, rel: str, obj: Any) -> None:
+        self._aux[rel] = json.loads(json.dumps(obj))
 
     def write_table(self, df: DataFrame, epoch: str, table: str,
                     partition_cols: tuple = ("segment_id",)) -> None:

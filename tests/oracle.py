@@ -366,11 +366,23 @@ class OracleIndex:
         return out
 
     def _score_range(self, node: A.RangeQ) -> dict[int, float]:
+        import pandas as pd
+
+        def cv(b, v):
+            # engine rule: string bounds on a date field cast to
+            # timestamp (search.py _cand_range)
+            return (pd.Timestamp(b)
+                    if isinstance(b, str) and isinstance(v, pd.Timestamp)
+                    else b)
+
         out = {}
         for d, doc in enumerate(self.docs):
             v = doc.get(node.field)
             if v is None:
                 continue
+            node = A.RangeQ(node.field, gte=cv(node.gte, v),
+                            gt=cv(node.gt, v), lte=cv(node.lte, v),
+                            lt=cv(node.lt, v))
             if node.gte is not None and not (v >= node.gte):
                 continue
             if node.gt is not None and not (v > node.gt):
