@@ -963,6 +963,96 @@ class Index:
         return percolate_df(df, self.schema, nodes,
                             keep_cols=keep_cols, explode=explode)
 
+    # ------------------------------------------------------ ES admin APIs
+    def analyze(self, text: str, field: str | None = None,
+                tokenizer: str | None = None) -> list[dict]:
+        """ES ``_analyze`` analog: run a field's analyzer (or an explicit
+        tokenizer name) over ``text`` → [{"token", "position"}].  Pure
+        driver-side — the SAME tokenize the build pipeline ships to
+        executors, so what this returns is exactly what gets indexed
+        (positions keep RemoveLongFilter gaps, the tantivy rule)."""
+        from sonar_tantivy_spark import analyzer as an
+
+        if tokenizer is None:
+            if field is None:
+                raise A.QueryError("analyze needs a field or a tokenizer")
+            fdef = self.schema.field(field)
+            if fdef is None or fdef.tokenizer is None:
+                raise A.QueryError(
+                    f"field {field!r} is not an analyzed text field")
+            tokenizer = fdef.tokenizer
+        if tokenizer not in an.TOKENIZERS:
+            raise A.QueryError(f"unknown tokenizer {tokenizer!r}")
+        return [{"token": t, "position": p}
+                for t, p in an.tokenize(text, tokenizer)]
+
+    def mget(self, docids: list[int]) -> list[dict]:
+        """ES ``_mget`` analog: stored fields for a list of GLOBAL
+        docids, in request order, missing ids reported not dropped —
+        [{"docid", "found", "doc"}].  One pushdown-filtered doc-store
+        scan for the whole batch (the bounded retrieve shape: ≤ |ids|
+        row-group reads, never a corpus job); deleted docs are
+        anti-joined out like any query hit."""
+        s = self.searcher()
+        # _ids_rows returns (segment_id, local) pairs for LIVE in-range
+        # ids — invert to docid_g → (sid, local)
+        pairs = s._ids_rows(list(dict.fromkeys(docids)))
+        by_g: dict[int, tuple[str, int]] = {}
+        for sid, local in pairs:
+            by_g[int(s.bases[sid] + local)] = (sid, local)
+        out_rows: dict[tuple[str, int], dict] = {}
+        if by_g:
+            docs = s._table("docs")
+            cond = None
+            for sid, local in by_g.values():
+                c = (F.col("segment_id") == sid) & (F.col("docid") == local)
+                cond = c if cond is None else (cond | c)
+            cand = docs.filter(cond).select(
+                "segment_id", "docid",
+                *[f.name for f in self.schema.fields if f.stored])
+            tomb = s._tombstones()
+            if tomb is not None:
+                cand = cand.join(tomb, on=["segment_id", "docid"],
+                                 how="left_anti")
+            stored = {f.name for f in self.schema.fields if f.stored}
+            for d in cand.collect():
+                row = d.asDict()
+                out_rows[(row["segment_id"], row["docid"])] = {
+                    k: [v] if not isinstance(v, list) else v
+                    for k, v in row.items()
+                    if k in stored and v is not None}
+        results = []
+        for g in docids:
+            key = by_g.get(int(g))
+            doc = out_rows.get(key) if key is not None else None
+            results.append({"docid": int(g), "found": doc is not None,
+                            "doc": doc if doc is not None else {}})
+        return results
+
+    def suggest_completion(self, field: str, prefix: str,
+                           size: int = 5) -> list[dict]:
+        """Completion suggester: dictionary terms extending ``prefix``,
+        weighted by global df — [{"text", "df"}] by (df DESC, term ASC).
+        ES's completion runs over a dedicated weighted FST field; the
+        engine's analog weights by corpus doc-frequency, which is the
+        useful default when the corpus IS the suggestion source.  ONE
+        pushdown-filtered termdict scan (StartsWith prunes row groups
+        over (field, term)-sorted segments), dfs summed across segments
+        — postings never touched.  Tombstoned docs release their df at
+        compaction (the documented deletes rule)."""
+        if not prefix:
+            return []
+        s = self.searcher()
+        td = s._table("termdict")
+        if td is None:
+            return []
+        rows = (td.filter((F.col("field") == field)
+                          & F.col("term").startswith(prefix.lower()))
+                .groupBy("term").agg(F.sum("df").alias("df"))
+                .orderBy(F.desc("df"), F.asc("term"))
+                .limit(size).collect())
+        return [{"text": r["term"], "df": int(r["df"])} for r in rows]
+
 
 class IndexCatalog:
     """Named indexes under one base path (index.rs:18-21, 49-87)."""
@@ -1090,3 +1180,51 @@ class IndexCatalog:
             futs = {n: pool.submit(
                 self.open(n).query, query, MULTI_QUERY_LIMIT) for n in names}
             return {n: f.result() for n, f in futs.items()}
+
+    def reindex(self, src_name: str, dst_name: str,
+                query: "str | dict | None" = None,
+                num_segments: int | None = None) -> int:
+        """ES ``_reindex`` analog: re-ingest ``src``'s STORED fields into
+        ``dst`` (which must already exist — its schema defines the new
+        analysis, the ES contract: reindex copies _source, it never
+        copies the inverted index).  ``query`` optionally restricts the
+        copied set through the normal search path's candidate compiler
+        — pushdown-filtered, never a scored top-k.
+
+        Fully distributed: ONE doc-store scan (+ a semi-join against the
+        query candidates and the tombstone anti-join), then the standard
+        build pipeline; order is preserved by the source's global docid
+        rank carried as an internal order column that build_segments
+        drops before the row store.  Columns map by NAME; source
+        columns the destination schema lacks are warned-and-dropped,
+        destination fields the source lacks index as missing — both the
+        ES rule.  Returns the number of documents written."""
+        src, dst = self.open(src_name), self.open(dst_name)
+        s = src.searcher()
+        docs = s._table("docs")
+        if docs is None:
+            return 0
+        tomb = s._tombstones()
+        if tomb is not None:
+            docs = docs.join(tomb, on=["segment_id", "docid"], how="left_anti")
+        if query is not None:
+            node = src._parse_any(query)
+            cand = s.candidates(node).select("segment_id", "docid")
+            docs = docs.join(cand, on=["segment_id", "docid"], how="left_semi")
+        # global source order: base(segment) + local docid, carried as a
+        # non-schema order column (dropped from dst's row store)
+        base_pairs: list = []
+        for sid, b in s.bases.items():
+            base_pairs.extend([F.lit(sid), F.lit(int(b))])
+        ord_col = (F.element_at(F.create_map(*base_pairs),
+                                F.col("segment_id")) + F.col("docid"))
+        stored = [f.name for f in src.schema.fields
+                  if f.stored and f.name in docs.columns]
+        out = docs.withColumn("__src_ord", ord_col).select("__src_ord",
+                                                           *stored)
+        n = out.count()
+        if n == 0:
+            return 0
+        dst.add_df(out, order_cols=["__src_ord"],
+                   num_segments=num_segments, n_hint=n)
+        return n

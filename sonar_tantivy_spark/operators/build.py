@@ -319,6 +319,11 @@ def build_segments(
     docs_tbl = with_id.withColumn("segment_id", sid_expr).withColumn(
         "docid", (F.col("docid_g") % F.lit(seg_size)).cast("long")
     ).drop("docid_g")
+    # order_cols that are NOT schema fields (e.g. reindex's internal
+    # source-docid rank) exist only to make docid assignment
+    # deterministic — they never enter the row store
+    docs_tbl = docs_tbl.drop(
+        *[c for c in order_cols if c not in schema_cols])
 
     # time-partition the docs row store on the first date field (the
     # Iceberg ts-partitioning analog, SURVEY.md §4): range queries prune
