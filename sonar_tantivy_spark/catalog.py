@@ -26,6 +26,7 @@ from sonar_tantivy_spark.operators.build import build_segments
 from sonar_tantivy_spark.operators.search import Searcher, collect_terms
 from sonar_tantivy_spark.operators.snippet import (
     collect_positive_terms,
+    generate_fragments,
     generate_snippet,
 )
 from sonar_tantivy_spark.plans import ast as A
@@ -192,6 +193,13 @@ class Index:
         if body is None:
             raise A.QueryError("Empty Query Provided")  # search.rs:100-102
         node = A.parse_json(body, self.schema)
+        hl = search.get("highlight")
+
+        def _done(res: dict) -> dict:
+            if hl:
+                self._apply_highlight(res["docs"], node, hl)
+            return res
+
         limit = int(search.get("limit", DEFAULT_QUERY_LIMIT))
         offset = int(search.get("offset", search.get("from", 0)))
         if offset < 0:
@@ -242,7 +250,7 @@ class Index:
                                              for r in counts}}
                 if aggs:
                     out["aggs"] = s.aggregations(node, aggs, cands=cand)
-                return out
+                return _done(out)
             finally:
                 cand.unpersist()
         rescore = search.get("rescore")
@@ -252,14 +260,14 @@ class Index:
                     "rescore cannot combine with sort_by/search_after "
                     "(the ES rule: rescoring reorders the window)")
             hits = self._rescored_hits(s, node, rescore, depth)
-            return {"docs": s.retrieve(hits)[offset:], "facets": {}}
+            return _done({"docs": s.retrieve(hits)[offset:], "facets": {}})
         collapse = search.get("collapse")
         if collapse:
             if after is not None:
                 raise A.QueryError(
                     "collapse cannot combine with search_after here")
             hits = self._collapsed_hits(s, node, collapse, depth, sort_by)
-            return {"docs": s.retrieve(hits)[offset:], "facets": {}}
+            return _done({"docs": s.retrieve(hits)[offset:], "facets": {}})
         # BM25-bound pruning is invalid under sort-by-field ordering;
         # the sorted collector prunes on the sort field's zone maps.
         # sort_by + search_after takes the exact sorted plan (the
@@ -271,7 +279,73 @@ class Index:
                     s.top_k_sorted_pruned(node, limit=depth, sort_by=sort_by))
         else:
             hits = s.top_k_pruned(node, limit=depth, after=after)
-        return {"docs": s.retrieve(hits)[offset:], "facets": {}}
+        return _done({"docs": s.retrieve(hits)[offset:], "facets": {}})
+
+    def _apply_highlight(self, docs: list[dict], node: "A.Node",
+                         hl: dict) -> None:
+        """ES ``highlight`` block: per stored analyzed field, up to
+        ``number_of_fragments`` non-overlapping ``fragment_size``-char
+        fragments with matched terms wrapped in pre/post tags (ES
+        defaults <em>/</em>).  Post-processing over the ≤k retrieved
+        hits only — same bounded cost as snippets; expansion clauses
+        (prefix/regex/fuzzy) highlight their matched dictionary terms
+        through the same capped termdict read the snippet path uses.
+        Hits with no highlightable fragment get no ``highlight`` key
+        for that field, the ES omission rule."""
+        fields_spec = hl.get("fields") or {}
+        if not fields_spec:
+            raise A.QueryError("highlight needs a non-empty fields map")
+        pre = (hl.get("pre_tags") or ["<em>"])[0]
+        post = (hl.get("post_tags") or ["</em>"])[0]
+        s = self.searcher()
+        pos_terms = collect_positive_terms(node)
+        for fname, spec in fields_spec.items():
+            fdef = self.schema.field(fname)
+            if fdef is None or not fdef.stored or fdef.tokenizer is None:
+                raise A.QueryError(
+                    f"highlight field {fname!r} must be a stored "
+                    "analyzed text field")
+            spec = spec or {}
+            fsize = int(spec.get("fragment_size", 150))
+            nfrag = int(spec.get("number_of_fragments", 1))
+            terms = set(pos_terms.get(fname, set()))
+            terms |= s.expand_snippet_terms(node, fname)
+            tok = self.schema.tokenizer_for(fname)
+            for d in docs:
+                vals = d["doc"].get(fname, [])
+                frags = generate_fragments(
+                    vals[0] if vals else None, terms, tok,
+                    max_chars=fsize, number_of_fragments=nfrag,
+                    pre_tag=pre, post_tag=post)
+                if frags:
+                    d.setdefault("highlight", {})[fname] = frags
+
+    def scan_df(self, query: "str | dict",
+                with_stored: bool = False) -> DataFrame:
+        """The FULL match set as a DataFrame (docid, score[, stored
+        fields]) — the pagination-free export shape.  No top-k, no
+        collect: candidates stay distributed, the global docid is
+        column math over the segment base map, and stored fields come
+        in through ONE equi-join against the doc store.  This is how a
+        100 TB match set leaves the index (feed it to a writer /
+        downstream pipeline); for human-sized pages use query_json's
+        search_after."""
+        node = self._parse_any(query)
+        s = self.searcher()
+        cand = s.candidates(node)
+        base_pairs: list = []
+        for sid, b in s.bases.items():
+            base_pairs.extend([F.lit(sid), F.lit(int(b))])
+        gid = (F.element_at(F.create_map(*base_pairs),
+                            F.col("segment_id")) + F.col("docid"))
+        if not with_stored:
+            return cand.select(gid.alias("docid"), "score")
+        docs = s._table("docs")
+        stored = [f.name for f in self.schema.fields
+                  if f.stored and f.name in docs.columns]
+        return (cand.join(docs.select("segment_id", "docid", *stored),
+                          on=["segment_id", "docid"], how="left")
+                .select(gid.alias("docid"), "score", *stored))
 
     def _collapsed_hits(self, s, node: "A.Node", collapse: dict,
                         depth: int, sort_by: str | None):
@@ -1180,6 +1254,19 @@ class IndexCatalog:
             futs = {n: pool.submit(
                 self.open(n).query, query, MULTI_QUERY_LIMIT) for n in names}
             return {n: f.result() for n, f in futs.items()}
+
+    def list_indexes(self) -> list[str]:
+        """All committed index names under the base path (ES _cat/indices
+        analog, names only) — directories with a manifest.json; RAM
+        indexes are per-process and don't appear."""
+        import os
+
+        if not os.path.isdir(self.base_path):
+            return []
+        return sorted(
+            d for d in os.listdir(self.base_path)
+            if os.path.isfile(os.path.join(self.base_path, d,
+                                           "manifest.json")))
 
     def reindex(self, src_name: str, dst_name: str,
                 query: "str | dict | None" = None,

@@ -69,6 +69,67 @@ def generate_snippet(
     return "".join(out)
 
 
+def generate_fragments(
+    text: str | None,
+    query_terms: set[str],
+    tokenizer: str = "en_stem",
+    max_chars: int = DEFAULT_MAX_CHARS,
+    number_of_fragments: int = 1,
+    pre_tag: str = "<em>",
+    post_tag: str = "</em>",
+) -> list[str]:
+    """ES ``highlight`` fragments: up to N NON-OVERLAPPING windows of
+    ≤max_chars whole tokens, each containing ≥1 matched token, chosen
+    greedily by (matched-token count DESC, earliest start) — the ES
+    highlighter's observable contract without its internal scoring.
+    Same analyzed-form matching and minimal HTML escaping as
+    generate_snippet (tags are caller-supplied, default ES <em>)."""
+    if not text or not query_terms or number_of_fragments < 1:
+        return []
+    spans: list[tuple[int, int, bool]] = []
+    for m in _TOKEN_RE.finditer(text):
+        tok = m.group(0)
+        if len(tok.encode("utf-8")) >= MAX_TOKEN_BYTES:
+            continue
+        analyzed = tok.lower()
+        if tokenizer == "en_stem":
+            analyzed = stem(analyzed)
+        spans.append((m.start(), m.end(), analyzed in query_terms))
+    if not any(matched for _, _, matched in spans):
+        return []
+    # candidate windows: for each start token, widest fit under max_chars
+    cands: list[tuple[int, int, int]] = []  # (n_matched, start_i, end_j)
+    for i in range(len(spans)):
+        n, j_end = 0, i
+        for j in range(i, len(spans)):
+            if spans[j][1] - spans[i][0] > max_chars:
+                break
+            if spans[j][2]:
+                n += 1
+            j_end = j + 1
+        if n > 0:
+            cands.append((n, i, j_end))
+    cands.sort(key=lambda c: (-c[0], c[1]))
+    chosen: list[tuple[int, int]] = []
+    for _, i, j in cands:
+        if len(chosen) >= number_of_fragments:
+            break
+        if any(i < cj and ci < j for ci, cj in chosen):
+            continue  # token-range overlap with an already-chosen window
+        chosen.append((i, j))
+    out: list[str] = []
+    for i, j in sorted(chosen):
+        frag, cursor = [], spans[i][0]
+        for s, e, matched in spans[i:j]:
+            frag.append(_escape(text[cursor:s]))
+            tok = _escape(text[s:e])
+            frag.append(f"{pre_tag}{tok}{post_tag}" if matched else tok)
+            cursor = e
+        frag.append(_escape(text[cursor:spans[j - 1][1]]))
+        out.append("".join(frag))
+    return out
+
+
 def _escape(s: str) -> str:
     """tantivy's Snippet::to_html runs every fragment through
     htmlescape::encode_minimal before wrapping highlights — the same
