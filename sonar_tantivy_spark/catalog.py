@@ -67,6 +67,12 @@ class Index:
                 if v is not None and f.type == "date" \
                         and not isinstance(v, datetime):
                     v = datetime.fromisoformat(str(v).replace("T", " "))
+                if v is not None and f.type == "dense_vector":
+                    if f.dims is not None and len(v) != f.dims:
+                        raise A.QueryError(
+                            f"dense_vector {f.name!r} expects {f.dims} "
+                            f"dims, got {len(v)}")
+                    v = [float(x) for x in v]
                 row[f.name] = v
             row["__ord"] = i
             rows.append(row)
@@ -190,6 +196,9 @@ class Index:
           per the ES rule.
         """
         body = search.get("query")
+        knn = search.get("knn")
+        if knn is not None:
+            return self._knn_search(search, knn, body)
         if body is None:
             raise A.QueryError("Empty Query Provided")  # search.rs:100-102
         node = A.parse_json(body, self.schema)
@@ -280,6 +289,95 @@ class Index:
         else:
             hits = s.top_k_pruned(node, limit=depth, after=after)
         return _done({"docs": s.retrieve(hits)[offset:], "facets": {}})
+
+    def _knn_hits(self, knn: dict, k: int):
+        """Exact-cosine top-k over a dense_vector column (ES 8 ``knn``
+        shape: field / query_vector / k / num_candidates).  The vector
+        column lives in the doc store, so this is ONE docs scan with
+        the similarity as JVM column math (zip_with + aggregate — no
+        UDF) → TakeOrderedAndProject.  Exact by construction, so
+        num_candidates (an HNSW recall/latency dial) is accepted and
+        ignored.  Score = (1 + cosine) / 2, the ES cosine rule; docid
+        ties break ascending like every other collector.  The IVF/LSH
+        accelerations live in operators/ann.py for corpus-scale
+        retrieval pipelines — this surface pins exactness."""
+        field = knn.get("field")
+        qv = knn.get("query_vector")
+        fdef = self.schema.field(field) if field else None
+        if fdef is None or fdef.type != "dense_vector":
+            raise A.QueryError(
+                f"knn field {field!r} must be a dense_vector field")
+        if not qv:
+            raise A.QueryError("knn needs a non-empty query_vector")
+        if fdef.dims is not None and len(qv) != fdef.dims:
+            raise A.QueryError(
+                f"knn query_vector has {len(qv)} dims, field expects "
+                f"{fdef.dims}")
+        s = self.searcher()
+        docs = s._table("docs")
+        if docs is None or field not in docs.columns:
+            return s._empty(), s
+        lit_v = F.array(*[F.lit(float(x)) for x in qv])
+        qnorm = math.sqrt(sum(float(x) ** 2 for x in qv))
+        if qnorm == 0.0:
+            raise A.QueryError("knn query_vector must have nonzero norm")
+        col = F.col(field).cast("array<double>")
+        dot = F.aggregate(F.zip_with(col, lit_v, lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        dnorm = F.sqrt(F.aggregate(
+            F.transform(col, lambda a: a * a),
+            F.lit(0.0), lambda acc, x: acc + x))
+        score = F.when(dnorm > 0.0,
+                       (F.lit(1.0) + dot / (dnorm * F.lit(qnorm)))
+                       / F.lit(2.0)).otherwise(F.lit(0.0))
+        cand = (docs.filter(F.col(field).isNotNull())
+                .select("segment_id", "docid", score.alias("score")))
+        tomb = s._tombstones()
+        if tomb is not None:
+            cand = cand.join(tomb, on=["segment_id", "docid"],
+                             how="left_anti")
+        base_pairs: list = []
+        for sid, b in s.bases.items():
+            base_pairs.extend([F.lit(sid), F.lit(int(b))])
+        gid = (F.element_at(F.create_map(*base_pairs),
+                            F.col("segment_id")) + F.col("docid"))
+        hits = (cand.withColumn("docid_g", gid.cast("long"))
+                .orderBy(F.desc("score"), F.asc("docid_g")).limit(k))
+        return hits, s
+
+    def _knn_search(self, search: dict, knn: dict,
+                    body: "dict | None") -> dict:
+        """ES 8 knn search: ``knn`` alone → vector top-k; ``knn`` +
+        ``query`` → RRF fusion of the two rankings (the ES 8.8+
+        ``rank.rrf`` retriever: rrf = Σ 1/(rank_constant + rank), the
+        same fuser as the ft_rrf_hybrid contract query).  Each leg is
+        an independent bounded top-k — BM25 through the block-max
+        pruned path, knn through the doc-store scan — so the fuser
+        joins 2×depth rows and never touches the corpus."""
+        k = int(knn.get("k", search.get("limit", DEFAULT_QUERY_LIMIT)))
+        if k <= 0:
+            raise A.QueryError("knn k must be >= 1")
+        hits, s = self._knn_hits(knn, k)
+        if body is None:
+            return {"docs": s.retrieve(hits), "facets": {}}
+        rank = (search.get("rank") or {}).get("rrf") or {}
+        rc = int(rank.get("rank_constant", 60))
+        window = int(rank.get("rank_window_size", max(k, 10)))
+        node = A.parse_json(body, self.schema)
+        bm = s.top_k_pruned(node, limit=window).collect()
+        kn = self._knn_hits(knn, window)[0].collect()
+        rrf: dict[int, float] = {}
+        for leg in (bm, kn):
+            for i, r in enumerate(leg):
+                g = int(r["docid_g"])
+                rrf[g] = rrf.get(g, 0.0) + 1.0 / (rc + i + 1)
+        top = sorted(rrf.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        got = {int(h["docid"]): h for h in self.mget([g for g, _ in top])}
+        return {"docs": [
+            {"score": float(sc), "doc": got[g]["doc"], "docid": g,
+             "snippet": None}
+            for g, sc in top if got.get(g, {}).get("found")],
+            "facets": {}}
 
     def _apply_highlight(self, docs: list[dict], node: "A.Node",
                          hl: dict) -> None:

@@ -25,7 +25,11 @@ from pyspark.sql import types as T
 TEXT_TYPES = {"text"}
 NUMERIC_TYPES = {"u64", "i64", "f64"}
 DATE_TYPES = {"date"}
-ALL_TYPES = TEXT_TYPES | NUMERIC_TYPES | DATE_TYPES | {"facet", "bytes"}
+# dense_vector: BEYOND-REFERENCE (the ES 8 field type backing knn
+# search) — a stored float array, never tokenized, never fast/indexed;
+# optional "dims" option validates ingest + query vectors
+ALL_TYPES = TEXT_TYPES | NUMERIC_TYPES | DATE_TYPES | {
+    "facet", "bytes", "dense_vector"}
 
 _SPARK_TYPES = {
     "text": T.StringType(),
@@ -35,6 +39,7 @@ _SPARK_TYPES = {
     "date": T.TimestampType(),
     "facet": T.StringType(),
     "bytes": T.BinaryType(),
+    "dense_vector": T.ArrayType(T.FloatType()),
 }
 
 
@@ -47,6 +52,7 @@ class FieldDef:
     tokenizer: str | None = None  # en_stem | default | raw (text fields)
     record: str = "position"  # basic | freq | position
     fast: bool = False
+    dims: int | None = None  # dense_vector dimension check (optional)
 
     @property
     def spark_type(self) -> T.DataType:
@@ -77,6 +83,10 @@ class IndexSchema:
                     fd.indexed = True
                     fd.tokenizer = indexing.get("tokenizer", "default")
                     fd.record = indexing.get("record", "basic")
+            elif ftype == "dense_vector":
+                fd.stored = True  # stored-only by construction
+                d = opts.get("dims")
+                fd.dims = int(d) if d is not None else None
             else:
                 fd.indexed = bool(opts.get("indexed", False))
                 fd.fast = bool(opts.get("fast", False))
@@ -91,6 +101,8 @@ class IndexSchema:
                     {"record": f.record, "tokenizer": f.tokenizer} if f.indexed else None
                 )
                 opts: dict = {"indexing": indexing, "stored": f.stored}
+            elif f.type == "dense_vector":
+                opts = {"stored": True, "dims": f.dims}
             else:
                 opts = {"indexed": f.indexed, "stored": f.stored, "fast": f.fast}
             out.append({"name": f.name, "type": f.type, "options": opts})
