@@ -277,6 +277,9 @@ def run_attempt() -> dict:
             "slop": 2, "in_order": True}},
         "q33_span_first": {"span_first": {
             "match": {"span_term": {"text": "hello"}}, "end": 3}},
+        "q34_span_not": {"span_not": {
+            "include": {"span_term": {"text": "hello"}},
+            "exclude": {"span_term": {"text": "world"}}, "dist": 2}},
     }
     # query phase: modest shuffle fan-out wins for k=10 result sets.
     # top_k_pruned IS the default path (Index.query/query_df) — bench it,

@@ -245,6 +245,33 @@ def q_ft_span_first(spark, sf_dir):
         "doc_id", (F.lit(idf * (K1 + 1.0)) * tf / denom).alias("score")))
 
 
+def q_ft_span_not(spark, sf_dir):
+    """span_not: include 'valu' positions surviving unless a 'tabl'
+    position lies in [p-1, p+2] (pre=1, post=2 — exact Lucene
+    single-term-span semantics, plans/ast.py SpanNotQ); tf = survivors,
+    idf = the include term only (exclusion contributes no stats).  One
+    postings scan + one left join on doc_id at any scale."""
+    t = _ft(spark, sf_dir)
+    p, pre, post = t["postings"], 1, 2
+    a = p.filter(F.col("term") == "valu").select(
+        "doc_id", F.col("positions").alias("pa"))
+    b = p.filter(F.col("term") == "tabl").select(
+        "doc_id", F.col("positions").alias("pb"))
+    j = a.join(b, on="doc_id", how="left").withColumn(
+        "m", F.when(F.col("pb").isNull(), F.col("pa")).otherwise(
+            F.filter("pa", lambda q: ~F.exists(
+                "pb", lambda e: (e >= q - pre) & (e <= q + post))))
+    ).filter(F.size("m") > 0)
+    df_t = t["termdf"].filter(F.col("term") == "valu").collect()
+    idf = bm25.idf(df_t[0]["df"], t["N"]) if df_t else 0.0
+    j = j.join(t["doclen"], on="doc_id")
+    tf = F.size("m").cast("double")
+    denom = tf + F.lit(K1) * (F.lit(1.0 - B)
+                              + F.lit(B / t["avgdl"]) * F.col("dl").cast("double"))
+    return _topk(j.select(
+        "doc_id", (F.lit(idf * (K1 + 1.0)) * tf / denom).alias("score")))
+
+
 def q_ft_percolate(spark, sf_dir):
     """Percolation (reverse search, ES percolate-query shaped): three
     SAVED queries — a term, an ordered sloppy phrase, a bool with a
@@ -2519,6 +2546,7 @@ QUERIES = {
     "ft_phrase": q_ft_phrase,
     "ft_span_near": q_ft_span_near,
     "ft_span_first": q_ft_span_first,
+    "ft_span_not": q_ft_span_not,
     "ft_percolate": q_ft_percolate,
     "ft_all": q_ft_all,
     "ft_phrase3": q_ft_phrase3,
@@ -3585,6 +3613,23 @@ SELECT j.doc_id,
              / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 4) AS score
 FROM adj j JOIN dlq q USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
 ORDER BY round(i.idf_sum * 2.2 * j.ptf
+               / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 7) DESC, j.doc_id
+LIMIT 10""",
+        "ft_span_not": pre + """, inc AS (
+  SELECT doc_id, pos FROM toks WHERE term = 'valu'),
+adj AS (
+  SELECT i.doc_id, count(*) AS ptf FROM inc i
+  WHERE NOT EXISTS (
+    SELECT 1 FROM toks e WHERE e.doc_id = i.doc_id AND e.term = 'tabl'
+      AND e.pos >= i.pos - 1 AND e.pos <= i.pos + 2)
+  GROUP BY i.doc_id),
+idfs AS (SELECT ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5)) AS idf
+         FROM tdf t CROSS JOIN stats s WHERE t.term = 'valu')
+SELECT j.doc_id,
+       round(i.idf * 2.2 * j.ptf
+             / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 4) AS score
+FROM adj j JOIN dlq q USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
+ORDER BY round(i.idf * 2.2 * j.ptf
                / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 7) DESC, j.doc_id
 LIMIT 10""",
         "ft_percolate": pre + """, m1 AS (

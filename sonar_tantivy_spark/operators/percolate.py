@@ -63,7 +63,7 @@ from sonar_tantivy_spark.plans import ast as A
 from sonar_tantivy_spark.plans.schema import IndexSchema
 
 _TEXTY = (A.TermQ, A.PhraseQ, A.PrefixQ, A.TermSetQ, A.PhrasePrefixQ,
-          A.SpanNearQ, A.FuzzyQ, A.RegexQ)
+          A.SpanNearQ, A.SpanNotQ, A.FuzzyQ, A.RegexQ)
 
 
 def _tmap_udf(tokenizer: str):
@@ -242,6 +242,13 @@ class _Compiler:
             end = int(node.end)
             m = self._span_chain(node.child)
             return F.size(F.filter(m, lambda q: q + 1 <= end)) > 0
+        if isinstance(node, A.SpanNotQ):
+            inc = self._union_pos(node.field, node.include)
+            ex = self._union_pos(node.field, node.exclude)
+            pre, post = int(node.pre), int(node.post)
+            m = F.filter(inc, lambda q: ~F.exists(
+                ex, lambda e: (e >= q - pre) & (e <= q + post)))
+            return F.size(m) > 0
         if isinstance(node, A.ExistsQ):
             fdef = self.schema.field(node.field)
             if fdef is not None and fdef.indexed and fdef.tokenizer is not None:
@@ -284,14 +291,16 @@ class _Compiler:
         raise A.QueryError(
             f"cannot percolate {type(node).__name__}")
 
-    def _span_chain(self, node: A.SpanNearQ) -> Column:
-        def clause_pos(alts) -> Column:
-            arrs = [self._pos(node.field, t) for t in dict.fromkeys(alts)]
-            if len(arrs) == 1:
-                return arrs[0]
-            return F.array_sort(F.array_distinct(F.concat(*arrs)))
+    def _union_pos(self, field: str, alts) -> Column:
+        arrs = [self._pos(field, t) for t in dict.fromkeys(alts)]
+        if not arrs:
+            return _EMPTY
+        if len(arrs) == 1:
+            return arrs[0]
+        return F.array_sort(F.array_distinct(F.concat(*arrs)))
 
-        pos = [clause_pos(c) for c in node.clauses]
+    def _span_chain(self, node: A.SpanNearQ) -> Column:
+        pos = [self._union_pos(node.field, c) for c in node.clauses]
         if not pos:
             return _EMPTY
         return self._chain(node.field, pos, int(node.slop),

@@ -307,6 +307,8 @@ class Searcher:
             return self._cand_span(node, dfs)
         if isinstance(node, A.SpanFirstQ):
             return self._cand_span(node.child, dfs, first_end=node.end)
+        if isinstance(node, A.SpanNotQ):
+            return self._cand_span_not(node, dfs)
         if isinstance(node, A.BoostQ):
             child = self._cand_opt(node.child, dfs)
             if child is None:
@@ -609,6 +611,58 @@ class Searcher:
         agg = agg.withColumn("__m", match).filter(F.size("__m") > 0)
         idf_sum = sum(bm25.idf(dfs[(node.field, t)], self.num_docs)
                       for c in live for t in c)
+        return agg.select(
+            "segment_id", "docid",
+            self._score_col(node.field, idf_sum, F.size("__m")),
+        )
+
+    def _cand_span_not(self, node: "A.SpanNotQ",
+                       dfs: dict) -> DataFrame | None:
+        """span_not (single-clause include/exclude, SpanNotQ docstring):
+        include position p survives iff no exclude position q lies in
+        [p - pre, p + post].  ONE postings scan over include+exclude
+        alternatives, same single-aggregation plan as _cand_span; an
+        all-absent EXCLUDE degenerates to the plain include span (no
+        second scan), an all-absent include is an exact no-match.
+        Scoring: tf = surviving include positions, idf = Σ over live
+        INCLUDE alternatives only (Lucene SpanNotQuery scores from the
+        include spans; exclusion never contributes stats)."""
+        inc = tuple(t for t in dict.fromkeys(node.include)
+                    if dfs.get((node.field, t), 0) > 0)
+        if not inc:
+            return None
+        exc = tuple(t for t in dict.fromkeys(node.exclude)
+                    if dfs.get((node.field, t), 0) > 0)
+        uterms = list(dict.fromkeys(inc + exc))
+        p = self._table("postings")
+        if p is None:
+            return None
+        scan = p.filter(
+            (F.col("field") == node.field) & F.col("term").isin(uterms))
+        agg = scan.groupBy("segment_id", "docid").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))).alias("__pos"),
+            F.first("norm_id").alias("norm_id"),
+        )
+
+        def upos(alts: tuple[str, ...]):
+            arrs = [
+                F.coalesce(F.element_at(F.col("__pos"), F.lit(t)),
+                           F.array().cast("array<int>"))
+                for t in alts
+            ]
+            if len(arrs) == 1:
+                return arrs[0]
+            return F.array_sort(F.array_distinct(F.concat(*arrs)))
+
+        match = upos(inc)
+        if exc:
+            ex, pre, post = upos(exc), int(node.pre), int(node.post)
+            match = F.filter(match, lambda q: ~F.exists(
+                ex, lambda e: (e >= q - pre) & (e <= q + post)))
+        agg = agg.withColumn("__m", match).filter(F.size("__m") > 0)
+        idf_sum = sum(bm25.idf(dfs[(node.field, t)], self.num_docs)
+                      for t in inc)
         return agg.select(
             "segment_id", "docid",
             self._score_col(node.field, idf_sum, F.size("__m")),
@@ -1210,6 +1264,10 @@ class Searcher:
                        for c in node.clauses)
         if isinstance(node, A.SpanFirstQ):
             return self._cand_size_bound(node.child)
+        if isinstance(node, A.SpanNotQ):
+            # exclusion only shrinks: bounded by the include union
+            dfs = self.term_dfs({(node.field, t) for t in node.include})
+            return sum(dfs.get((node.field, t), 0) for t in node.include)
         if isinstance(node, A.DisMaxQ):
             subs = [self._cand_size_bound(c) for c in node.queries]
             if any(b is None for b in subs):
@@ -1416,6 +1474,19 @@ class Searcher:
             # the end-filter only SHRINKS the match set; the child's
             # bound (and its absence proof) carries over unchanged
             return self._node_bound(node.child, sid, idfs, mtf)
+        if isinstance(node, A.SpanNotQ):
+            # include absent from the segment → exact absence proof;
+            # exclusion only shrinks, so tf ⊆ the include union's
+            # postings — bound by Σ include alternatives' max_tf.
+            # Exclude terms contribute NOTHING (neither idf nor bound).
+            imtf = sum(mtf.get((sid, node.field, t), 0)
+                       for t in node.include)
+            if imtf == 0:
+                return 0.0
+            idf_sum = sum(idfs.get((node.field, t), 0.0)
+                          for t in node.include)
+            denom = imtf + bm25.K1 * (1.0 - bm25.B)
+            return idf_sum * (bm25.K1 + 1.0) * imtf / denom
         if isinstance(node, A.SpanNearQ):
             if not node.clauses:
                 return 0.0
@@ -2933,6 +3004,10 @@ def collect_terms(node: A.Node) -> set[tuple[str, str]]:
         out.update((node.field, t) for c in node.clauses for t in c)
     elif isinstance(node, A.SpanFirstQ):
         out.update(collect_terms(node.child))
+    elif isinstance(node, A.SpanNotQ):
+        # include AND exclude need dfs (the exclude's df gates whether
+        # its postings join the scan); idf uses include only
+        out.update((node.field, t) for t in node.include + node.exclude)
     elif isinstance(node, A.DisMaxQ):
         for c in node.queries:
             out.update(collect_terms(c))

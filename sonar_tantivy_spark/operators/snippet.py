@@ -162,6 +162,9 @@ def collect_positive_terms(node) -> dict[str, set[str]]:
                 t for c in n.clauses for t in c)
         elif isinstance(n, A.SpanFirstQ):
             walk(n.child, positive)
+        elif isinstance(n, A.SpanNotQ) and positive:
+            # include terms highlight; excluded terms never do
+            out.setdefault(n.field, set()).update(n.include)
         elif isinstance(n, A.DisMaxQ):
             for c in n.queries:
                 walk(c, positive)

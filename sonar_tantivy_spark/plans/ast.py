@@ -158,6 +158,24 @@ class SpanNearQ(Node):
 
 
 @dataclass
+class SpanNotQ(Node):
+    """Lucene/ES ``span_not`` over SINGLE-CLAUSE include/exclude spans
+    (span_term / span_or): an include position p survives iff no
+    exclude position q lies in [p - pre, p + post] — exact Lucene
+    semantics for single-term spans.  Multi-clause (span_near) includes
+    are rejected at parse: the engine's chains track only final-clause
+    positions, not span extents, and approximating overlap would be a
+    silent semantic lie (same philosophy as the nested-span_near
+    rejection)."""
+
+    field: str
+    include: tuple[str, ...]
+    exclude: tuple[str, ...]
+    pre: int = 0
+    post: int = 0
+
+
+@dataclass
 class SpanFirstQ(Node):
     """Lucene/ES ``span_first``: matches of ``child`` whose span END
     position is <= ``end`` (Lucene SpanFirstQuery rule; for a chain
@@ -509,6 +527,49 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
             raise QueryError("span_first end must be >= 1")
         mkind, mbody = next(iter(match.items()))
         return SpanFirstQ(_parse_span(mkind, mbody, schema), end)
+    if kind == "span_not":
+        def leaf(key: str) -> tuple[str, tuple[str, ...]]:
+            sub = body.get(key)
+            if not (isinstance(sub, dict) and len(sub) == 1):
+                raise QueryError(f"span_not needs a single span query "
+                                 f"in {key!r}")
+            skind, sbody = next(iter(sub.items()))
+            if skind not in ("span_term", "span_or"):
+                raise QueryError(
+                    "span_not supports single-clause include/exclude "
+                    f"(span_term/span_or), got {skind!r} — chain extents "
+                    "are not tracked (SpanNotQ docstring)")
+            return _span_leaf(skind, sbody, schema)
+        fi, inc = leaf("include")
+        fe, exc = leaf("exclude")
+        if fi != fe:
+            raise QueryError("span_not include/exclude must share one field")
+        dist = body.get("dist")
+        pre = int(body.get("pre", dist if dist is not None else 0))
+        post = int(body.get("post", dist if dist is not None else 0))
+        if pre < 0 or post < 0:
+            raise QueryError("span_not pre/post must be >= 0")
+        return SpanNotQ(fi, inc, exc, pre=pre, post=post)
+    if kind == "match_bool_prefix":
+        # ES match_bool_prefix: analyzed tokens as bool-should TermQs,
+        # the LAST whitespace token as a prefix clause (constant-score
+        # expansion, the engine's documented expansion rule — ES scores
+        # the prefix clause too, this pin is the divergence).  Single
+        # token degenerates to the bare prefix.
+        (field, spec), = body.items()
+        text = str(spec.get("query", "")) if isinstance(spec, dict) \
+            else str(spec)
+        parts = text.split()
+        if not parts:
+            raise QueryError("Empty Query Provided")
+        head, last = parts[:-1], parts[-1]
+        analyzed: list[str] = []
+        for t in head:
+            analyzed.extend(_analyze_one(schema, field, t))
+        pfx = _prefix_node(schema, field, last)
+        if not analyzed:
+            return pfx
+        return BoolQ(should=[TermQ(field, t) for t in analyzed] + [pfx])
     if kind == "prefix":
         (field, value), = body.items()
         value = value["value"] if isinstance(value, dict) else str(value)

@@ -101,6 +101,8 @@ class OracleIndex:
             return self._score_span(node)
         if isinstance(node, A.SpanFirstQ):
             return self._score_span(node.child, first_end=node.end)
+        if isinstance(node, A.SpanNotQ):
+            return self._score_span_not(node)
         if isinstance(node, A.BoostQ):
             return {d: s * node.boost for d, s in self.score(node.child).items()}
         if isinstance(node, A.ConstScoreQ):
@@ -260,6 +262,40 @@ class OracleIndex:
                                     for p in match)}
             if first_end is not None:
                 match = {q for q in match if q + 1 <= first_end}
+            if match:
+                out[d] = bm25.score(len(match), self._dl(field, d),
+                                    avgdl, idf_sum)
+        return out
+
+    def _score_span_not(self, node: A.SpanNotQ) -> dict[int, float]:
+        """span_not (single-clause include/exclude): include position p
+        survives iff no exclude position q in [p - pre, p + post];
+        tf = survivors, idf = live INCLUDE alternatives only."""
+        field = node.field
+        inc = [t for t in dict.fromkeys(node.include)
+               if self.postings.get((field, t), {})]
+        if not inc:
+            return {}
+        exc = [t for t in dict.fromkeys(node.exclude)
+               if self.postings.get((field, t), {})]
+
+        def upos(alts, d):
+            out: set[int] = set()
+            for t in alts:
+                out |= set(self.postings.get((field, t), {}).get(d, []))
+            return out
+
+        docs = set()
+        for t in inc:
+            docs |= set(self.postings.get((field, t), {}))
+        idf_sum = sum(self.idf(field, t) for t in inc)
+        avgdl = self.avgdl(field)
+        out: dict[int, float] = {}
+        for d in docs:
+            ex = upos(exc, d)
+            match = {p for p in upos(inc, d)
+                     if not any(p - node.pre <= q <= p + node.post
+                                for q in ex)}
             if match:
                 out[d] = bm25.score(len(match), self._dl(field, d),
                                     avgdl, idf_sum)

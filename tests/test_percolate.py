@@ -44,6 +44,9 @@ QUERIES: dict[str, object] = {
         "slop": 2, "in_order": True}},
     "p_span_first": {"span_first": {
         "match": {"span_term": {"text": "hello"}}, "end": 3}},
+    "p_span_not": {"span_not": {
+        "include": {"span_term": {"text": "hello"}},
+        "exclude": {"span_term": {"text": "world"}}, "dist": 2}},
     "p_bool": {"bool": {
         "must": [{"term": {"text": "hello"}}],
         "must_not": [{"term": {"text": "mundo"}}],

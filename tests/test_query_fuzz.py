@@ -44,7 +44,7 @@ def gen_node(rng: random.Random, depth: int = 0) -> A.Node:
     kinds = ["term", "term", "term", "phrase", "fuzzy", "range", "bool",
              "prefix", "slop", "terms_set", "dismax", "phrase_prefix",
              "exists", "wildcard", "const_score", "function_score",
-             "boosting", "ids"]
+             "boosting", "ids", "span_near", "span_first", "span_not"]
     if depth >= 2:
         kinds = ["term", "term", "phrase", "range", "prefix",
                  "terms_set", "exists", "wildcard", "ids"]
@@ -91,6 +91,23 @@ def gen_node(rng: random.Random, depth: int = 0) -> A.Node:
     if kind == "phrase_prefix":
         return A.PhrasePrefixQ("text", ["hello"],
                                rng.choice(["wor", "wba", "zzz"]))
+    if kind == "span_near":
+        n_cl = rng.randint(1, 3)
+        clauses = [tuple(rng.sample(TERMS, rng.randint(1, 2)))
+                   for _ in range(n_cl)]
+        return A.SpanNearQ("text", clauses, slop=rng.choice([0, 1, 3]),
+                           in_order=rng.random() < 0.7)
+    if kind == "span_first":
+        return A.SpanFirstQ(
+            A.SpanNearQ("text", [tuple(rng.sample(TERMS, 1)),
+                                 tuple(rng.sample(TERMS, 1))][:rng.randint(1, 2)],
+                        slop=rng.choice([0, 2])),
+            end=rng.choice([2, 4, 8]))
+    if kind == "span_not":
+        return A.SpanNotQ(
+            "text", tuple(rng.sample(TERMS, rng.randint(1, 2))),
+            tuple(rng.sample(TERMS, rng.randint(1, 2))),
+            pre=rng.choice([0, 1, 2]), post=rng.choice([0, 1, 3]))
     if kind == "term":
         if rng.random() < 0.15:
             return A.TermQ("role", rng.choice(["tool", "user", "assistant"]))

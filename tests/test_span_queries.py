@@ -191,3 +191,109 @@ def test_span_count_and_explain(index):
                                  k=100000))
     ex = index.explain(q)
     assert ex["segments_total"] >= 1
+
+
+# --------------------------------------------------------------- span_not
+def test_parse_span_not(index):
+    schema = index.schema
+    n = A.parse_json({"span_not": {
+        "include": {"span_term": {"text": "hello"}},
+        "exclude": {"span_or": {"clauses": [
+            {"span_term": {"text": "world"}},
+            {"span_term": {"text": "needle"}}]}},
+        "pre": 1, "post": 2}}, schema)
+    assert isinstance(n, A.SpanNotQ)
+    assert n.include == ("hello",) and n.exclude == ("world", "needl")
+    assert n.pre == 1 and n.post == 2
+    # dist sets both windows symmetrically (the ES parameter)
+    n = A.parse_json({"span_not": {
+        "include": {"span_term": {"text": "hello"}},
+        "exclude": {"span_term": {"text": "world"}},
+        "dist": 3}}, schema)
+    assert n.pre == 3 and n.post == 3
+    with pytest.raises(A.QueryError):  # chain include rejected
+        A.parse_json({"span_not": {
+            "include": {"span_near": {"clauses": [
+                {"span_term": {"text": "a"}},
+                {"span_term": {"text": "b"}}]}},
+            "exclude": {"span_term": {"text": "c"}}}}, schema)
+    with pytest.raises(A.QueryError):  # mixed fields
+        A.parse_json({"span_not": {
+            "include": {"span_term": {"text": "hello"}},
+            "exclude": {"span_term": {"role": "user"}}}}, schema)
+    with pytest.raises(A.QueryError):  # negative window
+        A.parse_json({"span_not": {
+            "include": {"span_term": {"text": "hello"}},
+            "exclude": {"span_term": {"text": "world"}},
+            "pre": -1}}, schema)
+
+
+SPAN_NOT_PARITY = {
+    "span_not_basic": {"span_not": {
+        "include": {"span_term": {"text": "hello"}},
+        "exclude": {"span_term": {"text": "world"}}}},
+    "span_not_window": {"span_not": {
+        "include": {"span_term": {"text": "hello"}},
+        "exclude": {"span_or": {"clauses": [
+            {"span_term": {"text": "world"}},
+            {"span_term": {"text": "needle"}}]}},
+        "pre": 2, "post": 3}},
+    "span_not_dist": {"span_not": {
+        "include": {"span_or": {"clauses": [
+            {"span_term": {"text": "hello"}},
+            {"span_term": {"text": "mundo"}}]}},
+        "exclude": {"span_term": {"text": "the"}}, "dist": 1}},
+}
+
+
+@pytest.mark.parametrize("name", sorted(SPAN_NOT_PARITY))
+def test_span_not_parity(index, oracle, name):
+    node = A.parse_json(SPAN_NOT_PARITY[name], index.schema)
+    got = _engine_topk(index, node)
+    want = oracle.top_k(node, 10)
+    assert [d for d, _ in got] == [d for d, _ in want], name
+    for (_, a), (_, b) in zip(got, want):
+        assert a == pytest.approx(b, abs=1e-9)
+    assert got, name  # non-trivial on this corpus
+
+
+def test_span_not_dead_exclude_is_plain_span(index):
+    """A zero-df exclude degenerates to the include span — same scores
+    as the bare span_term (the single-scan path, no second job)."""
+    node = A.parse_json({"span_not": {
+        "include": {"span_term": {"text": "hello"}},
+        "exclude": {"span_term": {"text": "zzznosuchterm"}}}}, index.schema)
+    bare = A.parse_json({"span_term": {"text": "hello"}}, index.schema)
+    assert _engine_topk(index, node) == _engine_topk(index, bare)
+
+
+def test_span_not_dead_include_matches_nothing(index):
+    node = A.parse_json({"span_not": {
+        "include": {"span_term": {"text": "zzznosuchterm"}},
+        "exclude": {"span_term": {"text": "hello"}}}}, index.schema)
+    assert _engine_topk(index, node) == []
+
+
+# -------------------------------------------------------- match_bool_prefix
+def test_match_bool_prefix_rewrite(index):
+    schema = index.schema
+    n = A.parse_json({"match_bool_prefix": {"text": "hello wor"}}, schema)
+    assert isinstance(n, A.BoolQ) and len(n.should) == 2
+    assert isinstance(n.should[0], A.TermQ) and n.should[0].term == "hello"
+    assert isinstance(n.should[1], A.PrefixQ) and n.should[1].prefix == "wor"
+    # single token degenerates to the bare prefix (the ES rule)
+    n = A.parse_json({"match_bool_prefix": {"text": "wor"}}, schema)
+    assert isinstance(n, A.PrefixQ)
+    # dict spec form
+    n = A.parse_json({"match_bool_prefix": {"text": {"query": "a b"}}},
+                     schema)
+    assert isinstance(n, A.BoolQ)
+
+
+def test_match_bool_prefix_parity(index, oracle):
+    node = A.parse_json({"match_bool_prefix": {"text": "hello wor"}},
+                        index.schema)
+    got = _engine_topk(index, node)
+    want = oracle.top_k(node, 10)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    assert got
