@@ -190,6 +190,25 @@ def main() -> None:
             checks.append((name, "termdict side joins broadcast",
                            "BroadcastHashJoin" in plan))
 
+    # percolation: saved searches compile to a MAP-ONLY projection —
+    # zero exchanges is the property that makes the same transform
+    # streaming-safe and a pure scan at 100 TB
+    for pname, pq in [("alert_term", {"term": {"text": "hello"}}),
+                      ("alert_slop", '"hello world"~2'),
+                      ("alert_span_not", {"span_not": {
+                          "include": {"span_term": {"text": "hello"}},
+                          "exclude": {"span_term": {"text": "world"}},
+                          "dist": 2}})]:
+        idx.register_query(pname, pq)
+    perc = idx.percolate(
+        spark.createDataFrame(generate_transcripts(2000)),
+        keep_cols=["conv_id"])
+    plan = formatted(perc)
+    sections.append(f"## percolate_3_saved_queries\n\n```\n{plan}\n```\n")
+    checks.append(("percolate", "map-only: zero exchanges",
+                   "Exchange" not in plan))
+    checks.append(("percolate", "no join operator", "Join" not in plan))
+
     lines = ["# PLANS — physical-plan evidence (explain 'formatted')\n",
              f"Index: {turns:,} turns, built as 8 segments, compacted to "
              f"{len(idx.segment_info())}; plans below are the DEFAULT "
