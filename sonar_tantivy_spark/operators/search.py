@@ -216,6 +216,9 @@ class Searcher:
             elif isinstance(c, A.RegexQ):
                 terms = terms.filter(
                     F.col("term").rlike("^(?:" + c.pattern + ")$"))
+                lit = regex_literal_prefix(c.pattern)
+                if lit:  # same pushdown as _cand_regex
+                    terms = terms.filter(F.col("term").startswith(lit))
             else:  # FuzzyQ — JVM prefilter is exact for transposition=False
                 # and a superset otherwise (fine for highlighting)
                 terms = terms.filter(
@@ -709,11 +712,20 @@ class Searcher:
         if td is None:
             return None
         p = self._table("postings")
-        terms_df = (
-            td.filter((F.col("field") == node.field)
-                      & F.col("term").rlike("^(?:" + node.pattern + ")$"))
-            .select("term").distinct()
-        )
+        cond = (F.col("field") == node.field) \
+            & F.col("term").rlike("^(?:" + node.pattern + ")$")
+        # literal-prefix pushdown: matching is ANCHORED, so every hit
+        # must start with the pattern's guaranteed literal head (e.g.
+        # 'he.*o' → 'he').  StartsWith is a pushdown-able parquet
+        # predicate over the (field, term)-sorted termdict — the regex
+        # then evaluates only within the prefix's row-group range
+        # instead of the whole dictionary, the same reason _cand_prefix
+        # beats a dictionary join (q25_wildcard was the slowest bench
+        # class at 4× corpus before this).
+        lit = regex_literal_prefix(node.pattern)
+        if lit:
+            cond = cond & F.col("term").startswith(lit)
+        terms_df = td.filter(cond).select("term").distinct()
         cand = p.filter(F.col("field") == node.field).join(
             F.broadcast(terms_df), on="term", how="left_semi"
         )
@@ -2985,6 +2997,33 @@ class Searcher:
                  "docid": int(r["docid_g"]), "snippet": None}
             )
         return out
+
+
+def regex_literal_prefix(pattern: str) -> str:
+    """The GUARANTEED literal head of an anchored regex — every string
+    the (anchored) pattern accepts starts with it.  Conservative by
+    construction: stops at the first metacharacter, character-class
+    escape, or any char followed by a quantifier (which could repeat or
+    vanish), so the returned prefix never excludes a true match.  Used
+    to push a StartsWith predicate under the termdict regex scan."""
+    meta = set(".^$*+?{}[]|()")
+    out: list[str] = []
+    i, n = 0, len(pattern)
+    while i < n:
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = pattern[i + 1]
+            if nxt.isalnum():  # \d, \w, \b... — a class, not a literal
+                break
+            lit, i = nxt, i + 2
+        elif ch not in meta:
+            lit, i = ch, i + 1
+        else:
+            break
+        if i < n and pattern[i] in "*+?{":
+            break  # quantified char: optional/repeated — not guaranteed
+        out.append(lit)
+    return "".join(out)
 
 
 def collect_terms(node: A.Node) -> set[tuple[str, str]]:

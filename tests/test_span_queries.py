@@ -297,3 +297,35 @@ def test_match_bool_prefix_parity(index, oracle):
     want = oracle.top_k(node, 10)
     assert [d for d, _ in got] == [d for d, _ in want]
     assert got
+
+
+# ------------------------------------------------- regex prefix pushdown
+def test_regex_literal_prefix_extraction():
+    from sonar_tantivy_spark.operators.search import regex_literal_prefix
+
+    assert regex_literal_prefix("he.*o") == "he"
+    assert regex_literal_prefix("h.llo") == "h"
+    assert regex_literal_prefix("hello") == "hello"
+    assert regex_literal_prefix(".*x") == ""
+    assert regex_literal_prefix("ab?c") == "a"      # 'b' may vanish
+    assert regex_literal_prefix("ab*c") == "a"      # 'b' may repeat
+    assert regex_literal_prefix("ab+c") == "a"      # 'b' guaranteed? no: stop conservative
+    assert regex_literal_prefix("a{2}b") == ""      # 'a' quantified
+    assert regex_literal_prefix(r"a\.b") == "a.b"   # escaped literal dot
+    assert regex_literal_prefix(r"a\db") == "a"     # \d is a class
+    assert regex_literal_prefix("(ab)c") == ""
+    assert regex_literal_prefix("[ab]c") == ""
+    assert regex_literal_prefix("wor") == "wor"
+
+
+def test_regex_prefix_pushdown_results_unchanged(index, oracle):
+    """The StartsWith prefilter must be pure pruning: engine results
+    stay rank- and score-identical to the pure-Python oracle for
+    patterns with a literal head, an empty head (no prefilter), and a
+    dead head."""
+    for pat in ["he.*o", "h.llo", "w.*d", ".*orld", "zz.*q"]:
+        node = A.parse_json({"regex": {"text": pat}}, index.schema)
+        got = _engine_topk(index, node, k=100)
+        want = oracle.top_k(node, 100)
+        assert [d for d, _ in got] == [d for d, _ in want], pat
+        assert all(sc == 1.0 for _, sc in got)

@@ -190,6 +190,17 @@ def main() -> None:
             checks.append((name, "termdict side joins broadcast",
                            "BroadcastHashJoin" in plan))
 
+    # termdict regex scan: the anchored pattern's guaranteed literal
+    # head must reach the parquet scan as a pushable StartsWith (rlike
+    # itself can never push) — the predicate that keeps wildcard cost
+    # tracking the prefix range, not the dictionary size
+    node = A.parse_json({"regex": {"text": "he.*o"}}, idx.schema)
+    plan = formatted(idx.searcher().candidates(node))
+    sections.append(f"## regex_he_star_o\n\n```\n{plan}\n```\n")
+    checks.append(("regex_he.*o",
+                   "literal head pushed as StringStartsWith",
+                   "StringStartsWith(term,he)" in plan))
+
     # percolation: saved searches compile to a MAP-ONLY projection —
     # zero exchanges is the property that makes the same transform
     # streaming-safe and a pure scan at 100 TB
