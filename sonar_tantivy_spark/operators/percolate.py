@@ -209,9 +209,11 @@ class _Compiler:
         if isinstance(node, A.FuzzyQ):
             # transpositions=false only (validated): OSA == Levenshtein
             d = int(node.distance)
+            pfx = node.term[:int(getattr(node, "prefix_length", 0))]
             return F.exists(
                 F.map_keys(self.tmap(node.field)),
-                lambda k: F.levenshtein(k, F.lit(node.term)) <= d)
+                lambda k: k.startswith(pfx)
+                & (F.levenshtein(k, F.lit(node.term)) <= d))
         if isinstance(node, A.PhraseQ):
             terms = node.terms
             if not terms:

@@ -684,6 +684,14 @@ class Searcher:
         if td is None:
             return None
         terms_df = td.filter(F.col("field") == node.field)
+        if node.prefix_length > 0:
+            # ES/Lucene prefix_length: candidates share the query term's
+            # first P chars verbatim (pin: whole-string distance still
+            # applies beyond the shared prefix).  StartsWith pushes into
+            # the (field, term)-sorted termdict scan — the expansion
+            # reads one prefix range, not the dictionary.
+            terms_df = terms_df.filter(F.col("term").startswith(
+                node.term[:node.prefix_length]))
         if node.transposition:
             from sonar_tantivy_spark.functions.strdist import (
                 jvm_prefilter,

@@ -191,6 +191,11 @@ class FuzzyQ(Node):
     term: str
     distance: int = 1
     transposition: bool = False
+    # ES/Lucene prefix_length: candidates must share the term's first P
+    # characters EXACTLY (edits only beyond them).  Besides the recall
+    # trade ES documents, P >= 1 turns the dictionary expansion into a
+    # pushdown-able StartsWith range scan.
+    prefix_length: int = 0
 
 
 @dataclass
@@ -733,9 +738,13 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
                               score_mode, boost_mode)
     if kind == "fuzzy":
         (field, spec), = body.items()
+        plen = int(spec.get("prefix_length", 0))
+        if plen < 0:
+            raise QueryError("fuzzy prefix_length must be >= 0")
         return FuzzyQ(field, str(spec["value"]).lower(),
                       int(spec.get("distance", 1)),
-                      bool(spec.get("transposition", False)))
+                      bool(spec.get("transposition", False)),
+                      prefix_length=plen)
     if kind == "regex":
         (field, pattern), = body.items()
         return RegexQ(field, pattern)

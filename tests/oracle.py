@@ -383,9 +383,11 @@ class OracleIndex:
 
     def _score_fuzzy(self, node: A.FuzzyQ) -> dict[int, float]:
         out: dict[int, float] = {}
+        pfx = node.term[:getattr(node, "prefix_length", 0)]
         for (field, term), plist in self.postings.items():
-            if field == node.field and \
-                    self._lev(term, node.term, node.transposition) <= node.distance:
+            if field != node.field or not term.startswith(pfx):
+                continue
+            if self._lev(term, node.term, node.transposition) <= node.distance:
                 for d in plist:
                     out[d] = 1.0
         return out

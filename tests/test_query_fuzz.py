@@ -121,7 +121,8 @@ def gen_node(rng: random.Random, depth: int = 0) -> A.Node:
     if kind == "prefix":
         return A.PrefixQ("text", rng.choice(["hel", "wor", "wba", "zzz"]))
     if kind == "fuzzy":
-        return A.FuzzyQ("text", "helo", 1, rng.random() < 0.5)
+        return A.FuzzyQ("text", "helo", 1, rng.random() < 0.5,
+                        prefix_length=rng.choice([0, 0, 1, 2]))
     if kind == "range":
         return A.RangeQ("turn_idx", gte=0, lte=rng.choice([1, 3, 6]))
     node = A.BoolQ()

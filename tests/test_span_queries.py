@@ -329,3 +329,31 @@ def test_regex_prefix_pushdown_results_unchanged(index, oracle):
         want = oracle.top_k(node, 100)
         assert [d for d, _ in got] == [d for d, _ in want], pat
         assert all(sc == 1.0 for _, sc in got)
+
+
+def test_fuzzy_prefix_length(index, oracle):
+    """ES fuzzy prefix_length: candidates share the query's first P
+    chars verbatim; P=0 is today's behavior, P large enough excludes
+    edits in the head ('hello' vs query 'jello' dies at P>=1)."""
+    base = A.parse_json({"fuzzy": {"text": {"value": "helo",
+                                            "distance": 1}}}, index.schema)
+    p1 = A.parse_json({"fuzzy": {"text": {"value": "helo", "distance": 1,
+                                          "prefix_length": 1}}}, index.schema)
+    assert p1.prefix_length == 1
+    got_b = {d for d, _ in _engine_topk(index, base, k=500)}
+    got_1 = {d for d, _ in _engine_topk(index, p1, k=500)}
+    assert got_1 <= got_b
+    for node in (base, p1):
+        got = {d for d, _ in _engine_topk(index, node, k=500)}
+        assert got == set(oracle.score(node)), node.prefix_length
+    # a head-edit candidate dies under prefix_length: query 'jello'
+    # matches 'hello' at distance 1 only while P == 0
+    j0 = A.parse_json({"fuzzy": {"text": {"value": "jello",
+                                          "distance": 1}}}, index.schema)
+    j1 = A.parse_json({"fuzzy": {"text": {"value": "jello", "distance": 1,
+                                          "prefix_length": 1}}}, index.schema)
+    assert {d for d, _ in _engine_topk(index, j0, k=500)}
+    assert _engine_topk(index, j1, k=500) == []
+    with pytest.raises(A.QueryError):
+        A.parse_json({"fuzzy": {"text": {"value": "helo",
+                                         "prefix_length": -1}}}, index.schema)
