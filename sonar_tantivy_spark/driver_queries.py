@@ -583,6 +583,56 @@ def q_dd_jaccard_pairs(spark, sf_dir):
     return verified.unionByName(stars.withColumn("jaccard", F.lit(1.0)))
 
 
+def q_dd_incremental_dedup(spark, sf_dir):
+    """Incremental (cross-snapshot) near-dup dedup — the shape a GROWING
+    100 TB corpus actually needs: a NEW batch (doc_id >= split, split =
+    half the corpus here) is deduped against the EXISTING corpus and
+    against its own earlier rows WITHOUT ever re-pairing old x old.
+    Candidate volume is O(new-side band collisions): the band self-join
+    keeps the full signature table on the build side but FILTERS the
+    probe side to the new batch, so the old corpus is touched once as a
+    lookup, never re-paired — per-ingest cost tracks the batch, not the
+    corpus.  Verified (exact Jaccard >= 0.5, candidate-bounded) drops
+    keep the FIRST occurrence by doc_id; output = (dropped new doc,
+    dup_of = smallest verified partner).
+
+    Scale caveats, stated not hidden: (a) the old side is assumed
+    already deduped — the invariant this operator itself maintains, so
+    old-side exact-dup groups don't exist; (b) a huge exact-dup group
+    WITHIN one new batch still pairs quadratically here — the
+    _collapsed_band_pairs machinery (dd_minhash_bands) is the drop-in
+    fix when batches carry massive boilerplate groups."""
+    docs = _docs(spark, sf_dir)
+    split = (int(docs.agg(F.max("doc_id")).first()[0]) + 1) // 2
+    sig = _minhash_sigs(spark, sf_dir)
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(b, on=[F.col("a.band") == F.col("b.band"),
+                      F.col("a.bsig") == F.col("b.bsig"),
+                      F.col("a.doc_id") < F.col("b.doc_id")])
+        .filter(F.col("b.doc_id") >= F.lit(split))  # probe side = NEW only
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+    sh = _shingles(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("d1"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("d2"), "shingle")
+    inter = (cand.join(sa, on="d1").join(sb, on=["d2", "shingle"])
+             .groupBy("d1", "d2").agg(F.count("*").alias("i")))
+    ver = (
+        inter.join(sizes.withColumnRenamed("doc_id", "d1")
+                   .withColumnRenamed("sz", "sza"), on="d1")
+        .join(sizes.withColumnRenamed("doc_id", "d2")
+              .withColumnRenamed("sz", "szb"), on="d2")
+        .filter(F.round(F.col("i") / (F.col("sza") + F.col("szb")
+                                      - F.col("i")), 4) >= 0.5)
+    )
+    return (ver.groupBy(F.col("d2").alias("doc_id"))
+            .agg(F.min("d1").alias("dup_of"))
+            .orderBy("doc_id"))
+
+
 def q_dd_dup_clusters(spark, sf_dir):
     """Duplicate-cluster resolution: connected components over the
     verified Jaccard pairs (J >= 0.5 edges), cluster id = min doc_id in
@@ -2565,6 +2615,7 @@ QUERIES = {
     "dd_minhash_bands": q_dd_minhash_bands,
     "dd_jaccard_pairs": q_dd_jaccard_pairs,
     "dd_dup_clusters": q_dd_dup_clusters,
+    "dd_incremental_dedup": q_dd_incremental_dedup,
     "dd_keep_representative": q_dd_keep_representative,
     "dd_simhash": q_dd_simhash,
     "dd_embed_cosine_pairs": q_dd_embed_cosine_pairs,
@@ -3344,6 +3395,34 @@ GROUP BY 1""",
   SELECT doc_id, md5(string_agg(term, ',' ORDER BY term)) AS fingerprint
   FROM postings GROUP BY doc_id)
 GROUP BY fingerprint HAVING count(*) > 1""",
+        "dd_incremental_dedup": pre + f""", mhx AS (
+  SELECT doc_id, h, min(md5(shingle || '|' || h::VARCHAR)) AS mh
+  FROM sh CROSS JOIN (SELECT unnest(range({N_MINHASH})) AS h)
+  GROUP BY doc_id, h),
+msigx AS (
+  SELECT doc_id, (h // 2)::INT AS band,
+         min(CASE WHEN h % 2 = 0 THEN mh END)
+           || min(CASE WHEN h % 2 = 1 THEN mh END) AS bsig
+  FROM mhx GROUP BY doc_id, h // 2),
+sp AS (SELECT ((max(doc_id) + 1) // 2) AS split FROM documents),
+candx AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM msigx a JOIN msigx b
+    ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+  WHERE b.doc_id >= (SELECT split FROM sp)),
+sizesx AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+interx AS (
+  SELECT c.d1, c.d2, count(*) AS i FROM candx c
+  JOIN sh a ON a.doc_id = c.d1
+  JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+  GROUP BY c.d1, c.d2),
+verx AS (
+  SELECT d1, d2 FROM interx
+  JOIN sizesx sa ON sa.doc_id = d1
+  JOIN sizesx sb ON sb.doc_id = d2
+  WHERE round(i / (sa.sz + sb.sz - i), 4) >= 0.5)
+SELECT d2 AS doc_id, min(d1) AS dup_of FROM verx GROUP BY d2
+ORDER BY d2""",
         "dd_minhash_bands": pre + _MINHASH_SIG_SQL + f"""
 SELECT d1, d2, n_bands FROM (
   SELECT a.doc_id AS d1, b.doc_id AS d2, count(*)::BIGINT AS n_bands
