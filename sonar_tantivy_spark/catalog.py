@@ -156,7 +156,7 @@ class Index:
     ) -> list[dict]:
         """String-grammar search → [{score, doc, snippet}]
         (handles.rs:139-156 → index.rs:246-284)."""
-        node = A.parse_string(query, self.schema)
+        node = self._resolve_mlt(A.parse_string(query, self.schema))
         s = self.searcher()
         hits = s.top_k_pruned(node, limit=limit)  # block-max default path
         results = s.retrieve(hits)
@@ -201,7 +201,7 @@ class Index:
             return self._knn_search(search, knn, body)
         if body is None:
             raise A.QueryError("Empty Query Provided")  # search.rs:100-102
-        node = A.parse_json(body, self.schema)
+        node = self._resolve_mlt(A.parse_json(body, self.schema))
         hl = search.get("highlight")
 
         def _done(res: dict) -> dict:
@@ -363,7 +363,7 @@ class Index:
         rank = (search.get("rank") or {}).get("rrf") or {}
         rc = int(rank.get("rank_constant", 60))
         window = int(rank.get("rank_window_size", max(k, 10)))
-        node = A.parse_json(body, self.schema)
+        node = self._resolve_mlt(A.parse_json(body, self.schema))
         bm = s.top_k_pruned(node, limit=window).collect()
         kn = self._knn_hits(knn, window)[0].collect()
         rrf: dict[int, float] = {}
@@ -526,7 +526,7 @@ class Index:
         combine = self._RESCORE_MODES.get(mode)
         if combine is None:
             raise A.QueryError(f"unknown rescore score_mode {mode!r}")
-        rnode = A.parse_json(rnode_body, self.schema)
+        rnode = self._resolve_mlt(A.parse_json(rnode_body, self.schema))
         window = max(window, depth)  # ES requires from+size <= window
         hits_df = s.top_k_pruned(node, limit=window)
         rows = hits_df.collect()
@@ -559,7 +559,7 @@ class Index:
         driver-side (block-max absence proofs), and the surviving
         candidate set is counted without the top-k sort or the docs-table
         retrieval join."""
-        node = (
+        node = self._resolve_mlt(
             A.parse_string(query, self.schema)
             if isinstance(query, str)
             else A.parse_json(query, self.schema)
@@ -583,7 +583,7 @@ class Index:
         provably empty (bound 0.0) called out.  Cost: driver-side stats
         lookups only (tiny pushdown-filtered termdict scans, memoized per
         searcher) — the postings are never scanned."""
-        node = (
+        node = self._resolve_mlt(
             A.parse_string(query, self.schema)
             if isinstance(query, str)
             else A.parse_json(query, self.schema)
@@ -607,7 +607,7 @@ class Index:
 
     def query_df(self, query: str | dict, limit: int = DEFAULT_QUERY_LIMIT) -> DataFrame:
         """DataFrame-returning variant (for pipelines / the driver contract)."""
-        node = (
+        node = self._resolve_mlt(
             A.parse_string(query, self.schema)
             if isinstance(query, str)
             else A.parse_json(query, self.schema)
@@ -705,7 +705,7 @@ class Index:
         JSON DSL) — the generalization tantivy gained as
         delete_query; free here because deletion consumes the same
         candidate compilation as search."""
-        node = (
+        node = self._resolve_mlt(
             A.parse_string(query, self.schema)
             if isinstance(query, str)
             else A.parse_json(query, self.schema)
@@ -968,6 +968,24 @@ class Index:
         3. Run the should-OR of those terms through the normal
            block-max-pruned top-k path and drop the seed itself.
         """
+        terms = self._mlt_terms(docid, field, top_terms, min_df)
+        if not terms:
+            return []
+        from pyspark.sql import functions as F
+
+        s = self.searcher()
+        node = A.BoolQ(should=[A.TermQ(field, t) for t in terms])
+        hits = (
+            s.top_k_pruned(node, limit=limit + 1)
+            .filter(F.col("docid_g") != docid)
+            .orderBy(F.desc("score"), F.asc("docid_g")).limit(limit)
+        )
+        return s.retrieve(hits)
+
+    def _mlt_terms(self, docid: int, field: str,
+                   top_terms: int, min_df: int) -> list[str]:
+        """Seed-term extraction shared by Index.more_like_this and the
+        MltQ query-node resolution (steps 1-2 of the MLT docstring)."""
         from pyspark.sql import functions as F
 
         from sonar_tantivy_spark.functions import bm25
@@ -978,7 +996,11 @@ class Index:
         for seg_id, base in sorted(s.bases.items(), key=lambda kv: kv[1]):
             if docid >= base:
                 sid, local = seg_id, docid - base
-        if sid is None:
+        max_docs = {seg["segment_id"]: int(seg["max_doc"])
+                    for seg in s.segments}
+        if sid is None or local >= max_docs.get(sid, 0):
+            # same bound-check as termvectors/delete_docs: an id past
+            # the last segment must error, never silently seed nothing
             raise KeyError(f"docid {docid} out of range")
         seed = None
         fd = self.schema.field(field)
@@ -1016,16 +1038,40 @@ class Index:
              if dfs.get((field, r["term"]), 0) >= min_df),
             key=lambda x: (-x[0], x[1]),
         )
-        if not ranked:
-            return []
-        node = A.BoolQ(
-            should=[A.TermQ(field, t) for _, t in ranked[:top_terms]])
-        hits = (
-            s.top_k_pruned(node, limit=limit + 1)
-            .filter(F.col("docid_g") != docid)
-            .orderBy(F.desc("score"), F.asc("docid_g")).limit(limit)
-        )
-        return s.retrieve(hits)
+        return [t for _, t in ranked[:top_terms]]
+
+    def _resolve_mlt(self, node: "A.Node") -> "A.Node":
+        """Rewrite MltQ nodes (needs the index: seed read + dfs) into
+        BoolQ(should=[seed terms], must_not=[IdsQ([seed])]) — the ES
+        include=false rule — so more_like_this composes anywhere a
+        query does.  Empty seed → a pure-negative bool, which matches
+        nothing (the tantivy pin)."""
+        import dataclasses
+
+        if isinstance(node, A.MltQ):
+            terms = self._mlt_terms(node.like_docid, node.field,
+                                    node.top_terms, node.min_df)
+            return A.BoolQ(
+                should=[A.TermQ(node.field, t) for t in terms],
+                must_not=[A.IdsQ([node.like_docid])])
+        if isinstance(node, A.BoolQ):
+            return dataclasses.replace(
+                node,
+                must=[self._resolve_mlt(c) for c in node.must],
+                must_not=[self._resolve_mlt(c) for c in node.must_not],
+                should=[self._resolve_mlt(c) for c in node.should],
+                filter=[self._resolve_mlt(c) for c in node.filter])
+        if isinstance(node, A.DisMaxQ):
+            return dataclasses.replace(
+                node, queries=[self._resolve_mlt(c) for c in node.queries])
+        if isinstance(node, (A.BoostQ, A.ConstScoreQ, A.FunctionScoreQ)):
+            return dataclasses.replace(
+                node, child=self._resolve_mlt(node.child))
+        if isinstance(node, A.BoostingQ):
+            return dataclasses.replace(
+                node, positive=self._resolve_mlt(node.positive),
+                negative=self._resolve_mlt(node.negative))
+        return node
 
     def termvectors(self, docid: int, field: str) -> list[dict]:
         """ES ``_termvectors`` analog (BEYOND-REFERENCE): the per-term
@@ -1087,8 +1133,9 @@ class Index:
 
     # -------------------------------------------------------- percolator
     def _parse_any(self, query: "str | dict") -> "A.Node":
-        return (A.parse_string(query, self.schema) if isinstance(query, str)
+        node = (A.parse_string(query, self.schema) if isinstance(query, str)
                 else A.parse_json(query, self.schema))
+        return self._resolve_mlt(node)
 
     def register_query(self, name: str, query: "str | dict") -> None:
         """Save a query for percolation (the ES percolator-document

@@ -186,6 +186,22 @@ class SpanFirstQ(Node):
 
 
 @dataclass
+class MltQ(Node):
+    """ES ``more_like_this`` as a QUERY NODE (the Index.more_like_this
+    method's semantics made composable): resolved by the Index BEFORE
+    compilation into BoolQ(should=[seed tf·idf top terms],
+    must_not=[IdsQ([like docid])]) — ES include=false default.
+    Resolution needs the index (seed read + dfs), so a bare
+    ``parse_json`` leaves this node in place and ``Searcher`` refuses
+    it; every Index entry point resolves it first."""
+
+    field: str
+    like_docid: int
+    top_terms: int = 5
+    min_df: int = 2
+
+
+@dataclass
 class FuzzyQ(Node):
     field: str
     term: str
@@ -736,6 +752,27 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
         return FunctionScoreQ(parse_json(child_body, schema),
                               [_validate_function(schema, fn) for fn in fns],
                               score_mode, boost_mode)
+    if kind == "more_like_this":
+        # ES shape: {"more_like_this": {"fields": ["text"],
+        #   "like": [{"_id": 3}], "max_query_terms": 5,
+        #   "min_doc_freq": 2}} — one field, one _id like (v1 pins;
+        #   text-likes and multi-like blending are rejected clearly)
+        fields = body.get("fields") or []
+        if len(fields) != 1:
+            raise QueryError("more_like_this needs exactly one field")
+        like = body.get("like")
+        if isinstance(like, dict):
+            like = [like]
+        if not (isinstance(like, list) and len(like) == 1
+                and isinstance(like[0], dict) and "_id" in like[0]):
+            raise QueryError(
+                "more_like_this supports exactly one {'_id': docid} like")
+        fdef = schema.field(fields[0])
+        if fdef is None or not fdef.indexed:
+            raise QueryError(f"field {fields[0]!r} is not indexed")
+        return MltQ(fields[0], int(like[0]["_id"]),
+                    top_terms=int(body.get("max_query_terms", 5)),
+                    min_df=int(body.get("min_doc_freq", 2)))
     if kind == "fuzzy":
         (field, spec), = body.items()
         plen = int(spec.get("prefix_length", 0))

@@ -231,7 +231,10 @@ def test_more_like_this_matches_composed_query(index, oracle):
 
 
 def test_more_like_this_unknown_doc(index):
-    assert index.more_like_this(10**9, "text") == [] or True  # no raise
+    # bound-check consistent with termvectors/delete_docs (r5): an id
+    # past the last segment errors instead of silently seeding nothing
+    with pytest.raises(KeyError):
+        index.more_like_this(10**9, "text")
 
 
 def test_more_like_this_self_similarity(index):

@@ -357,3 +357,50 @@ def test_fuzzy_prefix_length(index, oracle):
     with pytest.raises(A.QueryError):
         A.parse_json({"fuzzy": {"text": {"value": "helo",
                                          "prefix_length": -1}}}, index.schema)
+
+
+# ------------------------------------------------------ more_like_this node
+def test_mlt_node_equals_method(index):
+    """The more_like_this QUERY NODE resolves to the same hits as the
+    Index.more_like_this method (same seed ranking, same BM25 path,
+    seed excluded per ES include=false)."""
+    seed = 7
+    via_method = [(h["docid"], round(h["score"], 6))
+                  for h in index.more_like_this(seed, "text")]
+    res = index.query_json({"query": {"more_like_this": {
+        "fields": ["text"], "like": [{"_id": seed}],
+        "max_query_terms": 5, "min_doc_freq": 2}}, "limit": 10})
+    via_node = [(h["docid"], round(h["score"], 6)) for h in res["docs"]]
+    assert via_node == via_method and via_node
+    assert all(d != seed for d, _ in via_node)
+
+
+def test_mlt_node_composes_in_bool(index):
+    """MLT inside a bool filter — the reason it's a node: restrict
+    similar docs to user turns only."""
+    seed = 7
+    res = index.query_json({"query": {"bool": {
+        "must": [{"more_like_this": {"fields": ["text"],
+                                     "like": [{"_id": seed}]}}],
+        "filter": [{"term": {"role": "user"}}]}}, "limit": 50})
+    plain = index.query_json({"query": {"more_like_this": {
+        "fields": ["text"], "like": [{"_id": seed}]}}, "limit": 1000})
+    filtered = {h["docid"] for h in res["docs"]}
+    allhits = {h["docid"] for h in plain["docs"]}
+    assert filtered <= allhits
+    assert all(h["doc"]["role"] == ["user"] for h in res["docs"])
+
+
+def test_mlt_node_errors(index):
+    with pytest.raises(A.QueryError):  # two likes
+        index.query_json({"query": {"more_like_this": {
+            "fields": ["text"], "like": [{"_id": 1}, {"_id": 2}]}}})
+    with pytest.raises(A.QueryError):  # two fields
+        index.query_json({"query": {"more_like_this": {
+            "fields": ["text", "role"], "like": [{"_id": 1}]}}})
+    with pytest.raises(A.QueryError):  # non-indexed field
+        index.query_json({"query": {"more_like_this": {
+            "fields": ["conv_id"], "like": [{"_id": 1}]}}})
+    with pytest.raises(KeyError):  # out-of-range seed docid
+        index.query_json({"query": {"more_like_this": {
+            "fields": ["text"], "like": [{"_id": 10**9}]}}})
