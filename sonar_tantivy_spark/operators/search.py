@@ -36,6 +36,8 @@ termdict lookup job and folded into the score expression as a literal.
 
 from __future__ import annotations
 
+import math
+
 from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -2152,7 +2154,16 @@ class Searcher:
              name: {"cardinality":    {"field": f, "exact": False}},
              name: {"avg"|"sum"|"min"|"max"|"value_count": {"field": f}},
              name: {"missing":        {"field": f}},
-             name: {"filters":        {"filters": {fname: {..query..}}}}}
+             name: {"filters":        {"filters": {fname: {..query..}}}},
+             name: {"rare_terms":     {"field": f, "max_doc_count": 1}},
+             name: {"multi_terms":    {"terms": [{"field": f}, ..]}},
+             name: {"adjacency_matrix": {"filters": {fname: {..}}}},
+             name: {"weighted_avg":   {"value": {"field": v},
+                                       "weight": {"field": w}}},
+             name: {"median_absolute_deviation": {"field": f}},
+             name: {"boxplot":        {"field": f}},
+             name: {"string_stats":   {"field": f,
+                                       "show_distribution": False}}}
 
         Bucket aggs (terms / histogram / date_histogram) take metric
         sub-aggs (avg/sum/min/max/value_count/stats/cardinality) via an
@@ -2285,6 +2296,70 @@ class Searcher:
                             f"{sf!r} is not a stored field")
                     fields.add(sf)
                 continue
+            if kind == "multi_terms":
+                tlist = (body or {}).get("terms")
+                if not isinstance(tlist, list) or len(tlist) < 2:
+                    raise A.QueryError(
+                        f"agg {name!r}: multi_terms needs a list of >= 2 "
+                        f"{{'field': ..}} terms")
+                for t in tlist:
+                    tf = (t or {}).get("field") if isinstance(t, dict) \
+                        else None
+                    if not tf:
+                        raise A.QueryError(
+                            f"agg {name!r}: each multi_terms term is "
+                            f"{{'field': ..}}")
+                    tdef = self.schema.field(tf)
+                    if tdef is None or not tdef.stored:
+                        raise A.QueryError(
+                            f"agg {name!r}: field {tf!r} is not a "
+                            f"stored field")
+                    fields.add(tf)
+                metrics, th = self._sub_agg_plan(name, body)
+                if th is not None:
+                    raise A.QueryError(
+                        f"agg {name!r}: a top_hits sub-agg is only "
+                        f"supported under a terms agg")
+                for sub_name, skind, sf in metrics:
+                    sdef = self.schema.field(sf)
+                    if sdef is None or not sdef.stored:
+                        raise A.QueryError(
+                            f"agg {name!r}: sub-agg {sub_name!r}: field "
+                            f"{sf!r} is not a stored field")
+                    fields.add(sf)
+                continue
+            if kind == "weighted_avg":
+                for part in ("value", "weight"):
+                    pf = ((body or {}).get(part) or {}).get("field")
+                    if not pf:
+                        raise A.QueryError(
+                            f"agg {name!r}: weighted_avg needs "
+                            f"value.field and weight.field")
+                    pdef = self.schema.field(pf)
+                    if pdef is None or not pdef.stored:
+                        raise A.QueryError(
+                            f"agg {name!r}: field {pf!r} is not a "
+                            f"stored field")
+                    if pdef.type not in ("i64", "u64", "f64"):
+                        raise A.QueryError(
+                            f"agg {name!r}: weighted_avg needs numeric "
+                            f"fields, {pf!r} is {pdef.type}")
+                    fields.add(pf)
+                continue
+            if kind == "adjacency_matrix":
+                flt = (body or {}).get("filters")
+                if not isinstance(flt, dict) or not flt:
+                    raise A.QueryError(
+                        f"agg {name!r}: adjacency_matrix needs a dict "
+                        f"of named filter queries")
+                for fname, q in flt.items():
+                    if "&" in fname:
+                        raise A.QueryError(
+                            f"agg {name!r}: filter name {fname!r} may "
+                            f"not contain '&' (the intersection "
+                            f"separator)")
+                    A.parse_json(q, self.schema)  # fail at parse time
+                continue
             f = (body or {}).get("field")
             if not f:
                 raise A.QueryError(f"agg {name!r}: missing field")
@@ -2304,7 +2379,8 @@ class Searcher:
             # instead of as an executor-side ANSI cast error
             if kind in ("stats", "extended_stats", "percentiles",
                         "percentile_ranks", "histogram", "range",
-                        "avg", "sum", "min", "max") \
+                        "avg", "sum", "min", "max",
+                        "median_absolute_deviation", "boxplot") \
                     and fdef.type not in ("i64", "u64", "f64"):
                 raise A.QueryError(
                     f"agg {name!r}: {kind} needs a numeric field, "
@@ -2312,6 +2388,10 @@ class Searcher:
             if kind == "date_histogram" and fdef.type != "date":
                 raise A.QueryError(
                     f"agg {name!r}: date_histogram needs a date field, "
+                    f"{f!r} is {fdef.type}")
+            if kind == "string_stats" and fdef.type != "text":
+                raise A.QueryError(
+                    f"agg {name!r}: string_stats needs a text field, "
                     f"{f!r} is {fdef.type}")
             if kind in ("terms", "histogram", "date_histogram"):
                 self._pipe_agg_plan(name, body)  # fail-fast validation
@@ -2442,6 +2522,95 @@ class Searcher:
                     out[name] = {"buckets": buckets}
                     if len(buckets) == size:
                         out[name]["after_key"] = dict(buckets[-1]["key"])
+                    continue
+                if kind == "multi_terms":
+                    # ES multi_terms: buckets keyed by a TUPLE of field
+                    # values — the same ONE hash aggregation as terms
+                    # (groupBy on the tuple), metric sub-aggs riding it;
+                    # a doc missing ANY key field falls out (ES rule)
+                    tfields = [t["field"] for t in body["terms"]]
+                    size = int(body.get("size", 10))
+                    metrics, _ = self._sub_agg_plan(name, body)
+                    b = matched
+                    for tf in tfields:
+                        b = b.filter(F.col(tf).isNotNull())
+                    kcols = [F.col(tf).alias(f"__k{i}")
+                             for i, tf in enumerate(tfields)]
+                    grouped = (b.groupBy(*kcols)
+                               .agg(F.count("*").alias("doc_count"),
+                                    *self._metric_exprs(metrics)))
+                    rows = (grouped.orderBy(
+                        F.desc("doc_count"),
+                        *[F.asc(f"__k{i}") for i in range(len(tfields))])
+                        .limit(size).collect())
+                    buckets = [
+                        {"key": [r[f"__k{i}"]
+                                 for i in range(len(tfields))],
+                         "key_as_string": "|".join(
+                             str(r[f"__k{i}"])
+                             for i in range(len(tfields))),
+                         "doc_count": int(r["doc_count"]),
+                         **self._shape_metrics(metrics, r)}
+                        for r in rows]
+                    out[name] = {"buckets": buckets}
+                    continue
+                if kind == "weighted_avg":
+                    # ES weighted_avg: sum(v*w)/sum(w) over rows where
+                    # BOTH are present — one aggregation, map-side
+                    # partials; null value with present weight counts
+                    # the weight only if value_missing is set (not
+                    # supported: nulls drop, the ES default)
+                    vf = F.col(body["value"]["field"]).cast("double")
+                    wf = F.col(body["weight"]["field"]).cast("double")
+                    both = matched.filter(vf.isNotNull()
+                                          & wf.isNotNull())
+                    r = both.agg(
+                        F.sum(vf * wf).alias("vw"),
+                        F.sum(wf).alias("w")).collect()[0]
+                    out[name] = {"value": (
+                        None if r["w"] is None or r["w"] == 0
+                        else float(r["vw"]) / float(r["w"]))}
+                    continue
+                if kind == "adjacency_matrix":
+                    # ES adjacency_matrix: one bucket per named filter
+                    # (matched ∩ filter) plus one per PAIR
+                    # ("a&b" = matched ∩ a ∩ b).  Each filter costs one
+                    # postings scan for its candidate keys; the
+                    # intersections are key-only hash joins — never a
+                    # rescore of the main query.  Filter count is tiny
+                    # (ES caps at 100), so the pair loop is bounded.
+                    mkeys = matched.select("segment_id", "docid")
+                    fkeys = {}
+                    for fname in sorted(body["filters"]):
+                        sub = A.parse_json(body["filters"][fname],
+                                           self.schema)
+                        fkeys[fname] = (
+                            self.candidates(sub)
+                            .select("segment_id", "docid")
+                            .join(mkeys, on=["segment_id", "docid"],
+                                  how="left_semi").persist())
+                    try:
+                        buckets = []
+                        names = sorted(fkeys)
+                        for fname in names:
+                            n = int(fkeys[fname].count())
+                            if n:
+                                buckets.append({"key": fname,
+                                                "doc_count": n})
+                        for i, a in enumerate(names):
+                            for bn in names[i + 1:]:
+                                n = int(fkeys[a].join(
+                                    fkeys[bn],
+                                    on=["segment_id", "docid"],
+                                    how="left_semi").count())
+                                if n:  # ES omits empty intersections
+                                    buckets.append(
+                                        {"key": f"{a}&{bn}",
+                                         "doc_count": n})
+                        out[name] = {"buckets": buckets}
+                    finally:
+                        for df in fkeys.values():
+                            df.unpersist()
                     continue
                 col = F.col(body["field"])
                 # ES rule: docs missing the field fall out of every agg
@@ -2658,6 +2827,96 @@ class Searcher:
                     # the complement of every other agg's null rule
                     out[name] = {"doc_count": int(
                         matched.filter(col.isNull()).count())}
+                elif kind == "rare_terms":
+                    # ES rare_terms: the LONG TAIL — buckets whose
+                    # doc_count <= max_doc_count, ordered count-asc
+                    # then key-asc.  ES bounds memory with a cuckoo
+                    # filter; the engine's exact equivalent is the one
+                    # hash aggregation + a driver-bounded limit
+                    # (max_buckets, default 1000) so the driver never
+                    # materialises an unbounded tail at corpus scale.
+                    mdc = int(body.get("max_doc_count", 1))
+                    cap = int(body.get("max_buckets", 1000))
+                    rows = (bucketed.groupBy(col.alias("key"))
+                            .agg(F.count("*").alias("doc_count"))
+                            .filter(F.col("doc_count") <= mdc)
+                            .orderBy(F.asc("doc_count"), F.asc("key"))
+                            .limit(cap).collect())
+                    out[name] = {"buckets": [
+                        {"key": r["key"],
+                         "doc_count": int(r["doc_count"])}
+                        for r in rows]}
+                elif kind == "median_absolute_deviation":
+                    # ES MAD: median(|x - median(x)|).  Exact by
+                    # default (two percentile passes over the persisted
+                    # match frame — deterministic, oracle-matchable);
+                    # "approx": true switches both passes to
+                    # percentile_approx (one-pass sketch each, the
+                    # 100 TB default, same rationale as percentiles).
+                    fn = F.percentile_approx if body.get("approx") \
+                        else F.percentile
+                    v = col.cast("double")
+                    m = matched.agg(
+                        fn(v, F.lit(0.5)).alias("m")).collect()[0]["m"]
+                    if m is None:
+                        out[name] = {"value": None}
+                    else:
+                        r = matched.agg(
+                            fn(F.abs(v - F.lit(float(m))), F.lit(0.5))
+                            .alias("mad")).collect()[0]["mad"]
+                        out[name] = {"value": (
+                            None if r is None else float(r))}
+                elif kind == "boxplot":
+                    # ES boxplot: min / q1 / q2 / q3 / max — ONE
+                    # aggregation (exact interpolated percentiles by
+                    # default; "approx": true for the sketch path)
+                    fn = F.percentile_approx if body.get("approx") \
+                        else F.percentile
+                    v = col.cast("double")
+                    r = matched.agg(
+                        F.min(v).alias("mn"), F.max(v).alias("mx"),
+                        fn(v, F.array(F.lit(0.25), F.lit(0.5),
+                                      F.lit(0.75))).alias("q"),
+                    ).collect()[0]
+                    q = r["q"] or [None, None, None]
+                    out[name] = {
+                        "min": r["mn"], "max": r["mx"],
+                        "q1": q[0], "q2": q[1], "q3": q[2]}
+                elif kind == "string_stats":
+                    # ES string_stats: count / min_length / max_length
+                    # / avg_length in ONE aggregation; with
+                    # "show_distribution": true also the Shannon
+                    # entropy of the CHARACTER distribution — a second
+                    # aggregation over exploded characters (distributed
+                    # char-frequency count; cardinality = alphabet
+                    # size, so the reduce is trivially bounded)
+                    ln = F.length(col)
+                    r = matched.agg(
+                        F.count(col).alias("count"),
+                        F.min(ln).alias("min_length"),
+                        F.max(ln).alias("max_length"),
+                        F.avg(ln.cast("double")).alias("avg_length"),
+                    ).collect()[0]
+                    st = {k: r[k] for k in ("count", "min_length",
+                                            "max_length", "avg_length")}
+                    if body.get("show_distribution"):
+                        cf = (matched.filter(col.isNotNull())
+                              .select(F.explode(F.split(col, ""))
+                                      .alias("ch"))
+                              .filter(F.col("ch") != "")
+                              .groupBy("ch")
+                              .agg(F.count("*").alias("n")))
+                        tot = cf.agg(F.sum("n").alias("t")) \
+                            .collect()[0]["t"]
+                        ent = 0.0
+                        if tot:
+                            probs = cf.select(
+                                (F.col("n").cast("double")
+                                 / float(tot)).alias("p")).collect()
+                            ent = -sum(p["p"] * math.log2(p["p"])
+                                       for p in probs)
+                        st["entropy"] = ent
+                    out[name] = st
                 else:
                     raise A.QueryError(f"agg {name!r}: unknown kind {kind!r}")
             for name, kind, body in siblings:
@@ -2682,6 +2941,40 @@ class Searcher:
                     out[name] = {"value": sum(vv) / len(vv) if vv else None}
                 elif kind == "sum_bucket":
                     out[name] = {"value": sum(vv) if vv else None}
+                elif kind == "percentiles_bucket":
+                    # exact linear-interpolated percentiles over the
+                    # reduced bucket values (ES uses the same exact
+                    # method here — the input is already tiny)
+                    pcts = [float(p) for p in
+                            body.get("percents", [1, 5, 25, 50, 75,
+                                                  95, 99])]
+                    sv = sorted(vv)
+                    vals_out = {}
+                    for p in pcts:
+                        if not sv:
+                            vals_out[str(p)] = None
+                            continue
+                        pos = (p / 100.0) * (len(sv) - 1)
+                        lo, hi = int(math.floor(pos)), int(math.ceil(pos))
+                        vals_out[str(p)] = (
+                            sv[lo] + (sv[hi] - sv[lo]) * (pos - lo))
+                    out[name] = {"values": vals_out}
+                elif kind == "extended_stats_bucket":
+                    n = len(vv)
+                    mean = sum(vv) / n if n else None
+                    var = (sum((x - mean) ** 2 for x in vv) / n
+                           if n else None)
+                    out[name] = {
+                        "count": n,
+                        "min": min(vv) if vv else None,
+                        "max": max(vv) if vv else None,
+                        "avg": mean,
+                        "sum": sum(vv) if vv else None,
+                        "sum_of_squares": (sum(x * x for x in vv)
+                                           if vv else None),
+                        "variance": var,
+                        "std_deviation": (math.sqrt(var)
+                                          if var is not None else None)}
                 else:  # stats_bucket
                     out[name] = {
                         "count": len(vv),
@@ -2743,11 +3036,87 @@ class Searcher:
         return metrics, top_hits
 
     _PIPE_KINDS = ("cumulative_sum", "derivative", "moving_fn",
-                   "bucket_sort")
+                   "bucket_sort", "serial_diff", "bucket_script",
+                   "bucket_selector")
     _SIBLING_KINDS = ("max_bucket", "min_bucket", "avg_bucket",
-                      "sum_bucket", "stats_bucket")
+                      "sum_bucket", "stats_bucket",
+                      "extended_stats_bucket", "percentiles_bucket")
     _MOVING_FNS = {"avg": lambda xs: sum(xs) / len(xs), "sum": sum,
                    "min": min, "max": max}
+
+    @staticmethod
+    def _script_eval(script: str, variables: dict | None):
+        """Evaluate an ES bucket_script/bucket_selector arithmetic
+        expression over named buckets_path variables — a SAFE subset
+        (numbers, names, + - * / % **, unary -, comparisons, and/or,
+        parens) walked via the ``ast`` module; nothing else parses, so
+        no attribute access / calls / imports can reach eval.  ES runs
+        Painless here; every published bucket_script example is plain
+        arithmetic, which this covers.  ``variables=None`` validates
+        the script shape at parse time (names unchecked); any operand
+        missing (None) makes the whole expression None — the ES
+        skip-bucket gap policy."""
+        import ast as pyast
+        try:
+            tree = pyast.parse(script, mode="eval")
+        except SyntaxError as e:
+            raise A.QueryError(f"bucket script {script!r}: {e.msg}")
+        _BIN = {pyast.Add: lambda a, b: a + b,
+                pyast.Sub: lambda a, b: a - b,
+                pyast.Mult: lambda a, b: a * b,
+                pyast.Div: lambda a, b: a / b if b else None,
+                pyast.Mod: lambda a, b: a % b if b else None,
+                pyast.Pow: lambda a, b: a ** b}
+        _CMP = {pyast.Gt: lambda a, b: a > b,
+                pyast.GtE: lambda a, b: a >= b,
+                pyast.Lt: lambda a, b: a < b,
+                pyast.LtE: lambda a, b: a <= b,
+                pyast.Eq: lambda a, b: a == b,
+                pyast.NotEq: lambda a, b: a != b}
+
+        def ev(n):
+            if isinstance(n, pyast.Expression):
+                return ev(n.body)
+            if isinstance(n, pyast.Constant) \
+                    and isinstance(n.value, (int, float)):
+                return float(n.value)
+            if isinstance(n, pyast.Name):
+                if variables is None:
+                    return 1.0  # validation walk: shape only
+                if n.id not in variables:
+                    raise A.QueryError(
+                        f"bucket script: unknown variable {n.id!r} "
+                        f"(not in buckets_path)")
+                return variables[n.id]
+            if isinstance(n, pyast.UnaryOp) \
+                    and isinstance(n.op, pyast.USub):
+                v = ev(n.operand)
+                return None if v is None else -v
+            if isinstance(n, pyast.UnaryOp) \
+                    and isinstance(n.op, pyast.Not):
+                v = ev(n.operand)
+                return None if v is None else (not v)
+            if isinstance(n, pyast.BinOp) and type(n.op) in _BIN:
+                a, b = ev(n.left), ev(n.right)
+                if a is None or b is None:
+                    return None
+                return _BIN[type(n.op)](a, b)
+            if isinstance(n, pyast.Compare) and len(n.ops) == 1 \
+                    and type(n.ops[0]) in _CMP:
+                a, b = ev(n.left), ev(n.comparators[0])
+                if a is None or b is None:
+                    return None
+                return _CMP[type(n.ops[0])](a, b)
+            if isinstance(n, pyast.BoolOp):
+                vs = [ev(v) for v in n.values]
+                if any(v is None for v in vs):
+                    return None
+                return (all(vs) if isinstance(n.op, pyast.And)
+                        else any(vs))
+            raise A.QueryError(
+                f"bucket script {script!r}: unsupported syntax "
+                f"(arithmetic/comparisons over buckets_path names only)")
+        return ev(tree)
 
     @classmethod
     def _pipe_agg_plan(cls, name: str, body: dict) \
@@ -2785,6 +3154,21 @@ class Searcher:
                         raise A.QueryError(
                             f"agg {name!r}: sub-agg {sub_name!r}: each "
                             f"sort entry is {{path: {{'order': ..}}}}")
+            if skind == "serial_diff" and int(sbody.get("lag", 1)) <= 0:
+                raise A.QueryError(
+                    f"agg {name!r}: sub-agg {sub_name!r}: lag must "
+                    f"be > 0")
+            if skind in ("bucket_script", "bucket_selector"):
+                bp = sbody.get("buckets_path")
+                if not isinstance(bp, dict) or not bp:
+                    raise A.QueryError(
+                        f"agg {name!r}: sub-agg {sub_name!r}: {skind} "
+                        f"needs buckets_path as {{var: path}}")
+                if not sbody.get("script"):
+                    raise A.QueryError(
+                        f"agg {name!r}: sub-agg {sub_name!r}: {skind} "
+                        f"needs a script")
+                cls._script_eval(str(sbody["script"]), None)  # shape
             pipes.append((sub_name, skind, sbody))
         return pipes
 
@@ -2824,9 +3208,24 @@ class Searcher:
           by buckets_path keys and truncates with from/size (ES: a
           reduce-phase sort, never a re-aggregation)"""
         sorts: list[dict] = []
+        selectors: list[dict] = []
         for sub_name, pkind, pbody in pipes:
             if pkind == "bucket_sort":
                 sorts.append(pbody)
+                continue
+            if pkind == "bucket_selector":
+                selectors.append(pbody)
+                continue
+            if pkind == "bucket_script":
+                # ES bucket_script: per-bucket arithmetic over named
+                # metric paths; any missing operand skips the bucket
+                # (gap policy), matching the Painless null semantics
+                for b in buckets:
+                    vs = {var: cls._bpath(b, p)
+                          for var, p in pbody["buckets_path"].items()}
+                    v = cls._script_eval(str(pbody["script"]), vs)
+                    if v is not None:
+                        b[sub_name] = {"value": float(v)}
                 continue
             path = pbody.get("buckets_path", "doc_count")
             vals = [cls._bpath(b, path) for b in buckets]
@@ -2848,6 +3247,26 @@ class Searcher:
                     hi = max(0, min(len(buckets), i + shift))
                     win = [v for v in vals[lo:hi] if v is not None]
                     b[sub_name] = {"value": fn(win) if win else None}
+            elif pkind == "serial_diff":
+                # ES serial_diff: bucket[i] − bucket[i−lag]; the first
+                # `lag` buckets get no value (nothing to diff against)
+                lag = int(pbody.get("lag", 1))
+                for i, b in enumerate(buckets):
+                    if i >= lag and vals[i] is not None \
+                            and vals[i - lag] is not None:
+                        b[sub_name] = {"value": vals[i] - vals[i - lag]}
+        for pbody in selectors:
+            # ES bucket_selector: keep buckets whose script is truthy;
+            # missing operands (gap policy "skip") DROP the bucket —
+            # applied before bucket_sort, like ES's reduce order
+            kept = []
+            for b in buckets:
+                vs = {var: cls._bpath(b, p)
+                      for var, p in pbody["buckets_path"].items()}
+                v = cls._script_eval(str(pbody["script"]), vs)
+                if v:
+                    kept.append(b)
+            buckets = kept
         for pbody in sorts:
             for s in reversed(pbody.get("sort") or []):
                 (path, sb), = s.items()
