@@ -1968,6 +1968,198 @@ def q_ft_agg_composite(spark, sf_dir):
             .select("source", "lang", "doc_count"))
 
 
+def q_ft_agg_multi_terms(spark, sf_dir):
+    """ES ``multi_terms`` aggregation (round-5 surface): buckets keyed
+    by the (source, lang) TUPLE over the 'valu' match set, doc_count +
+    avg(n_chars) metric sub-agg riding the SAME one hash aggregation,
+    ordered (doc_count desc, key asc), top 10.  Engine analog:
+    Searcher.aggregations 'multi_terms' (search.py) — docs missing ANY
+    key field fall out (the ES rule)."""
+    return (_agg_matched(spark, sf_dir)
+            .filter(F.col("source").isNotNull() & F.col("lang").isNotNull())
+            .groupBy("source", "lang")
+            .agg(F.count("*").cast("long").alias("doc_count"),
+                 F.round(F.avg("n_chars"), 4).alias("avg_c"))
+            .orderBy(F.desc("doc_count"), F.asc("source"), F.asc("lang"))
+            .limit(10))
+
+
+def q_ft_agg_weighted_avg(spark, sf_dir):
+    """ES ``weighted_avg`` (round-5 surface): sum(v*w)/sum(w) over the
+    'valu' match set with v = n_chars and w = 1 + doc_id % 5 (a
+    deterministic synthetic weight — the table has one numeric column,
+    so the weight is derived; the engine path takes two stored
+    fields).  ONE aggregation, map-side partials.  Engine analog:
+    Searcher.aggregations 'weighted_avg'."""
+    m = _agg_matched(spark, sf_dir)
+    w = (F.lit(1) + F.col("doc_id") % 5).cast("double")
+    v = F.col("n_chars").cast("double")
+    return m.agg(F.round(F.sum(v * w) / F.sum(w), 4).alias("wavg"))
+
+
+def q_ft_agg_rare_terms(spark, sf_dir):
+    """ES ``rare_terms`` (round-5 surface): the LONG TAIL of n_chars
+    values in the 'valu' match set — buckets with doc_count <= 1,
+    ordered (doc_count asc, key asc), driver-bounded at 20 (the
+    engine's max_buckets cap: ES bounds rare_terms memory with a
+    cuckoo filter; the exact engine equivalent is one hash aggregation
+    + a bounded ordered limit, so the driver never materialises an
+    unbounded tail).  Engine analog: Searcher.aggregations
+    'rare_terms'."""
+    return (_agg_matched(spark, sf_dir)
+            .groupBy(F.col("n_chars").alias("key"))
+            .agg(F.count("*").cast("long").alias("doc_count"))
+            .filter(F.col("doc_count") <= 1)
+            .orderBy(F.asc("doc_count"), F.asc("key"))
+            .limit(20))
+
+
+def q_ft_agg_mad(spark, sf_dir):
+    """ES ``median_absolute_deviation`` (round-5 surface): exact
+    median(|n_chars − median(n_chars)|) over the 'valu' match set —
+    two exact interpolated-percentile passes (the engine default;
+    "approx": true switches both to the one-pass sketch at 100 TB).
+    Engine analog: Searcher.aggregations 'median_absolute_deviation'."""
+    m = _agg_matched(spark, sf_dir)
+    v = F.col("n_chars").cast("double")
+    med = m.agg(F.percentile(v, F.lit(0.5)).alias("m"))
+    return (m.crossJoin(F.broadcast(med))
+            .agg(F.round(F.percentile(F.abs(v - F.col("m")), F.lit(0.5)),
+                         4).alias("mad_v")))
+
+
+def q_ft_agg_boxplot(spark, sf_dir):
+    """ES ``boxplot`` (round-5 surface): min/q1/q2/q3/max of n_chars
+    over the 'valu' match set in ONE aggregation — exact interpolated
+    quartiles (deterministic, oracle-matchable; "approx": true is the
+    sketch path).  Engine analog: Searcher.aggregations 'boxplot'."""
+    m = _agg_matched(spark, sf_dir)
+    v = F.col("n_chars").cast("double")
+    return m.agg(
+        F.min(v).alias("mn"),
+        F.round(F.percentile(v, F.lit(0.25)), 4).alias("q1"),
+        F.round(F.percentile(v, F.lit(0.5)), 4).alias("q2"),
+        F.round(F.percentile(v, F.lit(0.75)), 4).alias("q3"),
+        F.max(v).alias("mx"))
+
+
+def q_ft_agg_string_stats(spark, sf_dir):
+    """ES ``string_stats`` (round-5 surface): count / min_length /
+    max_length / avg_length of ``text`` over the 'valu' match set in
+    ONE aggregation (the entropy extension is engine-side behind
+    show_distribution — a second bounded char-frequency aggregation).
+    Engine analog: Searcher.aggregations 'string_stats'."""
+    m = _agg_matched(spark, sf_dir)
+    ln = F.length("text")
+    return m.agg(
+        F.count("text").cast("long").alias("cnt"),
+        F.min(ln).cast("long").alias("min_len"),
+        F.max(ln).cast("long").alias("max_len"),
+        F.round(F.avg(ln.cast("double")), 4).alias("avg_len"))
+
+
+def q_ft_agg_adjacency(spark, sf_dir):
+    """ES ``adjacency_matrix`` (round-5 surface): named filter buckets
+    'hash' and 'tabl' over the 'valu' match set plus their pairwise
+    intersection 'hash&tabl' — each filter one postings scan for its
+    doc keys, intersections key-only semi-joins (never a rescore of
+    the main query).  Engine analog: Searcher.aggregations
+    'adjacency_matrix'."""
+    m = _agg_matched(spark, sf_dir).select("doc_id")
+    p = _ft(spark, sf_dir)["postings"]
+    keys = {name: p.filter(F.col("term") == name).select("doc_id")
+            for name in ("hash", "tabl")}
+    parts = []
+    for name in ("hash", "tabl"):
+        parts.append(
+            m.join(keys[name], on="doc_id", how="left_semi")
+            .agg(F.count("*").cast("long").alias("doc_count"))
+            .select(F.lit(name).alias("key"), "doc_count"))
+    both = (m.join(keys["hash"], on="doc_id", how="left_semi")
+            .join(keys["tabl"], on="doc_id", how="left_semi")
+            .agg(F.count("*").cast("long").alias("doc_count"))
+            .select(F.lit("hash&tabl").alias("key"), "doc_count"))
+    out = parts[0].unionByName(parts[1]).unionByName(both)
+    return out.orderBy("key")
+
+
+def q_ft_agg_serial_diff(spark, sf_dir):
+    """ES ``serial_diff`` pipeline agg, lag 2, over the n_chars
+    histogram (round-5 surface): doc_count[i] − doc_count[i−2]; the
+    first two buckets carry no value (nothing to diff against) so they
+    are absent from the flat contract rows.  Engine analog: search.py
+    _apply_pipes 'serial_diff' — a driver-side reduce over the
+    already-aggregated bucket list."""
+    w = Window.orderBy("key")
+    return (_hist_buckets(spark, sf_dir)
+            .select("key", "doc_count",
+                    (F.col("doc_count")
+                     - F.lag("doc_count", 2).over(w)).cast("double")
+                    .alias("sdiff"))
+            .filter(F.col("sdiff").isNotNull())
+            .orderBy("key"))
+
+
+def q_ft_agg_bucket_script(spark, sf_dir):
+    """ES ``bucket_script`` pipeline agg over the n_chars histogram
+    (round-5 surface): per-bucket arithmetic doc_count / avg_c * 100
+    over named buckets_path variables — the engine evaluates a SAFE
+    arithmetic-only Painless subset driver-side over the reduced
+    bucket list (search.py _script_eval).  Here the same expression as
+    column math over the tiny bucket frame."""
+    key = (F.floor(F.col("n_chars") / HIST_INTERVAL)
+           * HIST_INTERVAL).cast("double").alias("key")
+    b = (_agg_matched(spark, sf_dir).groupBy(key)
+         .agg(F.count("*").cast("long").alias("doc_count"),
+              F.avg(F.col("n_chars").cast("double")).alias("avg_c")))
+    return (b.select("key", "doc_count",
+                     F.round(F.col("doc_count") / F.col("avg_c") * 100,
+                             4).alias("ratio"))
+            .orderBy("key"))
+
+
+def q_ft_agg_bucket_selector(spark, sf_dir):
+    """ES ``bucket_selector`` pipeline agg over the n_chars histogram
+    (round-5 surface): keep buckets whose doc_count >= 40 — the engine
+    filters the reduced bucket list with the same safe script
+    evaluator (gap policy: missing operand drops the bucket).  Here
+    the equivalent HAVING."""
+    return (_hist_buckets(spark, sf_dir)
+            .filter(F.col("doc_count") >= 40)
+            .orderBy("key"))
+
+
+def q_ft_agg_pct_bucket(spark, sf_dir):
+    """ES ``percentiles_bucket`` sibling pipeline agg (round-5
+    surface): exact interpolated p50/p90 of the n_chars histogram's
+    doc_counts — a reduce over the ALREADY-REDUCED bucket list
+    (cardinality = #buckets, never #docs).  Engine analog: search.py
+    sibling loop 'percentiles_bucket'."""
+    b = _hist_buckets(spark, sf_dir)
+    v = F.col("doc_count").cast("double")
+    return b.agg(
+        F.round(F.percentile(v, F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile(v, F.lit(0.9)), 4).alias("p90"))
+
+
+def q_ft_agg_extstats_bucket(spark, sf_dir):
+    """ES ``extended_stats_bucket`` sibling pipeline agg (round-5
+    surface): count/min/max/avg/sum + sum_of_squares / population
+    variance / population std-dev over the n_chars histogram's
+    doc_counts.  Engine analog: search.py sibling loop
+    'extended_stats_bucket'."""
+    b = _hist_buckets(spark, sf_dir)
+    v = F.col("doc_count").cast("double")
+    return b.agg(
+        F.count("*").cast("long").alias("cnt"),
+        F.min(v).alias("mn"), F.max(v).alias("mx"),
+        F.round(F.avg(v), 4).alias("avg_n"),
+        F.sum(v).alias("sum_n"),
+        F.round(F.sum(v * v), 4).alias("sos"),
+        F.round(F.var_pop(v), 4).alias("var_n"),
+        F.round(F.stddev_pop(v), 4).alias("std_n"))
+
+
 RRF_K = 60       # reciprocal-rank-fusion constant (the ES default)
 RRF_DEPTH = 50   # per-ranking window handed to the fuser
 
@@ -2682,6 +2874,18 @@ QUERIES = {
     "ft_agg_bucket_sort": q_ft_agg_bucket_sort,
     "ft_agg_sibling": q_ft_agg_sibling,
     "ft_agg_composite": q_ft_agg_composite,
+    "ft_agg_multi_terms": q_ft_agg_multi_terms,
+    "ft_agg_weighted_avg": q_ft_agg_weighted_avg,
+    "ft_agg_rare_terms": q_ft_agg_rare_terms,
+    "ft_agg_mad": q_ft_agg_mad,
+    "ft_agg_boxplot": q_ft_agg_boxplot,
+    "ft_agg_string_stats": q_ft_agg_string_stats,
+    "ft_agg_adjacency": q_ft_agg_adjacency,
+    "ft_agg_serial_diff": q_ft_agg_serial_diff,
+    "ft_agg_bucket_script": q_ft_agg_bucket_script,
+    "ft_agg_bucket_selector": q_ft_agg_bucket_selector,
+    "ft_agg_pct_bucket": q_ft_agg_pct_bucket,
+    "ft_agg_extstats_bucket": q_ft_agg_extstats_bucket,
     "ft_rrf_hybrid": q_ft_rrf_hybrid,
     "ft_boosting": q_ft_boosting,
     "dd_para_dup": q_dd_para_dup,
@@ -3322,6 +3526,104 @@ FROM (SELECT source, lang, count(*)::BIGINT AS doc_count,
         AND source IS NOT NULL AND lang IS NOT NULL
       GROUP BY source, lang)
 WHERE rn > {COMPOSITE_PAGE} AND rn <= {2 * COMPOSITE_PAGE}""",
+        "ft_agg_multi_terms": pre + """SELECT d.source AS source,
+d.lang AS lang, count(*)::BIGINT AS doc_count,
+round(avg(d.n_chars), 4) AS avg_c
+FROM documents d
+WHERE d.doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')
+  AND d.source IS NOT NULL AND d.lang IS NOT NULL
+GROUP BY d.source, d.lang
+ORDER BY doc_count DESC, source, lang LIMIT 10""",
+        "ft_agg_weighted_avg": pre + """SELECT
+round(sum(n_chars * (1 + doc_id % 5)) / sum(1 + doc_id % 5), 4) AS wavg
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')""",
+        "ft_agg_rare_terms": pre + """SELECT n_chars AS key,
+count(*)::BIGINT AS doc_count
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')
+GROUP BY n_chars HAVING count(*) <= 1
+ORDER BY doc_count, key LIMIT 20""",
+        "ft_agg_mad": pre + """SELECT round(mad(n_chars), 4) AS mad_v
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')""",
+        "ft_agg_boxplot": pre + """SELECT min(n_chars)::DOUBLE AS mn,
+round(quantile_cont(n_chars, 0.25), 4) AS q1,
+round(quantile_cont(n_chars, 0.50), 4) AS q2,
+round(quantile_cont(n_chars, 0.75), 4) AS q3,
+max(n_chars)::DOUBLE AS mx
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')""",
+        "ft_agg_string_stats": pre + """SELECT count(text)::BIGINT AS cnt,
+min(length(text))::BIGINT AS min_len,
+max(length(text))::BIGINT AS max_len,
+round(avg(length(text)), 4) AS avg_len
+FROM documents
+WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')""",
+        "ft_agg_adjacency": pre + """, m AS (
+  SELECT doc_id FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')),
+hk AS (SELECT doc_id FROM postings WHERE term = 'hash'),
+tk AS (SELECT doc_id FROM postings WHERE term = 'tabl')
+SELECT * FROM (
+  SELECT 'hash' AS key, count(*)::BIGINT AS doc_count FROM m
+  WHERE doc_id IN (SELECT doc_id FROM hk)
+  UNION ALL
+  SELECT 'tabl', count(*)::BIGINT FROM m
+  WHERE doc_id IN (SELECT doc_id FROM tk)
+  UNION ALL
+  SELECT 'hash&tabl', count(*)::BIGINT FROM m
+  WHERE doc_id IN (SELECT doc_id FROM hk)
+    AND doc_id IN (SELECT doc_id FROM tk)
+) ORDER BY key""",
+        "ft_agg_serial_diff": pre + f""", hb AS (
+  SELECT (floor(n_chars / {HIST_INTERVAL}) * {HIST_INTERVAL})::DOUBLE
+         AS key, count(*)::BIGINT AS doc_count
+  FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')
+  GROUP BY key)
+SELECT key, doc_count,
+       (doc_count - lag(doc_count, 2) OVER (ORDER BY key))::DOUBLE
+       AS sdiff
+FROM hb QUALIFY sdiff IS NOT NULL ORDER BY key""",
+        "ft_agg_bucket_script": pre + f""", hb AS (
+  SELECT (floor(n_chars / {HIST_INTERVAL}) * {HIST_INTERVAL})::DOUBLE
+         AS key, count(*)::BIGINT AS doc_count, avg(n_chars) AS avg_c
+  FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')
+  GROUP BY key)
+SELECT key, doc_count, round(doc_count / avg_c * 100, 4) AS ratio
+FROM hb ORDER BY key""",
+        "ft_agg_bucket_selector": pre + f""", hb AS (
+  SELECT (floor(n_chars / {HIST_INTERVAL}) * {HIST_INTERVAL})::DOUBLE
+         AS key, count(*)::BIGINT AS doc_count
+  FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')
+  GROUP BY key)
+SELECT key, doc_count FROM hb WHERE doc_count >= 40 ORDER BY key""",
+        "ft_agg_pct_bucket": pre + f""", hb AS (
+  SELECT (floor(n_chars / {HIST_INTERVAL}) * {HIST_INTERVAL})::DOUBLE
+         AS key, count(*)::BIGINT AS doc_count
+  FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')
+  GROUP BY key)
+SELECT round(quantile_cont(doc_count, 0.5), 4) AS p50,
+       round(quantile_cont(doc_count, 0.9), 4) AS p90
+FROM hb""",
+        "ft_agg_extstats_bucket": pre + f""", hb AS (
+  SELECT (floor(n_chars / {HIST_INTERVAL}) * {HIST_INTERVAL})::DOUBLE
+         AS key, count(*)::BIGINT AS doc_count
+  FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM postings WHERE term = 'valu')
+  GROUP BY key)
+SELECT count(*)::BIGINT AS cnt,
+       min(doc_count)::DOUBLE AS mn, max(doc_count)::DOUBLE AS mx,
+       round(avg(doc_count), 4) AS avg_n,
+       sum(doc_count)::DOUBLE AS sum_n,
+       round(sum((doc_count * doc_count)::DOUBLE), 4) AS sos,
+       round(var_pop(doc_count), 4) AS var_n,
+       round(stddev_pop(doc_count), 4) AS std_n
+FROM hb""",
         "ft_rrf_hybrid": pre + f""", lex AS (
   SELECT doc_id AS id,
          row_number() OVER (ORDER BY round(score, 7) DESC, doc_id) AS rl
