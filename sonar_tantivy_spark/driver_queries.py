@@ -245,6 +245,45 @@ def q_ft_span_first(spark, sf_dir):
         "doc_id", (F.lit(idf * (K1 + 1.0)) * tf / denom).alias("score")))
 
 
+def q_ft_span_within(spark, sf_dir):
+    """span_within: little = span_term 'row' inside big = the RIGID
+    chain [span_term 'tabl', span_or('row','hash')] (slop 0, ordered —
+    the engine's parse-time pin, plans/ast.py SpanContainQ: rigid
+    chains are the only shape whose span extents are exact).  A big
+    span ending at q covers [q−1, q]; a little 'row' position survives
+    iff it falls inside one — positions hold one token each, so that
+    means 'row' IS the chain's second slot with 'tabl' at q−1.
+    tf = surviving little positions, idf = the LITTLE term only
+    (Lucene SpanWithinQuery scores from little).  One postings scan +
+    one aggregation exchange at any scale
+    (operators/search.py _cand_span_contain)."""
+    t = _ft(spark, sf_dir)
+    p = t["postings"]
+    a = p.filter(F.col("term") == "tabl").select(
+        "doc_id", F.col("positions").alias("pa"))
+    b = (p.filter(F.col("term").isin("row", "hash"))
+         .groupBy("doc_id")
+         .agg(F.array_sort(F.array_distinct(
+             F.flatten(F.collect_list("positions")))).alias("pb")))
+    little = p.filter(F.col("term") == "row").select(
+        "doc_id", F.col("positions").alias("pl"))
+    j = (a.join(b, on="doc_id").join(little, on="doc_id")
+         .withColumn("ends", F.filter("pb", lambda q: F.exists(
+             "pa", lambda pp: q == pp + 1)))
+         .withColumn("m", F.filter("pl", lambda pp: F.exists(
+             "ends", lambda q: (pp >= q - 1) & (pp <= q))))
+         .filter(F.size("m") > 0))
+    df_t = t["termdf"].filter(F.col("term") == "row").collect()
+    idf = bm25.idf(df_t[0]["df"], t["N"]) if df_t else 0.0
+    j = j.join(t["doclen"], on="doc_id")
+    tf = F.size("m").cast("double")
+    denom = tf + F.lit(K1) * (F.lit(1.0 - B)
+                              + F.lit(B / t["avgdl"])
+                              * F.col("dl").cast("double"))
+    return _topk(j.select(
+        "doc_id", (F.lit(idf * (K1 + 1.0)) * tf / denom).alias("score")))
+
+
 def q_ft_span_not(spark, sf_dir):
     """span_not: include 'valu' positions surviving unless a 'tabl'
     position lies in [p-1, p+2] (pre=1, post=2 — exact Lucene
@@ -2789,6 +2828,7 @@ QUERIES = {
     "ft_span_near": q_ft_span_near,
     "ft_span_first": q_ft_span_first,
     "ft_span_not": q_ft_span_not,
+    "ft_span_within": q_ft_span_within,
     "ft_percolate": q_ft_percolate,
     "ft_all": q_ft_all,
     "ft_phrase3": q_ft_phrase3,
@@ -3994,6 +4034,19 @@ SELECT j.doc_id,
              / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 4) AS score
 FROM adj j JOIN dlq q USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
 ORDER BY round(i.idf_sum * 2.2 * j.ptf
+               / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 7) DESC, j.doc_id
+LIMIT 10""",
+        "ft_span_within": pre + """, adj AS (
+  SELECT b.doc_id, count(DISTINCT b.pos) AS ptf FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'tabl' AND b.term = 'row' GROUP BY b.doc_id),
+idfs AS (SELECT ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5)) AS idf
+         FROM tdf t CROSS JOIN stats s WHERE t.term = 'row')
+SELECT j.doc_id,
+       round(i.idf * 2.2 * j.ptf
+             / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 4) AS score
+FROM adj j JOIN dlq q USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
+ORDER BY round(i.idf * 2.2 * j.ptf
                / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 7) DESC, j.doc_id
 LIMIT 10""",
         "ft_span_not": pre + """, inc AS (

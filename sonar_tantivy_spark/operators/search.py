@@ -314,6 +314,8 @@ class Searcher:
             return self._cand_span(node.child, dfs, first_end=node.end)
         if isinstance(node, A.SpanNotQ):
             return self._cand_span_not(node, dfs)
+        if isinstance(node, A.SpanContainQ):
+            return self._cand_span_contain(node, dfs)
         if isinstance(node, A.BoostQ):
             child = self._cand_opt(node.child, dfs)
             if child is None:
@@ -668,6 +670,98 @@ class Searcher:
         agg = agg.withColumn("__m", match).filter(F.size("__m") > 0)
         idf_sum = sum(bm25.idf(dfs[(node.field, t)], self.num_docs)
                       for t in inc)
+        return agg.select(
+            "segment_id", "docid",
+            self._score_col(node.field, idf_sum, F.size("__m")),
+        )
+
+    def _cand_span_contain(self, node: "A.SpanContainQ",
+                           dfs: dict) -> DataFrame | None:
+        """span_containing / span_within (SpanContainQ docstring): the
+        BIG side is a RIGID (slop=0, in-order) chain, so its surviving
+        span for a final position q is exactly [q − (k−1), q]; the
+        LITTLE side is a single-clause union of alternatives.
+        containing keeps big spans enclosing >= 1 little position;
+        within keeps little positions inside >= 1 big span.
+
+        Plan shape: ONE postings scan filtered to big+little terms →
+        one (segment, docid) aggregation into a term→positions map →
+        higher-order array predicates — identical cost envelope to the
+        phrase/span_near path (one scan + one exchange regardless of
+        clause count), with the same rare-clause broadcast skew guard
+        over ALL clauses including little.  Scoring per Lucene:
+        containing scores from big, within from little."""
+        big = node.big
+        blive: list[tuple[str, ...]] = []
+        for c in big.clauses:
+            alts = tuple(t for t in dict.fromkeys(c)
+                         if dfs.get((node.field, t), 0) > 0)
+            if not alts:
+                return None  # a dead big clause → no big span exists
+            blive.append(alts)
+        little = tuple(t for t in dict.fromkeys(node.little)
+                       if dfs.get((node.field, t), 0) > 0)
+        if not little:
+            return None  # containment needs the little span to exist
+        uterms = list(dict.fromkeys(
+            [t for c in blive for t in c] + list(little)))
+        p = self._table("postings")
+        if p is None:
+            return None
+        scan = p.filter(
+            (F.col("field") == node.field) & F.col("term").isin(uterms))
+        all_clauses = blive + [little]
+        cdfs = [sum(dfs[(node.field, t)] for t in c)
+                for c in all_clauses]
+        rare_i = min(range(len(all_clauses)), key=lambda i: cdfs[i])
+        if cdfs[rare_i] * _BYTES_PER_KEY <= _BCAST_KEY_BYTES_CAP \
+                and cdfs[rare_i] * _SKEW_SPREAD <= max(cdfs) \
+                and max(cdfs) * _PHRASE_ROW_BYTES \
+                >= _SKEW_MIN_SAVED_BYTES:
+            rare_keys = scan.filter(
+                F.col("term").isin(list(all_clauses[rare_i]))
+            ).select("segment_id", "docid")
+            scan = scan.join(F.broadcast(rare_keys),
+                             on=["segment_id", "docid"], how="left_semi")
+        agg = scan.groupBy("segment_id", "docid").agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("term", "positions"))).alias("__pos"),
+            F.first("norm_id").alias("norm_id"),
+        )
+
+        def clause_pos(alts: tuple[str, ...]):
+            arrs = [
+                F.coalesce(F.element_at(F.col("__pos"), F.lit(t)),
+                           F.array().cast("array<int>"))
+                for t in alts
+            ]
+            if len(arrs) == 1:
+                return arrs[0]
+            return F.array_sort(F.array_distinct(F.concat(*arrs)))
+
+        for alts in all_clauses:
+            agg = agg.filter(F.size(clause_pos(alts)) > 0)
+        # rigid big chain: strict adjacency (slop 0, ordered)
+        bmatch = clause_pos(blive[0])
+        for alts in blive[1:]:
+            prev = bmatch
+            nxt = clause_pos(alts)
+            bmatch = F.filter(
+                nxt, lambda q: F.exists(prev, lambda pp: q == pp + 1))
+        k = len(blive)
+        lpos = clause_pos(little)
+        if node.mode == "containing":
+            match = F.filter(bmatch, lambda q: F.exists(
+                lpos, lambda pp: (pp >= q - F.lit(k - 1)) & (pp <= q)))
+            score_terms = [t for c in blive for t in c]
+        else:  # within
+            bfinal = bmatch
+            match = F.filter(lpos, lambda pp: F.exists(
+                bfinal, lambda q: (pp >= q - F.lit(k - 1)) & (pp <= q)))
+            score_terms = list(little)
+        agg = agg.withColumn("__m", match).filter(F.size("__m") > 0)
+        idf_sum = sum(bm25.idf(dfs[(node.field, t)], self.num_docs)
+                      for t in score_terms)
         return agg.select(
             "segment_id", "docid",
             self._score_col(node.field, idf_sum, F.size("__m")),
@@ -1290,6 +1384,16 @@ class Searcher:
             # exclusion only shrinks: bounded by the include union
             dfs = self.term_dfs({(node.field, t) for t in node.include})
             return sum(dfs.get((node.field, t), 0) for t in node.include)
+        if isinstance(node, A.SpanContainQ):
+            # both sides must occur: min(big's sparsest clause, little)
+            dfs = self.term_dfs(
+                {(node.field, t) for c in node.big.clauses for t in c}
+                | {(node.field, t) for t in node.little})
+            bbound = min(sum(dfs.get((node.field, t), 0) for t in c)
+                         for c in node.big.clauses)
+            lbound = sum(dfs.get((node.field, t), 0)
+                         for t in node.little)
+            return min(bbound, lbound)
         if isinstance(node, A.DisMaxQ):
             subs = [self._cand_size_bound(c) for c in node.queries]
             if any(b is None for b in subs):
@@ -1509,6 +1613,29 @@ class Searcher:
                           for t in node.include)
             denom = imtf + bm25.K1 * (1.0 - bm25.B)
             return idf_sum * (bm25.K1 + 1.0) * imtf / denom
+        if isinstance(node, A.SpanContainQ):
+            # absence proof: any big clause OR the little clause absent
+            # from the segment → no containment can exist there
+            bmtfs = [sum(mtf.get((sid, node.field, t), 0) for t in c)
+                     for c in node.big.clauses]
+            lmtf = sum(mtf.get((sid, node.field, t), 0)
+                       for t in node.little)
+            if min(bmtfs) == 0 or lmtf == 0:
+                return 0.0
+            if node.mode == "containing":
+                # tf = surviving big spans ⊆ the big chain's final-
+                # clause postings (rigid chain: same last-clause rule
+                # as SpanNearQ); idf over big's alternatives
+                m = bmtfs[-1]
+                idf_sum = sum(idfs.get((node.field, t), 0.0)
+                              for c in node.big.clauses for t in c)
+            else:
+                # tf = surviving little positions ⊆ little's postings
+                m = lmtf
+                idf_sum = sum(idfs.get((node.field, t), 0.0)
+                              for t in node.little)
+            denom = m + bm25.K1 * (1.0 - bm25.B)
+            return idf_sum * (bm25.K1 + 1.0) * m / denom
         if isinstance(node, A.SpanNearQ):
             if not node.clauses:
                 return 0.0
@@ -3474,6 +3601,10 @@ def collect_terms(node: A.Node) -> set[tuple[str, str]]:
         # include AND exclude need dfs (the exclude's df gates whether
         # its postings join the scan); idf uses include only
         out.update((node.field, t) for t in node.include + node.exclude)
+    elif isinstance(node, A.SpanContainQ):
+        out.update((node.field, t)
+                   for c in node.big.clauses for t in c)
+        out.update((node.field, t) for t in node.little)
     elif isinstance(node, A.DisMaxQ):
         for c in node.queries:
             out.update(collect_terms(c))

@@ -186,6 +186,34 @@ class SpanFirstQ(Node):
 
 
 @dataclass
+class SpanContainQ(Node):
+    """Lucene/ES ``span_containing`` / ``span_within`` over a BIG
+    rigid span chain and a LITTLE single-clause span (BEYOND-REFERENCE;
+    toshi's DSL exposes no spans).
+
+    Supported shape — documented pin, same philosophy as the
+    nested-span_near rejection: the engine's chains track only
+    final-clause positions, so span EXTENTS are exact only for RIGID
+    chains (slop = 0, in_order) where a chain of k clauses ending at
+    position q spans exactly [q − (k−1), q].  Therefore ``big`` must
+    be a slop-0 in-order span_near (or a single span_term/span_or,
+    k = 1) and ``little`` a single clause; anything else is rejected
+    at parse rather than silently approximated.
+
+    Semantics (Lucene SpanContainingQuery / SpanWithinQuery):
+    containing keeps big spans that enclose >= 1 little position;
+    within keeps little positions enclosed by >= 1 big span.  Scoring
+    side follows Lucene: containing scores from BIG (tf = surviving
+    big spans, idf = Σ over big's live alternatives), within scores
+    from LITTLE."""
+
+    field: str
+    big: SpanNearQ
+    little: tuple[str, ...]
+    mode: str  # "containing" | "within"
+
+
+@dataclass
 class MltQ(Node):
     """ES ``more_like_this`` as a QUERY NODE (the Index.more_like_this
     method's semantics made composable): resolved by the Index BEFORE
@@ -539,6 +567,34 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
         return PhraseQ(field, analyzed, slop=slop, in_order=in_order)
     if kind in ("span_term", "span_or", "span_near"):
         return _parse_span(kind, body, schema)
+    if kind in ("span_containing", "span_within"):
+        big_spec, little_spec = body.get("big"), body.get("little")
+        for key, spec in (("big", big_spec), ("little", little_spec)):
+            if not (isinstance(spec, dict) and len(spec) == 1):
+                raise QueryError(
+                    f"{kind} needs a single span query in {key!r}")
+        bkind, bbody = next(iter(big_spec.items()))
+        if bkind not in ("span_term", "span_or", "span_near"):
+            raise QueryError(
+                f"{kind} big supports span_term/span_or/span_near, "
+                f"got {bkind!r}")
+        big = _parse_span(bkind, bbody, schema)
+        if big.slop != 0 or not big.in_order:
+            raise QueryError(
+                f"{kind} supports RIGID big spans only (slop=0, "
+                f"in_order) — the engine tracks exact span extents "
+                f"only for rigid chains (SpanContainQ docstring)")
+        lkind, lbody = next(iter(little_spec.items()))
+        if lkind not in ("span_term", "span_or"):
+            raise QueryError(
+                f"{kind} little supports single-clause span_term/"
+                f"span_or, got {lkind!r}")
+        lf, little = _span_leaf(lkind, lbody, schema)
+        if lf != big.field:
+            raise QueryError(f"{kind} big and little must share one field")
+        return SpanContainQ(big.field, big, little,
+                            "containing" if kind == "span_containing"
+                            else "within")
     if kind == "span_first":
         match = body.get("match")
         if not (isinstance(match, dict) and len(match) == 1):

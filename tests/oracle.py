@@ -103,6 +103,8 @@ class OracleIndex:
             return self._score_span(node.child, first_end=node.end)
         if isinstance(node, A.SpanNotQ):
             return self._score_span_not(node)
+        if isinstance(node, A.SpanContainQ):
+            return self._score_span_contain(node)
         if isinstance(node, A.BoostQ):
             return {d: s * node.boost for d, s in self.score(node.child).items()}
         if isinstance(node, A.ConstScoreQ):
@@ -296,6 +298,64 @@ class OracleIndex:
             match = {p for p in upos(inc, d)
                      if not any(p - node.pre <= q <= p + node.post
                                 for q in ex)}
+            if match:
+                out[d] = bm25.score(len(match), self._dl(field, d),
+                                    avgdl, idf_sum)
+        return out
+
+    def _score_span_contain(self, node: "A.SpanContainQ") \
+            -> dict[int, float]:
+        """span_containing / span_within: the big side is a RIGID
+        (slop 0, ordered) chain, so a surviving final position q spans
+        exactly [q-(k-1), q]; little is a single alternatives union.
+        containing: tf = big spans enclosing >= 1 little position, idf
+        over big's live alternatives; within: tf = little positions
+        inside >= 1 big span, idf over little — the engine's
+        _cand_span_contain semantics, independently re-derived."""
+        field = node.field
+        blive = []
+        for c in node.big.clauses:
+            alts = [t for t in dict.fromkeys(c)
+                    if self.postings.get((field, t), {})]
+            if not alts:
+                return {}
+            blive.append(alts)
+        little = [t for t in dict.fromkeys(node.little)
+                  if self.postings.get((field, t), {})]
+        if not little:
+            return {}
+
+        def upos(alts, d):
+            out: set[int] = set()
+            for t in alts:
+                out |= set(self.postings.get((field, t), {}).get(d, []))
+            return out
+
+        docs = set()
+        for t in blive[0]:
+            docs |= set(self.postings.get((field, t), {}))
+        for alts in blive[1:] + [little]:
+            docs &= {d for t in alts
+                     for d in self.postings.get((field, t), {})}
+        k = len(blive)
+        if node.mode == "containing":
+            idf_sum = sum(self.idf(field, t)
+                          for alts in blive for t in alts)
+        else:
+            idf_sum = sum(self.idf(field, t) for t in little)
+        avgdl = self.avgdl(field)
+        out: dict[int, float] = {}
+        for d in docs:
+            bmatch = upos(blive[0], d)
+            for alts in blive[1:]:
+                bmatch = {q for q in upos(alts, d) if q - 1 in bmatch}
+            lpos = upos(little, d)
+            if node.mode == "containing":
+                match = {q for q in bmatch
+                         if any(q - (k - 1) <= p <= q for p in lpos)}
+            else:
+                match = {p for p in lpos
+                         if any(q - (k - 1) <= p <= q for q in bmatch)}
             if match:
                 out[d] = bm25.score(len(match), self._dl(field, d),
                                     avgdl, idf_sum)

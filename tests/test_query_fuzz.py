@@ -44,7 +44,8 @@ def gen_node(rng: random.Random, depth: int = 0) -> A.Node:
     kinds = ["term", "term", "term", "phrase", "fuzzy", "range", "bool",
              "prefix", "slop", "terms_set", "dismax", "phrase_prefix",
              "exists", "wildcard", "const_score", "function_score",
-             "boosting", "ids", "span_near", "span_first", "span_not"]
+             "boosting", "ids", "span_near", "span_first", "span_not",
+             "span_contain"]
     if depth >= 2:
         kinds = ["term", "term", "phrase", "range", "prefix",
                  "terms_set", "exists", "wildcard", "ids"]
@@ -108,6 +109,16 @@ def gen_node(rng: random.Random, depth: int = 0) -> A.Node:
             "text", tuple(rng.sample(TERMS, rng.randint(1, 2))),
             tuple(rng.sample(TERMS, rng.randint(1, 2))),
             pre=rng.choice([0, 1, 2]), post=rng.choice([0, 1, 3]))
+    if kind == "span_contain":
+        # RIGID big (slop 0, ordered — the parse-time pin) of 1-2
+        # clauses with 1-2 alternatives each; single-clause little
+        big = A.SpanNearQ("text",
+                          [tuple(rng.sample(TERMS, rng.randint(1, 2)))
+                           for _ in range(rng.randint(1, 2))],
+                          slop=0, in_order=True)
+        return A.SpanContainQ(
+            "text", big, tuple(rng.sample(TERMS, rng.randint(1, 2))),
+            rng.choice(["containing", "within"]))
     if kind == "term":
         if rng.random() < 0.15:
             return A.TermQ("role", rng.choice(["tool", "user", "assistant"]))
