@@ -2306,6 +2306,36 @@ def q_ft_function_gauss(spark, sf_dir):
     return _topk(j.select("doc_id", (F.col("score") * mult).alias("score")))
 
 
+def q_ft_rank_feature(spark, sf_dir):
+    """ES ``rank_feature`` (round-5 surface): the canonical composition
+    — BM25 'valu' hits plus a saturation feature signal on n_chars
+    summed in (bool must + rank_feature should): score = bm25 +
+    2·n/(n+300).  The feature term is ONE doc-store column projection
+    (no postings, no UDF — operators/search.py _cand_rank_feature);
+    here the same math after the scored join."""
+    t = _ft(spark, sf_dir)
+    s = _scored(spark, sf_dir).filter(F.col("term") == "valu")
+    j = s.join(t["docs"].select("doc_id", "n_chars"), on="doc_id")
+    v = F.greatest(F.col("n_chars").cast("double"), F.lit(0.0))
+    feat = F.lit(2.0) * v / (v + F.lit(300.0))
+    return _topk(j.select("doc_id",
+                          (F.col("score") + feat).alias("score")))
+
+
+def q_ft_distance_feature(spark, sf_dir):
+    """ES ``distance_feature`` (round-5 surface): boost·pivot /
+    (pivot + |n_chars − 300|) with boost 3, pivot 50 — the proximity-
+    boost shape, ONE doc-store scan with the score as column math
+    (operators/search.py _cand_distance_feature); top 10 by
+    (score desc, doc_id)."""
+    t = _ft(spark, sf_dir)
+    v = F.col("n_chars").cast("double")
+    score = F.lit(3.0) * F.lit(50.0) / (F.lit(50.0)
+                                        + F.abs(v - F.lit(300.0)))
+    return _topk(t["docs"].filter(F.col("n_chars").isNotNull())
+                 .select("doc_id", score.alias("score")))
+
+
 def q_ft_collapse(spark, sf_dir):
     """ES field collapsing (round-5 surface): term 'valu' collapsed by
     ``source`` — one hit per source, the group's best
@@ -2902,6 +2932,8 @@ QUERIES = {
     "ft_collapse": q_ft_collapse,
     "ft_function_fvf": q_ft_function_fvf,
     "ft_function_gauss": q_ft_function_gauss,
+    "ft_rank_feature": q_ft_rank_feature,
+    "ft_distance_feature": q_ft_distance_feature,
     "ft_agg_extstats": q_ft_agg_extstats,
     "ft_agg_top_hits": q_ft_agg_top_hits,
     "ft_agg_range": q_ft_agg_range,
@@ -3706,6 +3738,18 @@ FROM scored s JOIN documents d USING (doc_id) WHERE s.term = 'valu'
 ORDER BY round(s.score * exp(-pow(abs(d.n_chars - {GAUSS_ORIGIN}), 2)
                              / (2.0 * {GAUSS_SIGMA2!r})), 7) DESC,
          s.doc_id LIMIT 10""",
+        "ft_rank_feature": pre + """SELECT s.doc_id,
+round(s.score + 2.0 * greatest(d.n_chars, 0)
+                / (greatest(d.n_chars, 0) + 300.0), 4) AS score
+FROM scored s JOIN documents d USING (doc_id) WHERE s.term = 'valu'
+ORDER BY round(s.score + 2.0 * greatest(d.n_chars, 0)
+               / (greatest(d.n_chars, 0) + 300.0), 7) DESC,
+         s.doc_id LIMIT 10""",
+        "ft_distance_feature": pre + """SELECT doc_id,
+round(3.0 * 50.0 / (50.0 + abs(n_chars - 300.0)), 4) AS score
+FROM documents WHERE n_chars IS NOT NULL
+ORDER BY round(3.0 * 50.0 / (50.0 + abs(n_chars - 300.0)), 7) DESC,
+         doc_id LIMIT 10""",
         "ft_termdict": pre + "SELECT term, df FROM tdf",
         "ft_stats": pre + """SELECT count(*)::BIGINT AS num_docs,
 sum(len)::BIGINT AS total_tokens, round(sum(len)::DOUBLE / count(*), 6) AS avgdl

@@ -316,6 +316,10 @@ class Searcher:
             return self._cand_span_not(node, dfs)
         if isinstance(node, A.SpanContainQ):
             return self._cand_span_contain(node, dfs)
+        if isinstance(node, A.RankFeatureQ):
+            return self._cand_rank_feature(node)
+        if isinstance(node, A.DistanceFeatureQ):
+            return self._cand_distance_feature(node)
         if isinstance(node, A.BoostQ):
             child = self._cand_opt(node.child, dfs)
             if child is None:
@@ -897,6 +901,56 @@ class Searcher:
         return (docs.filter(F.col(node.field).isNotNull())
                 .select("segment_id", "docid")
                 .withColumn("score", F.lit(1.0)))
+
+    def _cand_rank_feature(self, node: "A.RankFeatureQ") \
+            -> DataFrame | None:
+        """rank_feature (RankFeatureQ docstring): ONE doc-store scan
+        with an isNotNull pushdown filter, the saturating function as
+        JVM column math in the same projection — no postings touched,
+        no UDF, no join.  Values clamp to >= 0 (ES features are
+        non-negative); score = boost · S(v)."""
+        docs = self._table("docs")
+        if docs is None or node.field not in docs.columns:
+            return None
+        col = F.col(node.field)
+        v = F.greatest(col.cast("double"), F.lit(0.0))
+        if node.fn == "saturation":
+            s = v / (v + F.lit(float(node.pivot)))
+        elif node.fn == "log":
+            s = F.log(F.lit(float(node.scaling_factor)) + v)
+        elif node.fn == "sigmoid":
+            ve = F.pow(v, F.lit(float(node.exponent)))
+            s = ve / (ve + F.lit(float(node.pivot)
+                                 ** float(node.exponent)))
+        else:  # linear
+            s = v
+        return (docs.filter(col.isNotNull())
+                .select("segment_id", "docid",
+                        (F.lit(float(node.boost)) * s).alias("score")))
+
+    def _cand_distance_feature(self, node: "A.DistanceFeatureQ") \
+            -> DataFrame | None:
+        """distance_feature (DistanceFeatureQ docstring): ONE doc-store
+        scan, score = boost · pivot / (pivot + |v − origin|) as column
+        math.  Date fields compare in epoch seconds (pivot unit pin
+        shared with the gauss function)."""
+        docs = self._table("docs")
+        if docs is None or node.field not in docs.columns:
+            return None
+        col = F.col(node.field)
+        if node.is_date:
+            v = col.cast("timestamp").cast("double")
+            origin = (F.lit(str(node.origin)).cast("timestamp")
+                      .cast("double"))
+        else:
+            v = col.cast("double")
+            origin = F.lit(float(node.origin))
+        dist = F.abs(v - origin)
+        pivot = F.lit(float(node.pivot))
+        return (docs.filter(col.isNotNull())
+                .select("segment_id", "docid",
+                        (F.lit(float(node.boost)) * pivot
+                         / (pivot + dist)).alias("score")))
 
     def _ids_rows(self, values: list[int]) -> list[tuple[str, int]]:
         """Map GLOBAL docids to live (segment_id, local docid) pairs.

@@ -186,6 +186,49 @@ class SpanFirstQ(Node):
 
 
 @dataclass
+class RankFeatureQ(Node):
+    """ES ``rank_feature`` over a NUMERIC STORED field (ES stores
+    features in a dedicated rank_feature field type; this engine maps
+    the query onto its numeric stored fields — same contract: matches
+    every doc with a value, scores by a saturating function of it,
+    composes in bool should-clauses as a cheap relevance signal).
+
+    score = boost · S(v), v clamped to >= 0 (ES features are
+    non-negative by definition):
+      saturation: v / (v + pivot)          — pivot REQUIRED (the ES
+        auto-pivot from index feature stats is not supported; an
+        explicit pivot is deterministic and oracle-matchable)
+      log:        ln(scaling_factor + v)
+      sigmoid:    v^exp / (v^exp + pivot^exp)
+      linear:     v
+    Scores have no a-priori ceiling in general (log/linear), so WAND
+    keeps the exact plan (same rule as FunctionScoreQ)."""
+
+    field: str
+    fn: str = "saturation"
+    boost: float = 1.0
+    pivot: float = 1.0
+    scaling_factor: float = 1.0
+    exponent: float = 1.0
+
+
+@dataclass
+class DistanceFeatureQ(Node):
+    """ES ``distance_feature`` over a numeric or date stored field:
+    matches every doc with a value, score = boost · pivot /
+    (pivot + |v − origin|) — closer to origin scores higher, the
+    recency/proximity boost shape.  For date fields ``origin`` is an
+    ISO timestamp string and ``pivot`` is in SECONDS (the same unit
+    pin as the gauss decay function)."""
+
+    field: str
+    origin: object = 0
+    pivot: float = 1.0
+    boost: float = 1.0
+    is_date: bool = False
+
+
+@dataclass
 class SpanContainQ(Node):
     """Lucene/ES ``span_containing`` / ``span_within`` over a BIG
     rigid span chain and a LITTLE single-clause span (BEYOND-REFERENCE;
@@ -567,6 +610,63 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
         return PhraseQ(field, analyzed, slop=slop, in_order=in_order)
     if kind in ("span_term", "span_or", "span_near"):
         return _parse_span(kind, body, schema)
+    if kind == "rank_feature":
+        f = body.get("field")
+        fdef = schema.field(f) if f else None
+        if fdef is None or not fdef.stored:
+            raise QueryError(f"rank_feature field {f!r} not stored")
+        if fdef.type not in ("i64", "u64", "f64"):
+            raise QueryError(f"rank_feature needs a numeric field, "
+                             f"{f!r} is {fdef.type}")
+        boost = float(body.get("boost", 1.0))
+        fns = [k for k in ("saturation", "log", "sigmoid", "linear")
+               if k in body]
+        if len(fns) > 1:
+            raise QueryError("rank_feature takes at most one of "
+                             "saturation/log/sigmoid/linear")
+        fn = fns[0] if fns else "saturation"
+        spec = body.get(fn) or {}
+        node = RankFeatureQ(f, fn, boost)
+        if fn == "saturation":
+            if "pivot" not in spec:
+                raise QueryError(
+                    "rank_feature saturation needs an explicit pivot "
+                    "(the ES auto-pivot from index feature statistics "
+                    "is not supported — pass one)")
+            node.pivot = float(spec["pivot"])
+            if node.pivot <= 0:
+                raise QueryError("saturation pivot must be > 0")
+        elif fn == "log":
+            node.scaling_factor = float(spec.get("scaling_factor", 1.0))
+            if node.scaling_factor <= 0:
+                raise QueryError("log scaling_factor must be > 0")
+        elif fn == "sigmoid":
+            if "pivot" not in spec or "exponent" not in spec:
+                raise QueryError(
+                    "rank_feature sigmoid needs pivot and exponent")
+            node.pivot = float(spec["pivot"])
+            node.exponent = float(spec["exponent"])
+            if node.pivot <= 0 or node.exponent <= 0:
+                raise QueryError(
+                    "sigmoid pivot and exponent must be > 0")
+        return node
+    if kind == "distance_feature":
+        f = body.get("field")
+        fdef = schema.field(f) if f else None
+        if fdef is None or not fdef.stored:
+            raise QueryError(f"distance_feature field {f!r} not stored")
+        if fdef.type not in ("i64", "u64", "f64", "date"):
+            raise QueryError(
+                f"distance_feature needs a numeric or date field, "
+                f"{f!r} is {fdef.type}")
+        if "origin" not in body or "pivot" not in body:
+            raise QueryError("distance_feature needs origin and pivot")
+        pivot = float(body["pivot"])
+        if pivot <= 0:
+            raise QueryError("distance_feature pivot must be > 0")
+        return DistanceFeatureQ(f, body["origin"], pivot,
+                                float(body.get("boost", 1.0)),
+                                is_date=fdef.type == "date")
     if kind in ("span_containing", "span_within"):
         big_spec, little_spec = body.get("big"), body.get("little")
         for key, spec in (("big", big_spec), ("little", little_spec)):

@@ -105,6 +105,10 @@ class OracleIndex:
             return self._score_span_not(node)
         if isinstance(node, A.SpanContainQ):
             return self._score_span_contain(node)
+        if isinstance(node, A.RankFeatureQ):
+            return self._score_rank_feature(node)
+        if isinstance(node, A.DistanceFeatureQ):
+            return self._score_distance_feature(node)
         if isinstance(node, A.BoostQ):
             return {d: s * node.boost for d, s in self.score(node.child).items()}
         if isinstance(node, A.ConstScoreQ):
@@ -359,6 +363,50 @@ class OracleIndex:
             if match:
                 out[d] = bm25.score(len(match), self._dl(field, d),
                                     avgdl, idf_sum)
+        return out
+
+    def _score_rank_feature(self, node: "A.RankFeatureQ") \
+            -> dict[int, float]:
+        """rank_feature: every doc with a value matches; score =
+        boost · S(max(v, 0)) — the engine's _cand_rank_feature math,
+        independently re-derived."""
+        import math
+        out: dict[int, float] = {}
+        for d, doc in enumerate(self.docs):
+            raw = doc.get(node.field)
+            if raw is None:
+                continue
+            v = max(float(raw), 0.0)
+            if node.fn == "saturation":
+                s = v / (v + node.pivot)
+            elif node.fn == "log":
+                s = math.log(node.scaling_factor + v)
+            elif node.fn == "sigmoid":
+                s = v ** node.exponent / (v ** node.exponent
+                                          + node.pivot ** node.exponent)
+            else:
+                s = v
+            out[d] = node.boost * s
+        return out
+
+    def _score_distance_feature(self, node: "A.DistanceFeatureQ") \
+            -> dict[int, float]:
+        """distance_feature: boost · pivot / (pivot + |v − origin|);
+        dates in epoch seconds."""
+        import pandas as pd
+        if node.is_date:
+            origin = pd.Timestamp(node.origin).timestamp()
+        else:
+            origin = float(node.origin)
+        out: dict[int, float] = {}
+        for d, doc in enumerate(self.docs):
+            raw = doc.get(node.field)
+            if raw is None:
+                continue
+            v = (pd.Timestamp(raw).timestamp() if node.is_date
+                 else float(raw))
+            out[d] = node.boost * node.pivot \
+                / (node.pivot + abs(v - origin))
         return out
 
     def _score_prefix(self, node: A.PrefixQ) -> dict[int, float]:

@@ -45,7 +45,7 @@ def gen_node(rng: random.Random, depth: int = 0) -> A.Node:
              "prefix", "slop", "terms_set", "dismax", "phrase_prefix",
              "exists", "wildcard", "const_score", "function_score",
              "boosting", "ids", "span_near", "span_first", "span_not",
-             "span_contain"]
+             "span_contain", "rank_feature", "distance_feature"]
     if depth >= 2:
         kinds = ["term", "term", "phrase", "range", "prefix",
                  "terms_set", "exists", "wildcard", "ids"]
@@ -109,6 +109,18 @@ def gen_node(rng: random.Random, depth: int = 0) -> A.Node:
             "text", tuple(rng.sample(TERMS, rng.randint(1, 2))),
             tuple(rng.sample(TERMS, rng.randint(1, 2))),
             pre=rng.choice([0, 1, 2]), post=rng.choice([0, 1, 3]))
+    if kind == "rank_feature":
+        fn = rng.choice(["saturation", "log", "sigmoid", "linear"])
+        return A.RankFeatureQ(
+            "turn_idx", fn, boost=rng.choice([1.0, 2.0]),
+            pivot=rng.choice([2.0, 5.0]),
+            scaling_factor=rng.choice([1.0, 3.0]),
+            exponent=rng.choice([0.5, 1.0]))
+    if kind == "distance_feature":
+        return A.DistanceFeatureQ(
+            "turn_idx", origin=rng.choice([0, 4, 8]),
+            pivot=rng.choice([1.0, 3.0]),
+            boost=rng.choice([1.0, 2.5]))
     if kind == "span_contain":
         # RIGID big (slop 0, ordered — the parse-time pin) of 1-2
         # clauses with 1-2 alternatives each; single-clause little
