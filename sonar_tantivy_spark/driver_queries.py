@@ -284,6 +284,38 @@ def q_ft_span_within(spark, sf_dir):
         "doc_id", (F.lit(idf * (K1 + 1.0)) * tf / denom).alias("score")))
 
 
+def q_ft_intervals(spark, sf_dir):
+    """ES ``intervals`` query, all_of {tabl, row} max_gaps=2 UNORDERED
+    (round-5 surface): the rewrite layer compiles intervals onto the
+    span machinery (plans/ast.py _intervals_node → SpanNearQ), so this
+    pins the unordered per-adjacent-pair window the rewrite produces:
+    a 'row' position q survives iff some 'tabl' position p has q != p
+    and |q − (p+1)| <= 2; tf = surviving positions, idf = both terms.
+    Same one-scan + one-exchange plan as the span family."""
+    t = _ft(spark, sf_dir)
+    p, slop = t["postings"], 2
+    a = p.filter(F.col("term") == "tabl").select(
+        "doc_id", F.col("positions").alias("pa"))
+    b = p.filter(F.col("term") == "row").select(
+        "doc_id", F.col("positions").alias("pb"))
+    j = a.join(b, on="doc_id").withColumn(
+        "m", F.filter("pb", lambda q: F.exists(
+            "pa", lambda pp: (q != pp) & (q >= pp + 1 - slop)
+            & (q <= pp + 1 + slop)))
+    ).filter(F.size("m") > 0)
+    terms = ("tabl", "row")
+    dfs = {r["term"]: r["df"] for r in
+           t["termdf"].filter(F.col("term").isin(*terms)).collect()}
+    idf_sum = sum(bm25.idf(dfs[x], t["N"]) for x in terms if x in dfs)
+    j = j.join(t["doclen"], on="doc_id")
+    tf = F.size("m").cast("double")
+    denom = tf + F.lit(K1) * (F.lit(1.0 - B)
+                              + F.lit(B / t["avgdl"])
+                              * F.col("dl").cast("double"))
+    return _topk(j.select(
+        "doc_id", (F.lit(idf_sum * (K1 + 1.0)) * tf / denom).alias("score")))
+
+
 def q_ft_span_not(spark, sf_dir):
     """span_not: include 'valu' positions surviving unless a 'tabl'
     position lies in [p-1, p+2] (pre=1, post=2 — exact Lucene
@@ -2859,6 +2891,7 @@ QUERIES = {
     "ft_span_first": q_ft_span_first,
     "ft_span_not": q_ft_span_not,
     "ft_span_within": q_ft_span_within,
+    "ft_intervals": q_ft_intervals,
     "ft_percolate": q_ft_percolate,
     "ft_all": q_ft_all,
     "ft_phrase3": q_ft_phrase3,
@@ -4091,6 +4124,21 @@ SELECT j.doc_id,
              / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 4) AS score
 FROM adj j JOIN dlq q USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
 ORDER BY round(i.idf * 2.2 * j.ptf
+               / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 7) DESC, j.doc_id
+LIMIT 10""",
+        "ft_intervals": pre + """, adj AS (
+  SELECT b.doc_id, count(DISTINCT b.pos) AS ptf FROM toks a
+  JOIN toks b ON a.doc_id = b.doc_id
+             AND b.pos != a.pos
+             AND b.pos >= a.pos - 1 AND b.pos <= a.pos + 3
+  WHERE a.term = 'tabl' AND b.term = 'row' GROUP BY b.doc_id),
+idfs AS (SELECT sum(ln(1 + (s.n - t.df + 0.5) / (t.df + 0.5))) AS idf_sum
+         FROM tdf t CROSS JOIN stats s WHERE t.term IN ('tabl', 'row'))
+SELECT j.doc_id,
+       round(i.idf_sum * 2.2 * j.ptf
+             / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 4) AS score
+FROM adj j JOIN dlq q USING (doc_id) CROSS JOIN stats s CROSS JOIN idfs i
+ORDER BY round(i.idf_sum * 2.2 * j.ptf
                / (j.ptf + 1.2 * (0.25 + 0.75 * q.dl / s.avgdl)), 7) DESC, j.doc_id
 LIMIT 10""",
         "ft_span_not": pre + """, inc AS (

@@ -553,6 +553,108 @@ def _span_leaf(kind: str, body: dict,
     raise QueryError(f"unsupported span clause {kind!r}")
 
 
+def _intervals_node(schema: IndexSchema, field: str,
+                    spec: dict) -> SpanNearQ:
+    """ES ``intervals`` query → the span machinery (a REWRITE layer:
+    Lucene executes both families over position iterators; this engine
+    already has the one-scan positions plan in SpanNearQ, so intervals
+    compile onto it instead of growing a second executor).
+
+    Supported subset, rejected-at-parse otherwise (the span-family
+    philosophy — no silent approximation):
+
+      match:  {"query": text, "max_gaps": g, "ordered": bool} — the
+        analyzed tokens become the chain's clauses.  ``max_gaps`` is
+        REQUIRED (>= 0) for multi-token sources: the ES default of -1
+        (unlimited) has no bounded plan; an explicit budget keeps the
+        window predicate and WAND bounds finite.  Single-token matches
+        have no gaps and need none.
+      any_of: {"intervals": [...]} of SINGLE-CLAUSE members — merges
+        into one alternatives clause (span_or semantics).
+      all_of: {"intervals": [...], "max_gaps": g, "ordered": b} of
+        single-clause members — each member is one chain clause.
+
+    Pin shared with the span family (SpanNearQ docstring): max_gaps
+    maps to the per-adjacent-pair window slop.  For two-term sources
+    this is exactly ES's total-gap budget; for k > 2 ES budgets the
+    TOTAL gaps across the interval, which is stricter — documented
+    here, not silently widened."""
+    if not isinstance(spec, dict) or len(spec) != 1:
+        raise QueryError("intervals needs exactly one rule "
+                         "(match / any_of / all_of)")
+    rule, rbody = next(iter(spec.items()))
+    rbody = rbody or {}
+    if rule == "match":
+        text = rbody.get("query")
+        if not text:
+            raise QueryError("intervals match needs a query string")
+        toks = _analyze_one(schema, field, str(text))
+        if not toks:
+            raise QueryError(
+                "intervals match query analyzed to zero tokens")
+        fdef = schema.field(field)
+        if fdef is None or not fdef.has_positions:
+            raise QueryError(f"field {field!r} does not record positions")
+        if len(toks) == 1:
+            return SpanNearQ(field, [(toks[0],)])
+        if "max_gaps" not in rbody:
+            raise QueryError(
+                "intervals match with multiple tokens needs an "
+                "explicit max_gaps >= 0 (the ES unlimited default has "
+                "no bounded plan)")
+        g = int(rbody["max_gaps"])
+        if g < 0:
+            raise QueryError("intervals max_gaps must be >= 0")
+        return SpanNearQ(field, [(t,) for t in toks], slop=g,
+                         in_order=bool(rbody.get("ordered", False)))
+    if rule == "any_of":
+        members = rbody.get("intervals") or []
+        if not members:
+            raise QueryError("intervals any_of needs an intervals list")
+        alts: list[str] = []
+        for m in members:
+            if not (isinstance(m, dict) and len(m) == 1):
+                raise QueryError(
+                    "each any_of member is a single intervals rule")
+            sub = _intervals_node(schema, field, m)
+            if len(sub.clauses) != 1:
+                raise QueryError(
+                    "intervals any_of members must be single-token "
+                    "(multi-clause members need full interval algebra "
+                    "— unsupported)")
+            alts.extend(sub.clauses[0])
+        return SpanNearQ(field, [tuple(dict.fromkeys(alts))])
+    if rule == "all_of":
+        members = rbody.get("intervals") or []
+        if not members:
+            raise QueryError("intervals all_of needs an intervals list")
+        clauses: list[tuple[str, ...]] = []
+        for m in members:
+            if not (isinstance(m, dict) and len(m) == 1):
+                raise QueryError(
+                    "each all_of member is a single intervals rule")
+            sub = _intervals_node(schema, field, m)
+            if len(sub.clauses) != 1:
+                raise QueryError(
+                    "intervals all_of members must reduce to one "
+                    "clause each (nested multi-token chains need full "
+                    "interval algebra — unsupported)")
+            clauses.append(sub.clauses[0])
+        if len(clauses) > 1 and "max_gaps" not in rbody:
+            raise QueryError(
+                "intervals all_of with multiple members needs an "
+                "explicit max_gaps >= 0")
+        g = int(rbody.get("max_gaps", 0))
+        if g < 0:
+            raise QueryError("intervals max_gaps must be >= 0")
+        return SpanNearQ(field, clauses, slop=g,
+                         in_order=bool(rbody.get("ordered", False)))
+    raise QueryError(
+        f"unsupported intervals rule {rule!r} "
+        f"(match / any_of / all_of; prefix / wildcard / fuzzy "
+        f"interval sources are unsupported)")
+
+
 def _parse_span(kind: str, body: dict, schema: IndexSchema) -> SpanNearQ:
     if kind in ("span_term", "span_or"):
         field, clause = _span_leaf(kind, body, schema)
@@ -610,6 +712,9 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
         return PhraseQ(field, analyzed, slop=slop, in_order=in_order)
     if kind in ("span_term", "span_or", "span_near"):
         return _parse_span(kind, body, schema)
+    if kind == "intervals":
+        (field, spec), = body.items()
+        return _intervals_node(schema, field, spec)
     if kind == "rank_feature":
         f = body.get("field")
         fdef = schema.field(f) if f else None
