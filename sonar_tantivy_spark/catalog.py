@@ -194,6 +194,15 @@ class Index:
           index to exhaustion; composes with block-max pruning (see
           Searcher.top_k_pruned).  Mutually exclusive with offset,
           per the ES rule.
+        * ``"min_score"``: drop hits scoring below the threshold (ES
+          semantics).  Applied to the score-ordered depth window before
+          the offset slice — exact under score ordering; refused with
+          sort_by.  A page may come back short when the threshold trims
+          inside the window (the caller asked for a floor, not a fill).
+        * ``"track_total_hits"``: add ``{"total": {"value": N,
+          "relation": "eq"}}`` — an EXACT count-collector pass (ES caps
+          at 10k/"gte" by default; the engine's count is one pruned
+          projection, so exact is affordable).
         """
         body = search.get("query")
         knn = search.get("knn")
@@ -203,11 +212,43 @@ class Index:
             raise A.QueryError("Empty Query Provided")  # search.rs:100-102
         node = self._resolve_mlt(A.parse_json(body, self.schema))
         hl = search.get("highlight")
+        min_score = search.get("min_score")
+        if min_score is not None:
+            min_score = float(min_score)
+            if search.get("sort_by"):
+                # a score threshold under field ordering cannot be
+                # applied to the returned page (filtered docs are
+                # replaced by deeper ones in SORT order, not score
+                # order) — refuse rather than return a silently short
+                # or wrong page; ES allows it by filtering the full
+                # match set, a cost this engine only pays when asked
+                raise A.QueryError(
+                    "min_score cannot combine with sort_by here")
+        track = bool(search.get("track_total_hits", False))
+        total = None
+        if track:
+            # exact distributed count of the match set (the reference's
+            # count collector; ES default caps at 10k/"gte" — this
+            # engine's count is one pruned-projection aggregation, so
+            # exact/"eq" is affordable and more useful)
+            total = {"value": int(self.count(body)), "relation": "eq"}
 
         def _done(res: dict) -> dict:
             if hl:
                 self._apply_highlight(res["docs"], node, hl)
+            if total is not None:
+                res["total"] = total
             return res
+
+        def _page(docs: list) -> list:
+            # ES min_score: the threshold applies to the MATCH SET,
+            # then from/size — under score ordering the depth-k window
+            # is score-sorted, so filtering it before the offset slice
+            # is exact (a sub-threshold hit can never precede a
+            # super-threshold one)
+            if min_score is not None:
+                docs = [d for d in docs if d["score"] >= min_score]
+            return docs[offset:]
 
         limit = int(search.get("limit", DEFAULT_QUERY_LIMIT))
         offset = int(search.get("offset", search.get("from", 0)))
@@ -244,7 +285,7 @@ class Index:
             try:
                 hits = s.top_k(node, limit=depth, sort_by=sort_by,
                                cands=cand, after=after)
-                docs = s.retrieve(hits)[offset:]
+                docs = _page(s.retrieve(hits))
                 out: dict[str, Any] = {"docs": docs, "facets": {}}
                 if facets:
                     # reference quirks (search.rs:32-42, 89-98): one facet
@@ -269,14 +310,14 @@ class Index:
                     "rescore cannot combine with sort_by/search_after "
                     "(the ES rule: rescoring reorders the window)")
             hits = self._rescored_hits(s, node, rescore, depth)
-            return _done({"docs": s.retrieve(hits)[offset:], "facets": {}})
+            return _done({"docs": _page(s.retrieve(hits)), "facets": {}})
         collapse = search.get("collapse")
         if collapse:
             if after is not None:
                 raise A.QueryError(
                     "collapse cannot combine with search_after here")
             hits = self._collapsed_hits(s, node, collapse, depth, sort_by)
-            return _done({"docs": s.retrieve(hits)[offset:], "facets": {}})
+            return _done({"docs": _page(s.retrieve(hits)), "facets": {}})
         # BM25-bound pruning is invalid under sort-by-field ordering;
         # the sorted collector prunes on the sort field's zone maps.
         # sort_by + search_after takes the exact sorted plan (the
@@ -288,7 +329,7 @@ class Index:
                     s.top_k_sorted_pruned(node, limit=depth, sort_by=sort_by))
         else:
             hits = s.top_k_pruned(node, limit=depth, after=after)
-        return _done({"docs": s.retrieve(hits)[offset:], "facets": {}})
+        return _done({"docs": _page(s.retrieve(hits)), "facets": {}})
 
     def _knn_hits(self, knn: dict, k: int):
         """Exact-cosine top-k over a dense_vector column (ES 8 ``knn``

@@ -2368,6 +2368,125 @@ def q_ft_distance_feature(spark, sf_dir):
                  .select("doc_id", score.alias("score")))
 
 
+PINNED_IDS = [5, 123]  # ft_pinned curated ids (one likely non-matching)
+
+
+def q_ft_pinned(spark, sf_dir):
+    """ES ``pinned`` query (round-5 surface): docids 5 and 123 rank
+    first in list order at PINNED_BASE/(1+rank), organic 'valu' BM25
+    hits follow minus the pinned ids.  The engine unions a literal
+    zero-scan pinned frame with the anti-filtered organic candidates
+    (operators/search.py _cand_pinned); here the same union over the
+    scored contract frame."""
+    from sonar_tantivy_spark.plans.ast import PINNED_BASE
+
+    s = _scored(spark, sf_dir).filter(F.col("term") == "valu")
+    organic = (s.filter(~F.col("doc_id").isin(PINNED_IDS))
+               .select("doc_id", "score"))
+    pinned = spark.createDataFrame(
+        [(int(d), float(PINNED_BASE / (1.0 + i)))
+         for i, d in enumerate(PINNED_IDS)], "doc_id long, score double")
+    return _topk(pinned.unionByName(organic))
+
+
+def q_ft_script_score(spark, sf_dir):
+    """ES ``script_score`` (round-5 surface): BM25 'valu' hits rescored
+    by the arithmetic script ``_score * 2 + n_chars / 500`` — the safe
+    Painless subset translated to ONE whole-stage-codegen'd JVM column
+    over the child's candidates joined once to the doc store
+    (operators/search.py _cand_script_score / _script_col); here the
+    same math after the scored join."""
+    t = _ft(spark, sf_dir)
+    s = _scored(spark, sf_dir).filter(F.col("term") == "valu")
+    j = s.join(t["docs"].select("doc_id", "n_chars"), on="doc_id")
+    script = (F.col("score") * F.lit(2.0)
+              + F.coalesce(F.col("n_chars").cast("double"), F.lit(0.0))
+              / F.lit(500.0))
+    return _topk(j.select("doc_id", script.alias("score")))
+
+
+def q_ft_random_score(spark, sf_dir):
+    """ES ``random_score`` function (round-5 surface): BM25 'valu' hits
+    multiplied by the deterministic Knuth-mix random in [0,1) — r =
+    ((n_chars·2654435761 + seed·2246822519) mod 2³²)/2³², seed 7; the
+    engine computes the identical int64 column math inside
+    function_score (operators/search.py _function_col), oracle-matchable
+    where ES's internal murmur is not."""
+    t = _ft(spark, sf_dir)
+    s = _scored(spark, sf_dir).filter(F.col("term") == "valu")
+    j = s.join(t["docs"].select("doc_id", "n_chars"), on="doc_id")
+    mix = F.pmod(F.col("n_chars").cast("long") * F.lit(2654435761)
+                 + F.lit(7 * 2246822519), F.lit(4294967296))
+    r = mix.cast("double") / F.lit(4294967296.0)
+    return _topk(j.select("doc_id", (F.col("score") * r).alias("score")))
+
+
+CF_SPLIT = 8        # head = first 8 tokens, body = the rest
+CF_W = {"head": 2.0, "body": 1.0}
+CF_TERMS = ["valu", "scan"]
+
+
+def q_ft_combined_fields(spark, sf_dir):
+    """ES ``combined_fields`` / Lucene BM25F (round-5 surface): the
+    documents text split into two pseudo-fields (head = first
+    CF_SPLIT tokens ^2, body = the rest ^1) and the query terms scored
+    against the blend — per term btf = Σ_f w_f·tf_f, blended QUANTIZED
+    norm bdl = Σ_f w_f·dl_f over the fields the doc has tokens in,
+    blended avgdl = Σ_f w_f·avgdl_f, idf from the exact any-field df
+    (the engine's pinned deviation from Lucene's pseudo-collection
+    approximation; operators/search.py _cand_combined_fields runs the
+    same math over real per-field postings/doclens)."""
+    docs = _docs(spark, sf_dir)
+    udf = make_tokenize_udf("en_stem")
+    toks = (
+        docs.select("doc_id", udf(F.col("text")).alias("tk"))
+        .select("doc_id",
+                F.explode(F.arrays_zip(F.col("tk.terms"),
+                                       F.col("tk.poss"))).alias("e"))
+        .select("doc_id", F.col("e.terms").alias("term"),
+                F.col("e.poss").alias("pos"))
+        .withColumn("fld", F.when(F.col("pos") < CF_SPLIT,
+                                  F.lit("head")).otherwise(F.lit("body")))
+    )
+    w = F.when(F.col("fld") == "head",
+               F.lit(CF_W["head"])).otherwise(F.lit(CF_W["body"]))
+    norm_rows = [
+        (nid, lo, bm25.FIELDNORM_TABLE[nid + 1] if nid < 255 else (1 << 62))
+        for nid, lo in enumerate(bm25.FIELDNORM_TABLE)
+    ]
+    norm_df = spark.createDataFrame(norm_rows, "norm_id int, lo long, hi long")
+    flen = toks.groupBy("doc_id", "fld").agg(
+        F.count("*").cast("long").alias("len"))
+    fdl = (flen.join(F.broadcast(norm_df),
+                     on=(F.col("len") >= F.col("lo"))
+                     & (F.col("len") < F.col("hi")))
+           .select("doc_id", "fld", F.col("lo").alias("dl")))
+    n = docs.count()
+    avg_rows = flen.groupBy("fld").agg(F.sum("len").alias("s")).collect()
+    avgdl_b = sum(CF_W[r["fld"]] * float(r["s"]) / n for r in avg_rows)
+    bdl = fdl.groupBy("doc_id").agg(
+        F.sum(w * F.col("dl").cast("double")).alias("bdl"))
+    sub = (toks.filter(F.col("term").isin(CF_TERMS))
+           .groupBy("doc_id", "fld", "term")
+           .agg(F.count("*").cast("double").alias("tf")))
+    btf = sub.groupBy("doc_id", "term").agg(
+        F.sum(w * F.col("tf")).alias("btf"))
+    dfany = {r["term"]: int(r["df"]) for r in
+             sub.groupBy("term").agg(
+                 F.countDistinct("doc_id").alias("df")).collect()}
+    idf_col = F.lit(0.0)
+    for t in CF_TERMS:
+        idf_col = F.when(F.col("term") == t,
+                         F.lit(bm25.idf(dfany.get(t, 0), n))) \
+            .otherwise(idf_col)
+    j = btf.join(bdl, on="doc_id")
+    s_t = (idf_col * F.lit(K1 + 1.0) * F.col("btf")
+           / (F.col("btf") + F.lit(K1) * (F.lit(1.0 - B)
+              + F.lit(B / avgdl_b) * F.col("bdl"))))
+    per_doc = j.groupBy("doc_id").agg(F.sum(s_t).alias("score"))
+    return _topk(per_doc)
+
+
 def q_ft_collapse(spark, sf_dir):
     """ES field collapsing (round-5 surface): term 'valu' collapsed by
     ``source`` — one hit per source, the group's best
@@ -2966,6 +3085,10 @@ QUERIES = {
     "ft_function_fvf": q_ft_function_fvf,
     "ft_function_gauss": q_ft_function_gauss,
     "ft_rank_feature": q_ft_rank_feature,
+    "ft_pinned": q_ft_pinned,
+    "ft_script_score": q_ft_script_score,
+    "ft_random_score": q_ft_random_score,
+    "ft_combined_fields": q_ft_combined_fields,
     "ft_distance_feature": q_ft_distance_feature,
     "ft_agg_extstats": q_ft_agg_extstats,
     "ft_agg_top_hits": q_ft_agg_top_hits,
@@ -3771,6 +3894,57 @@ FROM scored s JOIN documents d USING (doc_id) WHERE s.term = 'valu'
 ORDER BY round(s.score * exp(-pow(abs(d.n_chars - {GAUSS_ORIGIN}), 2)
                              / (2.0 * {GAUSS_SIGMA2!r})), 7) DESC,
          s.doc_id LIMIT 10""",
+        "ft_pinned": pre + """, pins AS (
+  SELECT * FROM (VALUES (5::BIGINT, 1.7014124e38),
+                        (123::BIGINT, 1.7014124e38 / 2)) p(doc_id, score)),
+organic AS (
+  SELECT doc_id, score FROM scored
+  WHERE term = 'valu' AND doc_id NOT IN (5, 123)),
+unioned AS (SELECT * FROM pins UNION ALL SELECT * FROM organic)
+SELECT doc_id, round(score, 4) AS score FROM unioned
+ORDER BY round(score, 7) DESC, doc_id LIMIT 10""",
+        "ft_script_score": pre + """SELECT s.doc_id,
+round(s.score * 2.0 + coalesce(d.n_chars, 0) / 500.0, 4) AS score
+FROM scored s JOIN documents d USING (doc_id) WHERE s.term = 'valu'
+ORDER BY round(s.score * 2.0 + coalesce(d.n_chars, 0) / 500.0, 7) DESC,
+         s.doc_id LIMIT 10""",
+        "ft_combined_fields": pre + f""", ftoks AS (
+  SELECT doc_id, term,
+         CASE WHEN pos < {CF_SPLIT} THEN 'head' ELSE 'body' END AS fld
+  FROM toks),
+cfw(fld, w) AS (VALUES ('head', {CF_W['head']!r}), ('body', {CF_W['body']!r})),
+flen AS (SELECT doc_id, fld, count(*) AS len FROM ftoks GROUP BY doc_id, fld),
+fdl AS (SELECT l.doc_id, l.fld, n.dl FROM flen l
+        JOIN norms n ON l.len >= n.dl AND l.len < n.dl_next),
+cavg AS (SELECT sum(w.w * a.avgdl) AS avgdl_b FROM
+         (SELECT fld, sum(len)::DOUBLE
+                      / (SELECT count(*) FROM documents) AS avgdl
+          FROM flen GROUP BY fld) a JOIN cfw w USING (fld)),
+cbdl AS (SELECT d.doc_id, sum(w.w * d.dl) AS bdl
+         FROM fdl d JOIN cfw w USING (fld) GROUP BY d.doc_id),
+fsub AS (SELECT doc_id, fld, term, count(*) AS tf FROM ftoks
+         WHERE term IN ('valu', 'scan') GROUP BY doc_id, fld, term),
+cbtf AS (SELECT doc_id, term, sum(w.w * tf) AS btf
+         FROM fsub JOIN cfw w USING (fld) GROUP BY doc_id, term),
+cdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM fsub GROUP BY term),
+cfs AS (SELECT b.doc_id,
+               sum(ln(1 + ((SELECT count(*) FROM documents) - f.df + 0.5)
+                          / (f.df + 0.5))
+                   * {K1 + 1.0} * b.btf
+                   / (b.btf + {K1} * ({1.0 - B}
+                                      + {B} * d.bdl / c.avgdl_b))) AS score
+        FROM cbtf b JOIN cdf f USING (term) JOIN cbdl d USING (doc_id)
+        CROSS JOIN cavg c GROUP BY b.doc_id)
+SELECT doc_id, round(score, 4) AS score FROM cfs
+ORDER BY round(score, 7) DESC, doc_id LIMIT 10""",
+        "ft_random_score": pre + """, rnd AS (
+  SELECT s.doc_id,
+         s.score * (((CAST(d.n_chars AS BIGINT) * 2654435761
+                      + 7 * 2246822519) % 4294967296)
+                    / 4294967296.0) AS score
+  FROM scored s JOIN documents d USING (doc_id) WHERE s.term = 'valu')
+SELECT doc_id, round(score, 4) AS score FROM rnd
+ORDER BY round(score, 7) DESC, doc_id LIMIT 10""",
         "ft_rank_feature": pre + """SELECT s.doc_id,
 round(s.score + 2.0 * greatest(d.n_chars, 0)
                 / (greatest(d.n_chars, 0) + 300.0), 4) AS score

@@ -316,6 +316,12 @@ class Searcher:
             return self._cand_span_not(node, dfs)
         if isinstance(node, A.SpanContainQ):
             return self._cand_span_contain(node, dfs)
+        if isinstance(node, A.PinnedQ):
+            return self._cand_pinned(node, dfs)
+        if isinstance(node, A.ScriptScoreQ):
+            return self._cand_script_score(node, dfs)
+        if isinstance(node, A.CombinedFieldsQ):
+            return self._cand_combined_fields(node, dfs)
         if isinstance(node, A.RankFeatureQ):
             return self._cand_rank_feature(node)
         if isinstance(node, A.DistanceFeatureQ):
@@ -365,6 +371,15 @@ class Searcher:
         (doc-store columns already joined in)."""
         import math as _m
 
+        if fn["kind"] == "random_score":
+            # deterministic per (seed, field value), uniform-ish in
+            # [0, 1): Knuth multiplicative mix, exact int64 column math
+            # (the ast._validate_function pin) — no UDF, no RNG state
+            v = F.coalesce(F.col(fn["field"]).cast("long"), F.lit(0))
+            mix = F.pmod(v * F.lit(2654435761)
+                         + F.lit(int(fn["seed"]) * 2246822519),
+                         F.lit(4294967296))
+            return mix.cast("double") / F.lit(4294967296.0)
         if fn["kind"] == "field_value_factor":
             v = F.coalesce(F.col(fn["field"]).cast("double"),
                            F.lit(fn["missing"]))
@@ -985,6 +1000,199 @@ class Searcher:
                     rows, "segment_id string, docid long")
                 .withColumn("score", F.lit(1.0)))
 
+    @staticmethod
+    def _script_col(script: str, env: dict) -> Column:
+        """Translate the validated script_score expression (the SAME
+        safe arithmetic subset _script_eval accepts, already
+        shape-checked at parse by ast._script_score_fields) into ONE
+        JVM Column expression — whole-stage-codegen'd, no UDF.
+        Division/modulo by zero yields null (Spark semantics, the
+        pinned gap rule)."""
+        import ast as pyast
+        tree = pyast.parse(script, mode="eval")
+
+        def ev(n) -> Column:
+            if isinstance(n, pyast.Expression):
+                return ev(n.body)
+            if isinstance(n, pyast.Constant):
+                return F.lit(float(n.value))
+            if isinstance(n, pyast.Name):
+                return env[n.id]
+            if isinstance(n, pyast.UnaryOp):
+                return -ev(n.operand)
+            a, b = ev(n.left), ev(n.right)
+            if isinstance(n.op, pyast.Add):
+                return a + b
+            if isinstance(n.op, pyast.Sub):
+                return a - b
+            if isinstance(n.op, pyast.Mult):
+                return a * b
+            if isinstance(n.op, pyast.Div):
+                # ANSI mode (Spark 4 default) makes `/` THROW on zero;
+                # try_divide yields null → coalesced 0.0 downstream
+                return F.try_divide(a, b)
+            if isinstance(n.op, pyast.Mod):
+                return F.try_mod(a, b)
+            return F.pow(a, b)
+        return ev(tree)
+
+    def _cand_script_score(self, node: "A.ScriptScoreQ",
+                           dfs: dict) -> DataFrame | None:
+        """script_score (ScriptScoreQ docstring): the child's
+        candidates joined ONCE to the doc store for the referenced
+        fields (skipped entirely for _score-only scripts), then the
+        expression as one codegen'd column; null results (division by
+        zero) coalesce to 0.0 — match set unchanged, the
+        function_score contract."""
+        child = self._cand_opt(node.child, dfs)
+        if child is None:
+            return None
+        j = child
+        if node.fields:
+            docs = self._table("docs")
+            if docs is None:
+                return None
+            j = child.join(
+                docs.select("segment_id", "docid", *node.fields),
+                on=["segment_id", "docid"], how="left")
+        env = {"_score": F.col("score")}
+        for f in node.fields:
+            env[f] = F.coalesce(F.col(f).cast("double"), F.lit(0.0))
+        score = F.coalesce(self._script_col(node.script, env),
+                           F.lit(0.0))
+        return j.withColumn("score", score).drop(*node.fields)
+
+    def _cand_pinned(self, node: "A.PinnedQ",
+                     dfs: dict) -> DataFrame | None:
+        """pinned (PinnedQ docstring): a literal driver-built frame of
+        the live pinned ids scored PINNED_BASE / (1 + rank) (zero-scan, the
+        ids-query machinery) unioned with the organic candidates minus
+        the pinned keys.  The pinned side is bounded by the user's id
+        list, so the anti-filter is a tiny literal NOT IN pushed into
+        the organic frame — never a join; the ordinary top-k sort then
+        yields the pin-first layout."""
+        rows = self._ids_rows(node.ids)
+        # keep list ORDER for the rank scores: _ids_rows resolves in
+        # input order, dropping dead ids — re-rank over survivors
+        pinned = None
+        if rows:
+            scored = [(sid, local, float(A.PINNED_BASE / (1.0 + i)))
+                      for i, (sid, local) in enumerate(rows)]
+            pinned = self.spark.createDataFrame(
+                scored, "segment_id string, docid long, score double")
+        organic = self._cand_opt(node.organic, dfs)
+        if organic is not None and rows:
+            keep_out = [(sid, local) for sid, local in rows]
+            cond = None
+            for sid, local in keep_out:
+                c = (F.col("segment_id") == sid) & (F.col("docid") == local)
+                cond = c if cond is None else (cond | c)
+            organic = organic.filter(~cond)
+        if pinned is None:
+            return organic
+        if organic is None:
+            return pinned
+        return pinned.unionByName(organic.select(
+            "segment_id", "docid", "score"))
+
+    def _cand_combined_fields(self, node: "A.CombinedFieldsQ",
+                              dfs: dict) -> DataFrame | None:
+        """combined_fields (CombinedFieldsQ docstring — BM25F with
+        shared k1/b).  Plan: ONE postings scan filtered to the
+        (field-set, term-set) cross — per (segment, docid) the matched
+        terms collect into an in-row entry list carrying w_f·tf (one
+        aggregation exchange); the blended doc length comes from ONE
+        doclens scan aggregated per (segment, docid) over the queried
+        fields (its own narrow exchange — 3 columns, and unavoidable:
+        Lucene's norm sum spans fields the matched term does NOT occur
+        in); the join between the two reuses the aggregations' hash
+        partitioning, so no third exchange.  Per-term blended tf /
+        minimum_should_match / the final BM25F sum are in-row
+        higher-order expressions — JVM column math, no UDF.  The exact
+        any-field df per term is one countDistinct aggregation
+        collected driver-side (k rows, memoized per searcher snapshot
+        like term_dfs)."""
+        if not node.terms:
+            return None
+        fnames = [f for f, _ in node.fields]
+        any_df0 = {t: sum(dfs.get((f, t), 0) for f in fnames)
+                   for t in node.terms}
+        if node.operator == "and" \
+                and any(any_df0[t] == 0 for t in node.terms):
+            return None
+        live = [t for t in node.terms if any_df0[t] > 0]
+        if not live or len(live) < node.min_should:
+            return None
+        p = self._table("postings")
+        dlens = self._table("doclens")
+        if p is None or dlens is None:
+            return None
+
+        def w_col() -> Column:
+            w = F.when(F.col("field") == node.fields[0][0],
+                       F.lit(node.fields[0][1]))
+            for f, wt in node.fields[1:]:
+                w = w.when(F.col("field") == f, F.lit(wt))
+            return w.otherwise(F.lit(0.0))
+
+        # exact any-field df: distinct docs holding the term in >= 1
+        # queried field (memoized; the per-field sum is only an upper
+        # bound — a doc holding the term in two fields counts once)
+        cache = getattr(self, "_cf_df_cache", None)
+        if cache is None:
+            cache = self._cf_df_cache = {}
+        fkey = tuple(sorted(fnames))
+        missing = [t for t in live if (fkey, t) not in cache]
+        if missing:
+            rows = (p.filter(F.col("field").isin(fnames)
+                             & F.col("term").isin(missing))
+                    .groupBy("term")
+                    .agg(F.countDistinct("segment_id", "docid")
+                         .alias("df")).collect())
+            got = {r["term"]: int(r["df"]) for r in rows}
+            for t in missing:
+                cache[(fkey, t)] = got.get(t, 0)
+        df_any = {t: cache[(fkey, t)] for t in live}
+
+        scan = p.filter(F.col("field").isin(fnames)
+                        & F.col("term").isin(live))
+        entries = (
+            scan.groupBy("segment_id", "docid")
+            .agg(F.collect_list(F.struct(
+                F.col("term").alias("t"),
+                (w_col() * F.coalesce(F.col("tf"), F.lit(1))
+                 .cast("double")).alias("wtf"))).alias("__e")))
+        decoded = F.element_at(_norm_array(),
+                               F.col("norm_id") + 1).cast("double")
+        bdl = (dlens.filter(F.col("field").isin(fnames))
+               .groupBy("segment_id", "docid")
+               .agg(F.sum(w_col() * decoded).alias("__bdl")))
+        j = entries.join(bdl, on=["segment_id", "docid"])
+
+        nt = F.size(F.array_distinct(
+            F.transform(F.col("__e"), lambda e: e["t"])))
+        if node.operator == "and":
+            j = j.filter(nt == len(live))
+        elif node.min_should > 0:
+            j = j.filter(nt >= node.min_should)
+
+        avgdl_b = sum(w * self.avgdl(f) for f, w in node.fields)
+        denom_norm = F.lit(bm25.K1) * (
+            F.lit(1.0 - bm25.B)
+            + F.lit(bm25.B / avgdl_b) * F.col("__bdl"))
+        score: Column | None = None
+        for t in live:
+            idf = bm25.idf(df_any[t], self.num_docs)
+            btf = F.aggregate(
+                F.filter(F.col("__e"), lambda e: e["t"] == F.lit(t)),
+                F.lit(0.0), lambda acc, e: acc + e["wtf"])
+            s_t = F.when(
+                btf > 0,
+                F.lit(idf * (bm25.K1 + 1.0)) * btf / (btf + denom_norm)
+            ).otherwise(F.lit(0.0))
+            score = s_t if score is None else score + s_t
+        return j.select("segment_id", "docid", score.alias("score"))
+
     def _cand_dismax(self, node: A.DisMaxQ, dfs: dict) -> DataFrame | None:
         """Lucene DisjunctionMaxQuery: union the clause candidate sets,
         then per doc score = max + tie_breaker * (sum - max).  Same
@@ -1438,6 +1646,22 @@ class Searcher:
             # exclusion only shrinks: bounded by the include union
             dfs = self.term_dfs({(node.field, t) for t in node.include})
             return sum(dfs.get((node.field, t), 0) for t in node.include)
+        if isinstance(node, A.PinnedQ):
+            b = self._cand_size_bound(node.organic)
+            return None if b is None else b + len(node.ids)
+        if isinstance(node, A.ScriptScoreQ):
+            return self._cand_size_bound(node.child)
+        if isinstance(node, A.CombinedFieldsQ):
+            # per-term any-field df <= the per-field sum; or-mode sums
+            # terms, and-mode is bounded by the scarcest term
+            dfs = self.term_dfs({(f, t) for f, _ in node.fields
+                                 for t in node.terms})
+            per_term = [sum(dfs.get((f, t), 0) for f, _ in node.fields)
+                        for t in node.terms]
+            if not per_term:
+                return 0
+            return (min(per_term) if node.operator == "and"
+                    else sum(per_term))
         if isinstance(node, A.SpanContainQ):
             # both sides must occur: min(big's sparsest clause, little)
             dfs = self.term_dfs(
@@ -1650,6 +1874,29 @@ class Searcher:
             idf_sum = sum(idfs.get((node.field, t), 0.0) for t in node.terms)
             denom = m + bm25.K1 * (1.0 - bm25.B)
             return idf_sum * (bm25.K1 + 1.0) * m / denom
+        if isinstance(node, A.CombinedFieldsQ):
+            # per term: blended tf <= Σ_f w_f·max_tf_f; df_any >= every
+            # per-field df, so idf(df_any) <= min available per-field
+            # idf; dl -> 0 minimizes the norm denominator.  and-mode:
+            # a term absent from every queried field in the segment is
+            # an exact absence proof; or-mode needs ALL terms absent.
+            total = 0.0
+            dead = 0
+            for t in node.terms:
+                btf = sum(w * mtf.get((sid, f, t), 0)
+                          for f, w in node.fields)
+                if btf <= 0:
+                    dead += 1
+                    continue
+                idf_b = min((idfs[(f, t)] for f, _ in node.fields
+                             if (f, t) in idfs), default=0.0)
+                total += (idf_b * (bm25.K1 + 1.0) * btf
+                          / (btf + bm25.K1 * (1.0 - bm25.B)))
+            if dead and node.operator == "and":
+                return 0.0
+            if dead == len(node.terms):
+                return 0.0
+            return total
         if isinstance(node, A.SpanFirstQ):
             # the end-filter only SHRINKS the match set; the child's
             # bound (and its absence proof) carries over unchanged
@@ -1821,11 +2068,11 @@ class Searcher:
             if b == 0.0:
                 return 0.0
             return float(node.boost) if node.boost > 0 else None
-        if isinstance(node, A.FunctionScoreQ):
+        if isinstance(node, (A.FunctionScoreQ, A.ScriptScoreQ)):
             # match set = the child's, so a child 0.0 is still an
             # absence PROOF; the transformed score itself is unboundable
-            # (field_value_factor has no a-priori ceiling) → None keeps
-            # the exact plan, never a wrong prune
+            # (field_value_factor / an arbitrary script has no a-priori
+            # ceiling) → None keeps the exact plan, never a wrong prune
             b = self._node_bound(node.child, sid, idfs, mtf)
             if b == 0.0:
                 return 0.0
@@ -1846,6 +2093,10 @@ class Searcher:
         a covered must-clause constrains the match set."""
         if isinstance(node, (A.TermQ, A.PhraseQ, A.TermSetQ)):
             return True
+        if isinstance(node, A.CombinedFieldsQ):
+            # a match holds >= 1 query term in >= 1 queried field, and
+            # collect_terms emits the full (field x term) cross
+            return bool(node.terms)
         if isinstance(node, A.PhrasePrefixQ):
             # every match holds all the exact chain terms; the prefix
             # slot adds matches only WITH them, so cover holds whenever
@@ -1854,7 +2105,8 @@ class Searcher:
         if isinstance(node, A.DisMaxQ):
             # a match satisfies >= 1 clause: covered iff EVERY clause is
             return all(self._term_cover(c) for c in node.queries)
-        if isinstance(node, (A.BoostQ, A.ConstScoreQ, A.FunctionScoreQ)):
+        if isinstance(node, (A.BoostQ, A.ConstScoreQ, A.FunctionScoreQ,
+                             A.ScriptScoreQ)):
             return self._term_cover(node.child)
         if isinstance(node, A.BoostingQ):
             return self._term_cover(node.positive)  # match set = positive's
@@ -2509,6 +2761,86 @@ class Searcher:
                             f"{sf!r} is not a stored field")
                     fields.add(sf)
                 continue
+            if kind == "sampler":
+                ss = int((body or {}).get("shard_size", 100))
+                if ss <= 0:
+                    raise A.QueryError(
+                        f"agg {name!r}: sampler shard_size must be > 0")
+                metrics, th = self._sub_agg_plan(name, body or {})
+                if th is not None:
+                    raise A.QueryError(
+                        f"agg {name!r}: top_hits is not supported "
+                        f"under sampler")
+                if self._pipe_agg_plan(name, body or {}):
+                    raise A.QueryError(
+                        f"agg {name!r}: pipeline sub-aggs need a "
+                        f"bucket agg parent")
+                for sub_name, skind, sf in metrics:
+                    sdef = self.schema.field(sf)
+                    if sdef is None or not sdef.stored:
+                        raise A.QueryError(
+                            f"agg {name!r}: sub-agg {sub_name!r}: field "
+                            f"{sf!r} is not a stored field")
+                continue  # fields join happens off the SAMPLE frame
+            if kind == "top_metrics":
+                mlist = (body or {}).get("metrics")
+                if isinstance(mlist, dict):
+                    mlist = [mlist]
+                srt = (body or {}).get("sort")
+                if not isinstance(mlist, list) or not mlist \
+                        or not isinstance(srt, dict) or len(srt) != 1:
+                    raise A.QueryError(
+                        f"agg {name!r}: top_metrics needs metrics "
+                        f"[{{'field': ..}}] and sort {{field: asc|desc}}")
+                (sfield, sdir), = srt.items()
+                if str(sdir).lower() not in ("asc", "desc"):
+                    raise A.QueryError(
+                        f"agg {name!r}: sort direction must be asc|desc")
+                for mf in [m.get("field") for m in mlist] + [sfield]:
+                    mdef = self.schema.field(mf) if mf else None
+                    if mdef is None or not mdef.stored:
+                        raise A.QueryError(
+                            f"agg {name!r}: field {mf!r} is not a "
+                            f"stored field")
+                    fields.add(mf)
+                continue
+            if kind == "t_test":
+                ttype = str((body or {}).get("type", "heteroscedastic"))
+                if ttype not in ("paired", "homoscedastic",
+                                 "heteroscedastic"):
+                    raise A.QueryError(
+                        f"agg {name!r}: t_test type must be paired/"
+                        f"homoscedastic/heteroscedastic")
+                for part in ("a", "b"):
+                    pf = ((body or {}).get(part) or {}).get("field")
+                    pdef = self.schema.field(pf) if pf else None
+                    if pdef is None or not pdef.stored:
+                        raise A.QueryError(
+                            f"agg {name!r}: t_test needs a.field and "
+                            f"b.field (stored), {pf!r} is not")
+                    if pdef.type not in ("i64", "u64", "f64"):
+                        raise A.QueryError(
+                            f"agg {name!r}: t_test needs numeric "
+                            f"fields, {pf!r} is {pdef.type}")
+                    fields.add(pf)
+                continue
+            if kind == "matrix_stats":
+                mfields = (body or {}).get("fields")
+                if not isinstance(mfields, list) or len(mfields) < 2:
+                    raise A.QueryError(
+                        f"agg {name!r}: matrix_stats needs >= 2 fields")
+                for mf in mfields:
+                    mdef = self.schema.field(mf) if mf else None
+                    if mdef is None or not mdef.stored:
+                        raise A.QueryError(
+                            f"agg {name!r}: field {mf!r} is not a "
+                            f"stored field")
+                    if mdef.type not in ("i64", "u64", "f64"):
+                        raise A.QueryError(
+                            f"agg {name!r}: matrix_stats needs numeric "
+                            f"fields, {mf!r} is {mdef.type}")
+                    fields.add(mf)
+                continue
             if kind == "weighted_avg":
                 for part in ("value", "weight"):
                     pf = ((body or {}).get(part) or {}).get("field")
@@ -2566,10 +2898,15 @@ class Searcher:
                 raise A.QueryError(
                     f"agg {name!r}: {kind} needs a numeric field, "
                     f"{f!r} is {fdef.type}")
-            if kind == "date_histogram" and fdef.type != "date":
+            if kind in ("date_histogram", "auto_date_histogram") \
+                    and fdef.type != "date":
                 raise A.QueryError(
-                    f"agg {name!r}: date_histogram needs a date field, "
+                    f"agg {name!r}: {kind} needs a date field, "
                     f"{f!r} is {fdef.type}")
+            if kind == "auto_date_histogram" \
+                    and int((body or {}).get("buckets", 10)) < 1:
+                raise A.QueryError(
+                    f"agg {name!r}: buckets must be >= 1")
             if kind == "string_stats" and fdef.type != "text":
                 raise A.QueryError(
                     f"agg {name!r}: string_stats needs a text field, "
@@ -2752,6 +3089,170 @@ class Searcher:
                         None if r["w"] is None or r["w"] == 0
                         else float(r["vw"]) / float(r["w"]))}
                     continue
+                if kind == "sampler":
+                    # ES sampler agg: sub-aggs over the best-scoring
+                    # shard_size docs PER SHARD.  The engine's shard is
+                    # the segment: ONE window over the scored candidate
+                    # set (rank by score desc, docid asc within each
+                    # segment — deterministic where ES is
+                    # shard-layout-dependent), then the doc-store join
+                    # and one aggregation over the sample only.  The
+                    # window is hash-partitioned by segment_id and
+                    # top-k bounded, so no executor ever sorts more
+                    # than one segment's matches.
+                    from pyspark.sql import Window
+                    ss = int(body.get("shard_size", 100))
+                    metrics, _ = self._sub_agg_plan(name, body)
+                    w = Window.partitionBy("segment_id").orderBy(
+                        F.desc("score"), F.asc("docid"))
+                    sample = (cands
+                              .select("segment_id", "docid", "score")
+                              .withColumn("__r", F.row_number().over(w))
+                              .filter(F.col("__r") <= ss)
+                              .drop("__r"))
+                    sfields = sorted({sf for _, _, sf in metrics})
+                    if sfields:
+                        sdocs = self._table("docs").select(
+                            "segment_id", "docid", *sfields)
+                        sample = sample.join(
+                            sdocs, on=["segment_id", "docid"])
+                    r = sample.agg(F.count("*").alias("doc_count"),
+                                   *self._metric_exprs(metrics)).collect()[0]
+                    out[name] = {"doc_count": int(r["doc_count"]),
+                                 **self._shape_metrics(metrics, r)}
+                    continue
+                if kind == "top_metrics":
+                    # ES top_metrics: the metric fields of the top
+                    # ``size`` docs under an explicit field sort — ONE
+                    # TakeOrderedAndProject over the matched frame
+                    # (never a full sort), docid tie-break pinned for
+                    # determinism
+                    mlist = body["metrics"]
+                    if isinstance(mlist, dict):
+                        mlist = [mlist]
+                    (sfield, sdir), = body["sort"].items()
+                    size = int(body.get("size", 1))
+                    desc = str(sdir).lower() == "desc"
+                    sc = F.col(sfield)
+                    rows = (matched.filter(sc.isNotNull())
+                            .orderBy(sc.desc() if desc else sc.asc(),
+                                     F.asc("segment_id"), F.asc("docid"))
+                            .limit(size).collect())
+                    out[name] = {"top": [
+                        {"sort": [r[sfield]],
+                         "metrics": {m["field"]: r[m["field"]]
+                                     for m in mlist}}
+                        for r in rows]}
+                    continue
+                if kind == "t_test":
+                    # ES t_test agg: Student's t statistic between two
+                    # numeric fields — ONE aggregation of count/avg/
+                    # var_samp (paired: over the per-row difference;
+                    # unpaired: per field), driver-side arithmetic on
+                    # the 1-row result.  Pinned: rows missing either
+                    # field drop (the ES paired rule, applied to both
+                    # modes so a/b stay comparable).
+                    import math as _m
+                    ttype = str(body.get("type", "heteroscedastic"))
+                    va = F.col(body["a"]["field"]).cast("double")
+                    vb = F.col(body["b"]["field"]).cast("double")
+                    both = matched.filter(va.isNotNull() & vb.isNotNull())
+                    if ttype == "paired":
+                        d = va - vb
+                        r = both.agg(F.count(d).alias("n"),
+                                     F.avg(d).alias("m"),
+                                     F.var_samp(d).alias("v")).collect()[0]
+                        n = int(r["n"])
+                        t = (None if n < 2 or not r["v"]
+                             else float(r["m"])
+                             / _m.sqrt(float(r["v"]) / n))
+                    else:
+                        r = both.agg(
+                            F.count(va).alias("na"), F.avg(va).alias("ma"),
+                            F.var_samp(va).alias("va"),
+                            F.count(vb).alias("nb"), F.avg(vb).alias("mb"),
+                            F.var_samp(vb).alias("vb")).collect()[0]
+                        na, nb = int(r["na"]), int(r["nb"])
+                        if na < 2 or nb < 2 \
+                                or r["va"] is None or r["vb"] is None:
+                            t = None
+                        elif ttype == "homoscedastic":
+                            sp2 = (((na - 1) * float(r["va"])
+                                    + (nb - 1) * float(r["vb"]))
+                                   / (na + nb - 2))
+                            den = _m.sqrt(sp2 * (1.0 / na + 1.0 / nb))
+                            t = ((float(r["ma"]) - float(r["mb"])) / den
+                                 if den else None)
+                        else:  # heteroscedastic (Welch)
+                            den = _m.sqrt(float(r["va"]) / na
+                                          + float(r["vb"]) / nb)
+                            t = ((float(r["ma"]) - float(r["mb"])) / den
+                                 if den else None)
+                    out[name] = {"value": t}
+                    continue
+                if kind == "matrix_stats":
+                    # ES matrix_stats: per-field moments + pairwise
+                    # covariance/correlation over rows holding EVERY
+                    # field (the ES listwise-deletion rule) — ONE
+                    # aggregation carrying all the moment expressions
+                    # (map-side partials; O(k²) expressions for k
+                    # fields, k is tiny).  Variance/covariance are
+                    # SAMPLE (n-1) like ES; skewness/kurtosis follow
+                    # Spark's population definitions (g1, g2 excess) —
+                    # pinned here, asserted vs numpy in pytest.
+                    mfields = body["fields"]
+                    cols = {mf: F.col(mf).cast("double")
+                            for mf in mfields}
+                    b = matched
+                    for mf in mfields:
+                        b = b.filter(cols[mf].isNotNull())
+                    exprs = [F.count("*").alias("n")]
+                    for mf in mfields:
+                        exprs += [
+                            F.avg(cols[mf]).alias(f"m__{mf}"),
+                            F.var_samp(cols[mf]).alias(f"v__{mf}"),
+                            F.skewness(cols[mf]).alias(f"s__{mf}"),
+                            F.kurtosis(cols[mf]).alias(f"k__{mf}")]
+                    for i, fa in enumerate(mfields):
+                        for fb in mfields[i + 1:]:
+                            exprs += [
+                                F.covar_samp(cols[fa], cols[fb])
+                                .alias(f"c__{fa}__{fb}"),
+                                F.corr(cols[fa], cols[fb])
+                                .alias(f"r__{fa}__{fb}")]
+                    r = b.agg(*exprs).collect()[0]
+                    n = int(r["n"])
+
+                    def _pair(pre, fa, fb, diag):
+                        if fa == fb:
+                            return diag
+                        key = (f"{pre}__{fa}__{fb}"
+                               if f"{pre}__{fa}__{fb}" in r.asDict()
+                               else f"{pre}__{fb}__{fa}")
+                        return (None if r[key] is None
+                                else float(r[key]))
+                    flds = []
+                    for mf in mfields:
+                        flds.append({
+                            "name": mf, "count": n,
+                            "mean": (None if r[f"m__{mf}"] is None
+                                     else float(r[f"m__{mf}"])),
+                            "variance": (None if r[f"v__{mf}"] is None
+                                         else float(r[f"v__{mf}"])),
+                            "skewness": (None if r[f"s__{mf}"] is None
+                                         else float(r[f"s__{mf}"])),
+                            "kurtosis": (None if r[f"k__{mf}"] is None
+                                         else float(r[f"k__{mf}"])),
+                            "covariance": {
+                                fo: _pair("c", mf, fo,
+                                          (None if r[f"v__{mf}"] is None
+                                           else float(r[f"v__{mf}"])))
+                                for fo in mfields},
+                            "correlation": {
+                                fo: _pair("r", mf, fo, 1.0)
+                                for fo in mfields}})
+                    out[name] = {"doc_count": n, "fields": flds}
+                    continue
                 if kind == "adjacency_matrix":
                     # ES adjacency_matrix: one bucket per named filter
                     # (matched ∩ filter) plus one per PAIR
@@ -2912,6 +3413,39 @@ class Searcher:
                         for r in rows]
                     out[name] = {"buckets": self._apply_pipes(
                         name, buckets, self._pipe_agg_plan(name, body))}
+                elif kind == "auto_date_histogram":
+                    # ES auto_date_histogram: pick the smallest calendar
+                    # interval keeping bucket count <= ``buckets``.
+                    # ONE min/max aggregation sizes the span driver-side
+                    # against a pinned seconds-per-unit ladder (month=30d,
+                    # year=365d — an estimate is fine: it only picks the
+                    # unit; the buckets themselves come from exact
+                    # date_trunc), then the same one-hash-agg plan as
+                    # date_histogram on the chosen unit.
+                    target = int(body.get("buckets", 10))
+                    span_r = bucketed.agg(
+                        F.min(col).alias("lo"),
+                        F.max(col).alias("hi")).collect()[0]
+                    ladder = [("second", 1), ("minute", 60),
+                              ("hour", 3600), ("day", 86400),
+                              ("month", 2592000), ("year", 31536000)]
+                    unit = "year"
+                    if span_r["lo"] is not None:
+                        span = (span_r["hi"] - span_r["lo"]).total_seconds()
+                        for u, secs in ladder:
+                            if span / secs + 1 <= target:
+                                unit = u
+                                break
+                    rows = (bucketed
+                            .groupBy(F.date_trunc(unit, col).alias("key"))
+                            .agg(F.count("*").alias("doc_count"))
+                            .orderBy("key").collect())
+                    out[name] = {
+                        "interval": unit,
+                        "buckets": [
+                            {"key_as_string": r["key"].isoformat(),
+                             "doc_count": int(r["doc_count"])}
+                            for r in rows]}
                 elif kind == "stats":
                     r = matched.agg(
                         F.count(col).alias("count"),
@@ -3659,6 +4193,12 @@ def collect_terms(node: A.Node) -> set[tuple[str, str]]:
         out.update((node.field, t)
                    for c in node.big.clauses for t in c)
         out.update((node.field, t) for t in node.little)
+    elif isinstance(node, A.PinnedQ):
+        out.update(collect_terms(node.organic))
+    elif isinstance(node, A.ScriptScoreQ):
+        out.update(collect_terms(node.child))
+    elif isinstance(node, A.CombinedFieldsQ):
+        out.update((f, t) for f, _ in node.fields for t in node.terms)
     elif isinstance(node, A.DisMaxQ):
         for c in node.queries:
             out.update(collect_terms(c))

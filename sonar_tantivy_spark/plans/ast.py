@@ -185,6 +185,119 @@ class SpanFirstQ(Node):
     end: int
 
 
+PINNED_BASE = 1.7014124e38  # the ES PinnedQueryBuilder pin score base
+
+
+@dataclass
+class PinnedQ(Node):
+    """ES ``pinned`` query: the listed GLOBAL docids rank FIRST, in
+    list order, above every organic hit; organic results follow with
+    their normal scores, minus any doc already pinned (never shown
+    twice).  Pinned docs score ``PINNED_BASE / (1 + rank)`` — the ES
+    PinnedQueryBuilder constant magnitude, astronomically above any
+    BM25 score, so the ordinary top-k sort produces the pin-first
+    layout with no special-case collector.  (ES subtracts the rank,
+    which is a float no-op at 1.7e38; the divide keeps every rank
+    distinct and representable.)  Unknown/deleted ids silently drop (the
+    ids-query rule); pinned docs surface even when they do not match
+    the organic query (the ES contract — pins are curated overrides)."""
+
+    ids: list[int]
+    organic: Node
+
+
+@dataclass
+class ScriptScoreQ(Node):
+    """ES ``script_score``: the child's match set re-scored by an
+    arithmetic expression over ``_score`` (the child's BM25 score) and
+    NUMERIC STORED field names — the same safe Painless subset the
+    bucket_script agg accepts (numbers, names, + − × ÷ % **, unary
+    minus; parsed via the ``ast`` module, so no calls/attributes can
+    reach eval), here translated to JVM column math instead of being
+    evaluated driver-side.  Null field values read as 0.0; division by
+    zero yields null and the hit keeps score 0.0 (the engine's pinned
+    gap rule — ES Painless would throw).  Unboundable in general, so
+    WAND keeps the exact plan (the function_score rule)."""
+
+    child: Node
+    script: str
+    fields: list[str] = dc_field(default_factory=list)
+
+
+def _script_score_fields(script: str, schema: IndexSchema) -> list[str]:
+    """Validate a script_score expression and return the stored numeric
+    fields it references (every Name that is not ``_score``)."""
+    import ast as pyast
+    try:
+        tree = pyast.parse(script, mode="eval")
+    except SyntaxError as e:
+        raise QueryError(f"script_score script {script!r}: {e.msg}")
+    _BIN = (pyast.Add, pyast.Sub, pyast.Mult, pyast.Div, pyast.Mod,
+            pyast.Pow)
+    fields: list[str] = []
+
+    def walk(n):
+        if isinstance(n, pyast.Expression):
+            walk(n.body)
+        elif isinstance(n, pyast.Constant) \
+                and isinstance(n.value, (int, float)):
+            pass
+        elif isinstance(n, pyast.Name):
+            if n.id != "_score" and n.id not in fields:
+                fields.append(n.id)
+        elif isinstance(n, pyast.UnaryOp) \
+                and isinstance(n.op, pyast.USub):
+            walk(n.operand)
+        elif isinstance(n, pyast.BinOp) and isinstance(n.op, _BIN):
+            walk(n.left)
+            walk(n.right)
+        else:
+            raise QueryError(
+                f"script_score script {script!r}: unsupported syntax "
+                f"(arithmetic over _score and numeric field names only)")
+    walk(tree)
+    for f in fields:
+        fdef = schema.field(f)
+        if fdef is None or not fdef.stored:
+            raise QueryError(
+                f"script_score references {f!r}, which is not a "
+                f"stored field (or _score)")
+        if fdef.type not in ("i64", "u64", "f64"):
+            raise QueryError(
+                f"script_score needs numeric fields, {f!r} is "
+                f"{fdef.type}")
+    return fields
+
+
+@dataclass
+class CombinedFieldsQ(Node):
+    """ES ``combined_fields`` (Lucene CombinedFieldQuery — BM25F with a
+    shared k1/b): the analyzed query terms scored against a
+    PSEUDO-FIELD blending several same-analyzer text fields.  Per term,
+    the blended tf is Σ_f w_f·tf_f; the blended doc length is
+    Σ_f w_f·dl_f over ALL queried fields the doc has tokens in —
+    Lucene's MultiNormsLeafSimScorer rule: the norm sum is independent
+    of which field holds the term (dl_f is the QUANTIZED per-field
+    norm, same table the per-field BM25 path decodes, so degeneration
+    to a single field is bit-identical); the blended avgdl is
+    Σ_f w_f·avgdl_f; and df is the EXACT any-field doc frequency (docs
+    holding the term in ≥1 queried field — Lucene approximates with
+    blended pseudo-collection stats; an exact distinct count is one
+    cheap aggregation in a distributed engine, so this implementation
+    is exact and pins the deviation here).  Terms combine as a bool:
+    operator=or sums matching-term scores subject to
+    minimum_should_match; operator=and requires every term (in any
+    queried field).  Per the ES rule every field must be an indexed
+    text field and all must share one analyzer; per-field weights
+    (``"f^2"``) must be positive (ES requires ≥ 1 — relaxed to > 0:
+    the math is well-defined and a down-weight is useful)."""
+
+    fields: list[tuple[str, float]]  # (name, weight)
+    terms: list[str]
+    operator: str = "or"
+    min_should: int = 0
+
+
 @dataclass
 class RankFeatureQ(Node):
     """ES ``rank_feature`` over a NUMERIC STORED field (ES stores
@@ -414,8 +527,27 @@ _FVF_MODIFIERS = ("none", "log1p", "sqrt")
 def _validate_function(schema: IndexSchema, fn: dict) -> dict:
     if not isinstance(fn, dict) or len(fn) != 1:
         raise QueryError("each function must be exactly one of "
-                         "field_value_factor / gauss")
+                         "field_value_factor / gauss / random_score")
     kind, body = next(iter(fn.items()))
+    if kind == "random_score":
+        # ES random_score: deterministic per (seed, field value) —
+        # value in [0, 1).  ES hashes _seq_no by default; this engine
+        # has no hidden per-doc counter, so the field is REQUIRED (the
+        # ES consistent-scoring recommendation anyway).  Pinned mix:
+        # r = ((v·2654435761 + seed·2246822519) mod 2^32) / 2^32 —
+        # Knuth multiplicative hashing, exact in int64/NUMERIC in
+        # Spark, DuckDB, and Python alike (oracle-matchable), unlike
+        # ES's internal murmur which is not a public contract.
+        f = body.get("field")
+        fdef = schema.field(f) if f else None
+        if fdef is None or not fdef.stored:
+            raise QueryError(f"random_score field {f!r} not stored "
+                             f"(a numeric field is required)")
+        if fdef.type not in ("i64", "u64", "f64"):
+            raise QueryError(f"random_score needs a numeric field, "
+                             f"{f!r} is {fdef.type}")
+        return {"kind": kind, "field": f,
+                "seed": int(body.get("seed", 0))}
     if kind == "field_value_factor":
         f = body.get("field")
         fdef = schema.field(f) if f else None
@@ -715,6 +847,49 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
     if kind == "intervals":
         (field, spec), = body.items()
         return _intervals_node(schema, field, spec)
+    if kind == "script_score":
+        sub = body.get("query")
+        if not (isinstance(sub, dict) and sub):
+            raise QueryError("script_score needs a query")
+        script = (body.get("script") or {}).get("source") \
+            if isinstance(body.get("script"), dict) \
+            else body.get("script")
+        if not script:
+            raise QueryError(
+                "script_score needs a script (string or "
+                "{'source': ...})")
+        fields = _script_score_fields(str(script), schema)
+        return ScriptScoreQ(parse_json(sub, schema), str(script), fields)
+    if kind == "wrapper":
+        # ES wrapper query: a base64-encoded JSON query, decoded and
+        # parsed like any other node (the escape hatch ES clients use
+        # to smuggle raw DSL through typed builders) — pure parse-time
+        # sugar, zero execution surface of its own
+        import base64
+        import json as _json
+        enc = body.get("query") if isinstance(body, dict) else body
+        if not isinstance(enc, str) or not enc:
+            raise QueryError("wrapper needs a base64 query string")
+        try:
+            inner = _json.loads(base64.b64decode(enc, validate=True))
+        except Exception:
+            raise QueryError("wrapper query is not valid base64 JSON")
+        if not isinstance(inner, dict):
+            raise QueryError("wrapper query must decode to a JSON object")
+        return parse_json(inner, schema)
+    if kind == "pinned":
+        ids = body.get("ids")
+        organic = body.get("organic")
+        if not isinstance(ids, list) or not ids:
+            raise QueryError("pinned needs a non-empty ids list")
+        if not (isinstance(organic, dict) and organic):
+            raise QueryError("pinned needs an organic query")
+        try:
+            ids = [int(d) for d in ids]
+        except (TypeError, ValueError):
+            raise QueryError("pinned ids must be integers (global docids)")
+        return PinnedQ(list(dict.fromkeys(ids)),
+                       parse_json(organic, schema))
     if kind == "rank_feature":
         f = body.get("field")
         fdef = schema.field(f) if f else None
@@ -990,6 +1165,51 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
         if not 0.0 <= tie <= 1.0:
             raise QueryError("tie_breaker must be in [0, 1]")
         return DisMaxQ(subs, tie)
+    if kind == "combined_fields":
+        # {"combined_fields": {"query": "a b", "fields": ["title^2",
+        #  "body"], "operator": "or"|"and", "minimum_should_match": m}}
+        text = str(body.get("query", ""))
+        fspecs = body.get("fields") or []
+        if not isinstance(fspecs, list) or not fspecs:
+            raise QueryError("combined_fields needs a non-empty "
+                             "fields list")
+        fields: list[tuple[str, float]] = []
+        toks: set[str] = set()
+        for fspec in fspecs:
+            name, _, suffix = str(fspec).partition("^")
+            fdef = schema.field(name)
+            if fdef is None or not fdef.indexed \
+                    or fdef.type not in ("text", "string"):
+                raise QueryError(
+                    f"combined_fields needs indexed text fields, "
+                    f"{name!r} is not one")
+            try:
+                w = float(suffix) if suffix else 1.0
+            except ValueError:
+                raise QueryError(f"bad field boost in {fspec!r}")
+            if w <= 0.0:
+                raise QueryError(
+                    f"combined_fields weight for {name!r} must be > 0")
+            if any(name == n for n, _ in fields):
+                raise QueryError(
+                    f"combined_fields lists {name!r} twice")
+            fields.append((name, w))
+            toks.add(schema.tokenizer_for(name))
+        if len(toks) != 1:
+            raise QueryError(
+                "combined_fields requires one shared analyzer across "
+                f"fields (got {sorted(toks)}) — the ES rule: blended "
+                "statistics are meaningless across analyzers")
+        op = str(body.get("operator", "or")).lower()
+        if op not in ("or", "and"):
+            raise QueryError(f"combined_fields operator must be "
+                             f"and/or, got {op!r}")
+        msm = int(body.get("minimum_should_match", 0))
+        terms = _analyze_one(schema, fields[0][0], text)
+        # duplicate analyzed tokens dedupe (the bag-blend already
+        # counts repeats via tf; Lucene rewrites duplicate terms away)
+        return CombinedFieldsQ(fields, list(dict.fromkeys(terms)),
+                               op, max(0, msm))
     if kind == "function_score":
         # {"function_score": {"query": {...}, "functions": [fn, ...] |
         #  <single-fn sugar: "field_value_factor"/"gauss" inline>,

@@ -105,6 +105,17 @@ class OracleIndex:
             return self._score_span_not(node)
         if isinstance(node, A.SpanContainQ):
             return self._score_span_contain(node)
+        if isinstance(node, A.CombinedFieldsQ):
+            return self._score_combined_fields(node)
+        if isinstance(node, A.PinnedQ):
+            live = [d for d in node.ids if 0 <= d < self.N]
+            out = {d: s for d, s in self.score(node.organic).items()
+                   if d not in set(live)}
+            for i, d in enumerate(live):
+                out[d] = A.PINNED_BASE / (1.0 + i)
+            return out
+        if isinstance(node, A.ScriptScoreQ):
+            return self._score_script_score(node)
         if isinstance(node, A.RankFeatureQ):
             return self._score_rank_feature(node)
         if isinstance(node, A.DistanceFeatureQ):
@@ -126,6 +137,10 @@ class OracleIndex:
         import math
 
         v = self.docs[docid].get(fn["field"])
+        if fn["kind"] == "random_score":
+            iv = int(v) if v is not None else 0
+            mix = (iv * 2654435761 + fn["seed"] * 2246822519) % 4294967296
+            return mix / 4294967296.0
         if fn["kind"] == "field_value_factor":
             x = fn["factor"] * (float(v) if v is not None else fn["missing"])
             if fn["modifier"] == "log1p":
@@ -363,6 +378,100 @@ class OracleIndex:
             if match:
                 out[d] = bm25.score(len(match), self._dl(field, d),
                                     avgdl, idf_sum)
+        return out
+
+    def _score_combined_fields(self, node: "A.CombinedFieldsQ") \
+            -> dict[int, float]:
+        """combined_fields (BM25F, CombinedFieldsQ docstring): per doc
+        and term, blended tf = Σ_f w_f·tf_f; blended dl = Σ_f w_f times
+        the QUANTIZED per-field norm over all queried fields the doc
+        has tokens in; blended avgdl = Σ_f w_f·avgdl_f; idf from the
+        exact any-field df.  Plain loops, no engine code."""
+        if not node.terms:
+            return {}
+        avgdl_b = sum(w * self.avgdl(f) for f, w in node.fields)
+        per_term: dict[str, dict[int, float]] = {}
+        idfs: dict[str, float] = {}
+        for t in node.terms:
+            btf: dict[int, float] = {}
+            docs_any: set[int] = set()
+            for f, w in node.fields:
+                for d, pp in self.postings.get((f, t), {}).items():
+                    btf[d] = btf.get(d, 0.0) + w * len(pp)
+                    docs_any.add(d)
+            per_term[t] = btf
+            idfs[t] = bm25.idf(len(docs_any), self.N)
+        if node.operator == "and":
+            live = [set(per_term[t]) for t in node.terms]
+            matched = set.intersection(*live) if live else set()
+        else:
+            matched = set().union(*(set(per_term[t])
+                                    for t in node.terms))
+            if node.min_should > 0:
+                matched = {d for d in matched
+                           if sum(1 for t in node.terms
+                                  if d in per_term[t])
+                           >= node.min_should}
+        bdl: dict[int, float] = {}
+        for d in matched:
+            bdl[d] = sum(w * self._dl(f, d) for f, w in node.fields
+                         if (f, d) in self.doclen)
+        out: dict[int, float] = {}
+        for d in matched:
+            s = 0.0
+            for t in node.terms:
+                tf = per_term[t].get(d, 0.0)
+                if tf <= 0.0:
+                    continue
+                denom = tf + bm25.K1 * (1.0 - bm25.B
+                                        + bm25.B * bdl[d] / avgdl_b)
+                s += idfs[t] * (bm25.K1 + 1.0) * tf / denom
+            out[d] = s
+        return out
+
+    def _score_script_score(self, node: "A.ScriptScoreQ") \
+            -> dict[int, float]:
+        """script_score: per-doc evaluation of the arithmetic subset
+        over _score + numeric fields — an independent Python ast walk
+        (null fields read 0.0, division by zero -> 0.0, the engine's
+        pinned gap rule)."""
+        import ast as pyast
+        tree = pyast.parse(node.script, mode="eval")
+        base = self.score(node.child)
+
+        def ev(n, env):
+            if isinstance(n, pyast.Expression):
+                return ev(n.body, env)
+            if isinstance(n, pyast.Constant):
+                return float(n.value)
+            if isinstance(n, pyast.Name):
+                return env[n.id]
+            if isinstance(n, pyast.UnaryOp):
+                v = ev(n.operand, env)
+                return None if v is None else -v
+            a, b = ev(n.left, env), ev(n.right, env)
+            if a is None or b is None:
+                return None
+            if isinstance(n.op, pyast.Add):
+                return a + b
+            if isinstance(n.op, pyast.Sub):
+                return a - b
+            if isinstance(n.op, pyast.Mult):
+                return a * b
+            if isinstance(n.op, pyast.Div):
+                return a / b if b else None
+            if isinstance(n.op, pyast.Mod):
+                return a % b if b else None
+            return a ** b
+
+        out: dict[int, float] = {}
+        for d, s in base.items():
+            env = {"_score": s}
+            for f in node.fields:
+                raw = self.docs[d].get(f)
+                env[f] = float(raw) if raw is not None else 0.0
+            v = ev(tree, env)
+            out[d] = 0.0 if v is None else float(v)
         return out
 
     def _score_rank_feature(self, node: "A.RankFeatureQ") \

@@ -45,7 +45,8 @@ def gen_node(rng: random.Random, depth: int = 0) -> A.Node:
              "prefix", "slop", "terms_set", "dismax", "phrase_prefix",
              "exists", "wildcard", "const_score", "function_score",
              "boosting", "ids", "span_near", "span_first", "span_not",
-             "span_contain", "rank_feature", "distance_feature"]
+             "span_contain", "rank_feature", "distance_feature",
+             "pinned", "script_score", "combined_fields"]
     if depth >= 2:
         kinds = ["term", "term", "phrase", "range", "prefix",
                  "terms_set", "exists", "wildcard", "ids"]
@@ -74,7 +75,9 @@ def gen_node(rng: random.Random, depth: int = 0) -> A.Node:
                 "missing": 1.0},
                {"kind": "gauss", "field": "turn_idx", "is_date": False,
                 "origin": rng.choice([0, 3]), "scale": 2.0,
-                "decay": 0.5, "offset": 0.0}]
+                "decay": 0.5, "offset": 0.0},
+               {"kind": "random_score", "field": "turn_idx",
+                "seed": rng.choice([0, 7, 42])}]
         rng.shuffle(fns)
         return A.FunctionScoreQ(
             gen_node(rng, depth + 1), fns[:rng.randint(1, 2)],
@@ -121,6 +124,34 @@ def gen_node(rng: random.Random, depth: int = 0) -> A.Node:
             "turn_idx", origin=rng.choice([0, 4, 8]),
             pivot=rng.choice([1.0, 3.0]),
             boost=rng.choice([1.0, 2.5]))
+    if kind == "pinned":
+        # mix live, dead, and duplicate-with-organic ids (dead ids drop;
+        # a pinned organic hit must not show twice)
+        pool = [0, 2, 7, N // 2, N - 1, N + 9]
+        return A.PinnedQ(rng.sample(pool, rng.randint(1, 3)),
+                         gen_node(rng, depth + 1))
+    if kind == "script_score":
+        script = rng.choice(
+            ["_score * 2 + turn_idx / 10", "_score + 1.5",
+             "turn_idx % 3 + _score", "-_score + turn_idx ** 0.5",
+             "1 / turn_idx"])  # div-by-zero → 0.0, both sides
+        fields = ["turn_idx"] if "turn_idx" in script else []
+        return A.ScriptScoreQ(gen_node(rng, depth + 1), script, fields)
+    if kind == "combined_fields":
+        # the transcript schema has one en_stem field and two raw
+        # fields: exercise both the single-field degeneration and the
+        # genuine two-field (raw) blend, with asymmetric weights
+        shape = rng.choice([
+            ([("text", 1.0)], rng.sample(TERMS, rng.randint(1, 3))),
+            ([("role", rng.choice([1.0, 2.0])),
+              ("tool", rng.choice([0.5, 1.0]))],
+             rng.sample(["user", "assistant", "search", "python",
+                         "bash", "tool"], rng.randint(1, 3))),
+        ])
+        fields, terms = shape
+        op = rng.choice(["or", "or", "and"])
+        msm = rng.choice([0, 0, 2]) if op == "or" else 0
+        return A.CombinedFieldsQ(fields, terms, op, msm)
     if kind == "span_contain":
         # RIGID big (slop 0, ordered — the parse-time pin) of 1-2
         # clauses with 1-2 alternatives each; single-clause little

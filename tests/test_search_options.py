@@ -1,0 +1,185 @@
+"""Round-5 search-surface batch: ES ``wrapper`` query (base64 DSL
+passthrough), ``random_score`` function (deterministic Knuth-mix per
+seed+field — the oracle-matchable pin replacing ES's internal murmur),
+and the ``min_score`` / ``track_total_hits`` search-body options.
+
+Verified by: parse/rejection unit tests, rank+score parity against the
+pure-Python oracle, bit-equivalence of a wrapper query to its decoded
+form, exact-count checks for track_total_hits, and threshold-window
+checks for min_score (incl. the offset interaction)."""
+
+import base64
+import json
+
+import pytest
+
+from sonar_tantivy_spark import IndexCatalog
+from sonar_tantivy_spark.plans import ast as A
+from sonar_tantivy_spark.sources.transcripts import (
+    TRANSCRIPT_SCHEMA,
+    generate_transcripts,
+)
+from tests.oracle import OracleIndex
+
+N_TURNS = 800
+TERM = "wmebaba5"  # mid-frequency Zipf vocab term
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_transcripts(N_TURNS)
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    return OracleIndex(corpus.to_dict("records"),
+                       {"text": "en_stem", "role": "raw", "tool": "raw"})
+
+
+@pytest.fixture(scope="module")
+def index(spark, corpus, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("idxopts"))
+    cat = IndexCatalog(spark, base)
+    idx = cat.create_index("transcripts", TRANSCRIPT_SCHEMA)
+    idx.add_df(spark.createDataFrame(corpus),
+               order_cols=["conv_id", "turn_idx"], num_segments=3)
+    return idx
+
+
+def _topk(index, node, k=10):
+    s = index.searcher()
+    rows = s.top_k_pruned(node, limit=k).collect()
+    return [(int(r["docid_g"]), float(r["score"])) for r in rows]
+
+
+def _truth(oracle, node, k=10):
+    return sorted(oracle.score(node).items(),
+                  key=lambda kv: (-round(kv[1], 7), kv[0]))[:k]
+
+
+# wrapper ------------------------------------------------------------------
+
+def _b64(q: dict) -> str:
+    return base64.b64encode(json.dumps(q).encode()).decode()
+
+
+def test_wrapper_decodes_to_inner_node(index):
+    inner = {"bool": {"must": [{"term": {"text": TERM}}]}}
+    n1 = A.parse_json({"wrapper": {"query": _b64(inner)}}, index.schema)
+    n2 = A.parse_json(inner, index.schema)
+    assert type(n1) is type(n2)
+    # bare-string body form too
+    n3 = A.parse_json({"wrapper": _b64(inner)}, index.schema)
+    assert type(n3) is type(n2)
+
+
+def test_wrapper_bit_identical_results(index):
+    inner = {"term": {"text": TERM}}
+    got_w = _topk(index, A.parse_json(
+        {"wrapper": {"query": _b64(inner)}}, index.schema))
+    got_d = _topk(index, A.parse_json(inner, index.schema))
+    assert got_w == got_d
+
+
+def test_wrapper_rejections(index):
+    with pytest.raises(A.QueryError):
+        A.parse_json({"wrapper": {"query": "!!!notbase64"}}, index.schema)
+    with pytest.raises(A.QueryError):
+        A.parse_json({"wrapper": {"query": _b64(["not", "an", "obj"])}},
+                     index.schema)
+    with pytest.raises(A.QueryError):
+        A.parse_json({"wrapper": {"query": ""}}, index.schema)
+
+
+# random_score -------------------------------------------------------------
+
+def test_random_score_parse_and_rejections(index):
+    n = A.parse_json({"function_score": {
+        "query": {"term": {"text": TERM}},
+        "functions": [{"random_score": {"field": "turn_idx", "seed": 7}}],
+        "boost_mode": "replace"}}, index.schema)
+    assert n.functions[0] == {"kind": "random_score", "field": "turn_idx",
+                              "seed": 7}
+    with pytest.raises(A.QueryError):  # field is required
+        A.parse_json({"function_score": {
+            "query": {"term": {"text": TERM}},
+            "functions": [{"random_score": {"seed": 1}}]}}, index.schema)
+    with pytest.raises(A.QueryError):  # non-numeric field
+        A.parse_json({"function_score": {
+            "query": {"term": {"text": TERM}},
+            "functions": [{"random_score": {"field": "role"}}]}},
+            index.schema)
+
+
+@pytest.mark.parametrize("seed,boost_mode", [(0, "replace"), (7, "sum"),
+                                             (42, "multiply")])
+def test_random_score_oracle_parity(index, oracle, seed, boost_mode):
+    node = A.parse_json({"function_score": {
+        "query": {"term": {"text": TERM}},
+        "functions": [{"random_score": {"field": "turn_idx",
+                                        "seed": seed}}],
+        "boost_mode": boost_mode}}, index.schema)
+    got = _topk(index, node)
+    truth = _truth(oracle, node)
+    assert [d for d, _ in got] == [d for d, _ in truth]
+    for (_, gs), (_, ts) in zip(got, truth):
+        assert gs == pytest.approx(ts, rel=1e-9)
+
+
+def test_random_score_deterministic_and_seed_sensitive(index):
+    def run(seed):
+        return _topk(index, A.parse_json({"function_score": {
+            "query": {"term": {"text": TERM}},
+            "functions": [{"random_score": {"field": "turn_idx",
+                                            "seed": seed}}],
+            "boost_mode": "replace"}}, index.schema))
+    assert run(3) == run(3)            # deterministic
+    assert run(3) != run(4)            # seed changes the order
+    for _, s in run(3):
+        assert 0.0 <= s < 1.0          # pinned range
+
+
+# min_score ----------------------------------------------------------------
+
+def test_min_score_filters_page(index, oracle):
+    node = A.parse_json({"term": {"text": TERM}}, index.schema)
+    truth = _truth(oracle, node, k=20)
+    cut = truth[4][1] - 1e-9  # threshold keeping exactly the top 5
+    res = index.query_json({"query": {"term": {"text": TERM}},
+                            "limit": 20, "min_score": cut})
+    kept = [h["score"] for h in res["docs"]]
+    assert len(kept) == 5
+    assert all(s >= cut for s in kept)
+
+
+def test_min_score_before_offset_slice(index, oracle):
+    node = A.parse_json({"term": {"text": TERM}}, index.schema)
+    truth = _truth(oracle, node, k=20)
+    cut = truth[7][1] - 1e-9  # keeps the top 8
+    res = index.query_json({"query": {"term": {"text": TERM}},
+                            "limit": 20, "offset": 3, "min_score": cut})
+    # ES rule: threshold first, THEN from/size → hits 4..8 of the kept set
+    assert len(res["docs"]) == 5
+    got_ids = [h["doc"]["turn_idx"][0] for h in res["docs"]]
+    assert got_ids == [oracle.docs[d]["turn_idx"]
+                       for d, _ in truth[3:8]]
+
+
+def test_min_score_rejects_sort_by(index):
+    with pytest.raises(A.QueryError):
+        index.query_json({"query": {"term": {"text": TERM}},
+                          "sort_by": "turn_idx", "min_score": 0.5})
+
+
+# track_total_hits ----------------------------------------------------------
+
+def test_track_total_hits_exact(index, oracle):
+    node = A.parse_json({"term": {"text": TERM}}, index.schema)
+    n_match = len(oracle.score(node))
+    res = index.query_json({"query": {"term": {"text": TERM}},
+                            "limit": 3, "track_total_hits": True})
+    assert res["total"] == {"value": n_match, "relation": "eq"}
+    assert len(res["docs"]) == 3  # the page is still the page
+    res2 = index.query_json({"query": {"term": {"text": TERM}},
+                             "limit": 3})
+    assert "total" not in res2  # opt-in only
