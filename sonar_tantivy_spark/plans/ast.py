@@ -1136,18 +1136,26 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
         #                  "tie_breaker": t, "operator": ..,
         #                  "minimum_should_match": m}}
         # best_fields (default) → dis_max over the per-field match
-        # nodes (Lucene's rewrite); most_fields → bool-should sum.
-        # "f^b" boosts wrap the field's node in BoostQ.  cross_fields
-        # is NOT implemented (it needs blended term statistics).
+        # nodes (Lucene's rewrite); most_fields → bool-should sum;
+        # cross_fields → the combined_fields node (pinned deviation:
+        # ES blends per-term df across fields inside a dis_max of
+        # BlendedTermQueries — BM25F over the same blended statistics
+        # is the modern replacement ES itself recommends, and this
+        # engine has exactly that machinery; the rewrite shares its
+        # analyzer/weight validation).
         text = str(body.get("query", ""))
         fields = body.get("fields") or []
         if not fields:
             raise QueryError("multi_match needs a non-empty fields list")
         mtype = str(body.get("type", "best_fields"))
-        if mtype not in ("best_fields", "most_fields"):
+        if mtype not in ("best_fields", "most_fields", "cross_fields"):
             raise QueryError(f"unsupported multi_match type {mtype!r}")
         op = str(body.get("operator", "or")).lower()
         msm = int(body.get("minimum_should_match", 0))
+        if mtype == "cross_fields":
+            return parse_json({"combined_fields": {
+                "query": text, "fields": fields, "operator": op,
+                "minimum_should_match": msm}}, schema)
         subs: list[Node] = []
         for fspec in fields:
             name, _, suffix = str(fspec).partition("^")

@@ -154,6 +154,22 @@ def test_parse_rejections(index):
             "operator": "xor"}}, schema)
 
 
+def test_multi_match_cross_fields_rewrites(index):
+    """multi_match type=cross_fields compiles to the combined_fields
+    node (the pinned BlendedTermQuery→BM25F deviation) with the same
+    field weights / operator / msm."""
+    n = A.parse_json({"multi_match": {
+        "query": "alpha bravo", "fields": ["title^2", "body"],
+        "type": "cross_fields", "operator": "and"}}, index.schema)
+    assert isinstance(n, A.CombinedFieldsQ)
+    assert n.fields == [("title", 2.0), ("body", 1.0)]
+    assert n.terms == ["alpha", "bravo"] and n.operator == "and"
+    with pytest.raises(A.QueryError):  # mixed analyzers still rejected
+        A.parse_json({"multi_match": {
+            "query": "alpha", "fields": ["title", "tag"],
+            "type": "cross_fields"}}, index.schema)
+
+
 # --------------------------------------------------------------- parity
 def test_parity_or(index, oracle):
     _assert_parity(index, oracle, {"combined_fields": {
