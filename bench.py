@@ -280,6 +280,15 @@ def run_attempt() -> dict:
         "q34_span_not": {"span_not": {
             "include": {"span_term": {"text": "hello"}},
             "exclude": {"span_term": {"text": "world"}}, "dist": 2}},
+        # combined_fields (BM25F): the genuine two-field blend — one
+        # postings scan + one corpus-wide doclens norm-blend agg joined
+        # on shared hash partitioning.  role/tool are RAW-tokenized, so
+        # the query must be a single verbatim term ("search" = the tool
+        # field's hottest value, ~3% of turns); the norm blend still
+        # aggregates BOTH fields' doclens for every doc — the class's
+        # honest worst-case cost at any scale
+        "q35_combined_fields": {"combined_fields": {
+            "query": "search", "fields": ["role", "tool^2"]}},
     }
     # query phase: modest shuffle fan-out wins for k=10 result sets.
     # top_k_pruned IS the default path (Index.query/query_df) — bench it,

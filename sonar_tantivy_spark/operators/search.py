@@ -1164,7 +1164,22 @@ class Searcher:
                  .cast("double")).alias("wtf"))).alias("__e")))
         decoded = F.element_at(_norm_array(),
                                F.col("norm_id") + 1).cast("double")
-        bdl = (dlens.filter(F.col("field").isin(fnames))
+        bdl_src = dlens.filter(F.col("field").isin(fnames))
+        # candidate-bounded norm blend: the blend only matters for docs
+        # holding >= 1 query term, but the agg below would otherwise
+        # exchange EVERY doc's per-field norms (corpus-wide — the cost
+        # that dominated the q35 bench class).  When the candidate
+        # postings volume fits the broadcast cap, semi-join the doclens
+        # scan down to candidate docs first, turning the norm exchange
+        # from O(corpus) into O(matches); hot-term queries past the cap
+        # keep the full agg (a 100-TB corpus-wide hash agg is still one
+        # map-side-combinable exchange — safe, just not minimal).
+        cand_rows = sum(df_any[t] for t in live) * len(fnames)
+        if cand_rows * _BYTES_PER_KEY <= _BCAST_KEY_BYTES_CAP:
+            bdl_src = bdl_src.join(
+                F.broadcast(scan.select("segment_id", "docid")),
+                on=["segment_id", "docid"], how="left_semi")
+        bdl = (bdl_src
                .groupBy("segment_id", "docid")
                .agg(F.sum(w_col() * decoded).alias("__bdl")))
         j = entries.join(bdl, on=["segment_id", "docid"])
@@ -2761,11 +2776,22 @@ class Searcher:
                             f"{sf!r} is not a stored field")
                     fields.add(sf)
                 continue
-            if kind == "sampler":
+            if kind in ("sampler", "diversified_sampler"):
                 ss = int((body or {}).get("shard_size", 100))
                 if ss <= 0:
                     raise A.QueryError(
                         f"agg {name!r}: sampler shard_size must be > 0")
+                if kind == "diversified_sampler":
+                    divf = (body or {}).get("field")
+                    ddef = self.schema.field(divf) if divf else None
+                    if ddef is None or not ddef.stored:
+                        raise A.QueryError(
+                            f"agg {name!r}: diversified_sampler needs a "
+                            f"stored dedup field, {divf!r} is not one")
+                    if int((body or {}).get("max_docs_per_value", 1)) < 1:
+                        raise A.QueryError(
+                            f"agg {name!r}: max_docs_per_value must "
+                            f"be >= 1")
                 metrics, th = self._sub_agg_plan(name, body or {})
                 if th is not None:
                     raise A.QueryError(
@@ -3089,7 +3115,7 @@ class Searcher:
                         None if r["w"] is None or r["w"] == 0
                         else float(r["vw"]) / float(r["w"]))}
                     continue
-                if kind == "sampler":
+                if kind in ("sampler", "diversified_sampler"):
                     # ES sampler agg: sub-aggs over the best-scoring
                     # shard_size docs PER SHARD.  The engine's shard is
                     # the segment: ONE window over the scored candidate
@@ -3100,13 +3126,35 @@ class Searcher:
                     # window is hash-partitioned by segment_id and
                     # top-k bounded, so no executor ever sorts more
                     # than one segment's matches.
+                    # diversified_sampler: same plan with ONE extra
+                    # window ranked per (segment, dedup-field value) —
+                    # keep max_docs_per_value best per value BEFORE the
+                    # shard_size cut (the ES de-duplication order); the
+                    # dedup field joins in ahead of the windows, null
+                    # values are exempt from the cap (the ES rule:
+                    # docs missing the field are not de-duplicated).
                     from pyspark.sql import Window
                     ss = int(body.get("shard_size", 100))
                     metrics, _ = self._sub_agg_plan(name, body)
+                    sample = cands.select("segment_id", "docid", "score")
+                    if kind == "diversified_sampler":
+                        divf = body["field"]
+                        mdv = int(body.get("max_docs_per_value", 1))
+                        ddocs = self._table("docs").select(
+                            "segment_id", "docid", divf)
+                        sample = sample.join(
+                            ddocs, on=["segment_id", "docid"], how="left")
+                        wv = Window.partitionBy(
+                            "segment_id", divf).orderBy(
+                            F.desc("score"), F.asc("docid"))
+                        sample = (sample
+                                  .withColumn("__rv", F.row_number().over(wv))
+                                  .filter(F.col(divf).isNull()
+                                          | (F.col("__rv") <= mdv))
+                                  .drop("__rv", divf))
                     w = Window.partitionBy("segment_id").orderBy(
                         F.desc("score"), F.asc("docid"))
-                    sample = (cands
-                              .select("segment_id", "docid", "score")
+                    sample = (sample
                               .withColumn("__r", F.row_number().over(w))
                               .filter(F.col("__r") <= ss)
                               .drop("__r"))

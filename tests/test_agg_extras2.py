@@ -276,3 +276,53 @@ def test_sampler_rejections(index):
     with pytest.raises(A.QueryError):
         _aggs(index, {"s": {"sampler": {"shard_size": 5, "aggs": {
             "th": {"top_hits": {"size": 2}}}}}})
+
+
+# diversified_sampler ---------------------------------------------------------
+
+def test_diversified_sampler_single_segment_oracle_exact(
+        tindex1, toracle, tcorpus):
+    """ES diversified_sampler: keep max_docs_per_value best docs per
+    dedup-field value BEFORE the shard_size cut.  Single segment, so
+    the pure-Python replica of the same greedy order is exact truth."""
+    node = A.parse_json({"term": {"text": "wmebaba5"}}, tindex1.schema)
+    scores = toracle.score(node)
+    ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    seen: dict = {}
+    kept = []
+    for d, _s in ranked:
+        role = tcorpus.iloc[d]["role"]
+        if seen.get(role, 0) >= 2:
+            continue
+        seen[role] = seen.get(role, 0) + 1
+        kept.append(d)
+        if len(kept) == 20:
+            break
+    truth_avg = float(np.mean([tcorpus.iloc[d]["turn_idx"]
+                               for d in kept]))
+    out = tindex1.query_json({
+        "query": {"term": {"text": "wmebaba5"}}, "limit": 0,
+        "aggs": {"s": {"diversified_sampler": {
+            "shard_size": 20, "field": "role", "max_docs_per_value": 2,
+            "aggs": {"mi": {"avg": {"field": "turn_idx"}}}}}}})["aggs"]
+    assert out["s"]["doc_count"] == len(kept)
+    assert out["s"]["mi"]["value"] == pytest.approx(truth_avg, rel=1e-9)
+
+
+def test_diversified_sampler_caps_per_value(tindex1):
+    # max_docs_per_value=1 over role: the sample can hold at most one
+    # doc per distinct role (4 roles in the corpus)
+    out = tindex1.query_json({
+        "query": {"term": {"text": "the"}}, "limit": 0,
+        "aggs": {"s": {"diversified_sampler": {
+            "shard_size": 50, "field": "role",
+            "aggs": {"mi": {"avg": {"field": "turn_idx"}}}}}}})["aggs"]
+    assert out["s"]["doc_count"] <= 4
+
+
+def test_diversified_sampler_rejections(index):
+    with pytest.raises(A.QueryError):  # missing dedup field
+        _aggs(index, {"s": {"diversified_sampler": {"shard_size": 5}}})
+    with pytest.raises(A.QueryError):  # bad cap
+        _aggs(index, {"s": {"diversified_sampler": {
+            "shard_size": 5, "field": "v", "max_docs_per_value": 0}}})

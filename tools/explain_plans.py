@@ -201,6 +201,24 @@ def main() -> None:
                    "literal head pushed as StringStartsWith",
                    "StringStartsWith(term,he)" in plan))
 
+    # combined_fields (BM25F): one postings scan + one doclens scan,
+    # each with its own aggregation exchange; the (segment_id, docid)
+    # join REUSES the aggregations' hash partitioning, so exactly TWO
+    # exchanges total — a third would mean the join re-shuffles, the
+    # shape that breaks at 100 TB
+    node = A.parse_json({"combined_fields": {
+        "query": "hello world", "fields": ["text"]}}, idx.schema)
+    plan = formatted(idx.searcher().candidates(node))
+    sections.append(f"## combined_fields_blend\n\n```\n{plan}\n```\n")
+    n_exch = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    checks.append(("combined_fields",
+                   f"two aggregation exchanges, join reuses their "
+                   f"partitioning (saw {n_exch})", n_exch == 2))
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    checks.append(("combined_fields",
+                   f"one postings + one doclens scan (saw {n_scans})",
+                   n_scans == 2))
+
     # percolation: saved searches compile to a MAP-ONLY projection —
     # zero exchanges is the property that makes the same transform
     # streaming-safe and a pure scan at 100 TB
