@@ -210,14 +210,26 @@ def main() -> None:
         "query": "hello world", "fields": ["text"]}}, idx.schema)
     plan = formatted(idx.searcher().candidates(node))
     sections.append(f"## combined_fields_blend\n\n```\n{plan}\n```\n")
-    n_exch = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    # count the MAIN plan only: dynamic-partition-pruning subqueries
+    # (Subquery:N blocks) re-print scan/exchange nodes that reuse the
+    # main plan's work at runtime
+    main = plan.split("Subquery:")[0]
+    n_exch = len(re.findall(r"^\(\d+\) Exchange", main, re.M))
     checks.append(("combined_fields",
-                   f"two aggregation exchanges, join reuses their "
-                   f"partitioning (saw {n_exch})", n_exch == 2))
-    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+                   f"two shuffle exchanges only — per-doc entry agg + "
+                   f"norm-blend agg; the final join broadcasts or "
+                   f"reuses their partitioning (saw {n_exch})",
+                   n_exch == 2))
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", main, re.M))
     checks.append(("combined_fields",
-                   f"one postings + one doclens scan (saw {n_scans})",
-                   n_scans == 2))
+                   f"three scans: postings entries + doclens + the "
+                   f"candidate-key broadcast build (saw {n_scans}) — "
+                   f"the norm blend is candidate-bounded",
+                   n_scans == 3))
+    checks.append(("combined_fields",
+                   "norm blend semi-joined to candidate keys "
+                   "(O(matches), not O(corpus))",
+                   "BroadcastHashJoin LeftSemi" in main))
 
     # percolation: saved searches compile to a MAP-ONLY projection —
     # zero exchanges is the property that makes the same transform
