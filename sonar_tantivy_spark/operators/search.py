@@ -2910,6 +2910,18 @@ class Searcher:
                         f"agg {name!r}: significant_terms needs an "
                         f"indexed field, {f!r} is not")
                 continue
+            if kind == "significant_text":
+                # re-ANALYZES the stored text of matched docs, so the
+                # field must be stored AND carry a tokenizer; the
+                # background stays the termdict (the field is indexed
+                # here — ES supports un-indexed text, this engine's
+                # background statistics come from its own postings)
+                if fdef is None or not fdef.stored \
+                        or not fdef.indexed or fdef.tokenizer is None:
+                    raise A.QueryError(
+                        f"agg {name!r}: significant_text needs a "
+                        f"stored indexed text field, {f!r} is not one")
+                continue
             if fdef is None or not fdef.stored:
                 raise A.QueryError(
                     f"agg {name!r}: field {f!r} is not a stored field")
@@ -2983,6 +2995,9 @@ class Searcher:
                     continue
                 if kind == "significant_terms":
                     out[name] = self._sig_terms(body, matched)
+                    continue
+                if kind == "significant_text":
+                    out[name] = self._sig_text(body, matched)
                     continue
                 if kind == "global":
                     # whole-index bucket (tombstone-filtered like every
@@ -4150,6 +4165,69 @@ class Searcher:
                 .filter(F.col("score") > 0.0)
                 .orderBy(F.desc("score"), F.asc("term"))
                 .limit(size).collect())
+        return {"doc_count": m_count, "buckets": [
+            {"key": r["term"], "doc_count": int(r["fg"]),
+             "bg_count": int(r["bg"]), "score": float(r["score"])}
+            for r in rows]}
+
+    def _sig_text(self, body: dict, matched: DataFrame) -> dict:
+        """ES ``significant_text``: JLH like significant_terms, but the
+        FOREGROUND counts come from re-ANALYZING the stored text of the
+        matched docs with the field's own build tokenizer (Arrow-batched
+        — the same UDF the indexer runs), not from postings.  What that
+        buys over significant_terms on this engine is
+        ``filter_duplicate_text``: boilerplate/retweet-style copies are
+        collapsed to ONE doc per distinct text (md5 window, first
+        (segment, docid) kept — the ES near-dup filter pinned to exact
+        dedup) BEFORE counting, so a duplicated passage cannot fake
+        significance.  Foreground M = deduped matched docs; background =
+        the termdict's summed dfs over the WHOLE index (undeduped — the
+        ES asymmetry, documented).  One doc-store join + one tokenize
+        projection + one per-term hash-agg; both JLH sides partition by
+        term."""
+        from sonar_tantivy_spark.operators.build import make_tokenize_udf
+
+        f = body["field"]
+        size = int(body.get("size", 10))
+        fdt = bool(body.get("filter_duplicate_text", False))
+        docs = self._table("docs")
+        td = self._table("termdict")
+        if docs is None or td is None:
+            return {"doc_count": 0, "buckets": []}
+        fgdocs = matched.select("segment_id", "docid").join(
+            docs.select("segment_id", "docid", f),
+            on=["segment_id", "docid"])
+        if fdt:
+            from pyspark.sql import Window
+            w = Window.partitionBy(F.md5(F.coalesce(
+                F.col(f), F.lit("")))).orderBy(
+                F.asc("segment_id"), F.asc("docid"))
+            fgdocs = (fgdocs.withColumn("__r", F.row_number().over(w))
+                      .filter(F.col("__r") == 1).drop("__r"))
+        fgdocs = fgdocs.persist()
+        try:
+            m_count = fgdocs.count()
+            if m_count == 0:
+                return {"doc_count": 0, "buckets": []}
+            tok = make_tokenize_udf(self.schema.tokenizer_for(f))
+            fg = (fgdocs
+                  .select(F.explode(F.array_distinct(
+                      tok(F.coalesce(F.col(f), F.lit("")))["terms"]))
+                      .alias("term"))
+                  .groupBy("term").agg(F.count("*").alias("fg")))
+            bg = (td.filter(F.col("field") == f)
+                  .groupBy("term").agg(F.sum("df").alias("bg")))
+            n = float(self.num_docs)
+            fgp = F.col("fg").cast("double") / float(m_count)
+            bgp = F.col("bg").cast("double") / n
+            score = (fgp - bgp) * (fgp / bgp)
+            rows = (fg.join(bg, on="term")
+                    .withColumn("score", score)
+                    .filter(F.col("score") > 0.0)
+                    .orderBy(F.desc("score"), F.asc("term"))
+                    .limit(size).collect())
+        finally:
+            fgdocs.unpersist()
         return {"doc_count": m_count, "buckets": [
             {"key": r["term"], "doc_count": int(r["fg"]),
              "bg_count": int(r["bg"]), "score": float(r["score"])}

@@ -274,6 +274,73 @@ def test_significant_terms_jlh(small):
             "x": {"significant_terms": {"field": "n"}}}})
 
 
+@pytest.fixture(scope="module")
+def sigtext(spark, tmp_path_factory):
+    """Corpus with planted boilerplate: three exact copies of a spammy
+    passage all match 'alpha' — the case filter_duplicate_text exists
+    for."""
+    cat = IndexCatalog(spark, str(tmp_path_factory.mktemp("qs6st")))
+    schema = [
+        {"name": "body", "type": "text",
+         "options": {"indexing": {"record": "position",
+                                  "tokenizer": "en_stem"},
+                     "stored": True}},
+        {"name": "n", "type": "i64", "options": {"stored": True}},
+    ]
+    idx = cat.create_index("st", schema)
+    rows = [
+        ("alpha beta gamma", 0),
+        ("alpha spam spam offer", 1),
+        ("alpha spam spam offer", 2),
+        ("alpha spam spam offer", 3),
+        ("beta delta", 4),
+        ("epsilon beta", 5),
+    ]
+    idx.add_df(spark.createDataFrame(rows, "body string, n long"),
+               order_cols=["n"])
+    return idx
+
+
+def test_significant_text_jlh(sigtext):
+    """Hand-computed JLH over the re-analyzed matched text (M=4, N=6):
+    alpha 1 vs 4/6 -> 0.5; offer/spam 3/4 vs 0.5 -> 0.375 (tie broken
+    by term asc); gamma 1/4 vs 1/6 -> 0.125; beta under-represented."""
+    res = sigtext.query_json({"query": {"term": {"body": "alpha"}},
+                              "limit": 0, "aggs": {
+        "sig": {"significant_text": {"field": "body", "size": 10}}}})
+    sig = res["aggs"]["sig"]
+    assert sig["doc_count"] == 4
+    got = [(b["key"], b["doc_count"], b["bg_count"])
+           for b in sig["buckets"]]
+    assert got == [("alpha", 4, 4), ("offer", 3, 3), ("spam", 3, 3),
+                   ("gamma", 1, 1)]
+    scores = [b["score"] for b in sig["buckets"]]
+    assert scores == pytest.approx([0.5, 0.375, 0.375, 0.125])
+
+
+def test_significant_text_filter_duplicate_text(sigtext):
+    """With filter_duplicate_text the three boilerplate copies collapse
+    to one doc (M=2): spam/offer fall to background rate and VANISH,
+    gamma jumps to the top — the anti-boilerplate behavior the option
+    exists for.  JLH: gamma 1/2 vs 1/6 -> 1.0; alpha 1 vs 2/3 -> 0.5."""
+    res = sigtext.query_json({"query": {"term": {"body": "alpha"}},
+                              "limit": 0, "aggs": {
+        "sig": {"significant_text": {"field": "body", "size": 10,
+                                     "filter_duplicate_text": True}}}})
+    sig = res["aggs"]["sig"]
+    assert sig["doc_count"] == 2
+    got = [(b["key"], b["doc_count"]) for b in sig["buckets"]]
+    assert got == [("gamma", 1), ("alpha", 2)]
+    scores = [b["score"] for b in sig["buckets"]]
+    assert scores == pytest.approx([1.0, 0.5])
+
+
+def test_significant_text_rejections(sigtext):
+    with pytest.raises(A.QueryError):  # numeric field has no tokenizer
+        sigtext.query_json({"query": {"all": {}}, "aggs": {
+            "x": {"significant_text": {"field": "n"}}}})
+
+
 # ------------------------------------------------------------- pagination
 def test_offset_pagination(index):
     """Pages tile the depth-k prefix exactly: concatenating pages of
