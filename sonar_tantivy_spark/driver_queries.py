@@ -2614,6 +2614,39 @@ def q_ft_agg_sig_terms(spark, sf_dir):
                     F.col("df").cast("long").alias("bg_count"), "score"))
 
 
+def q_ft_agg_sig_text(spark, sf_dir):
+    """ES ``significant_text`` with filter_duplicate_text (round-5
+    surface): the 'valu' match set deduped to ONE doc per distinct text
+    (min doc_id per md5 — the documents corpus carries planted exact
+    duplicates, so the dedup genuinely changes M), then the same JLH as
+    significant_terms over the deduped foreground; background = the
+    undeduped whole-corpus dfs (the ES asymmetry).  Engine analog:
+    search.py Searcher._sig_text — re-analyzed stored text, md5-window
+    dedup, per-term hash-agg."""
+    t = _ft(spark, sf_dir)
+    p = t["postings"]
+    docs = t["docs"]
+    matched = p.filter(F.col("term") == "valu").select("doc_id")
+    reps = (docs.join(F.broadcast(matched), on="doc_id", how="left_semi")
+            .groupBy(F.md5(F.coalesce(F.col("text"), F.lit(""))))
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))
+    m = reps.count()
+    n = float(t["N"])
+    fg = (p.join(F.broadcast(reps), on="doc_id", how="left_semi")
+          .groupBy("term").agg(F.count("*").alias("fg")))
+    joined = fg.join(t["termdf"], on="term")
+    fgp = F.col("fg").cast("double") / float(m)
+    bgp = F.col("df").cast("double") / n
+    score = (fgp - bgp) * (fgp / bgp)
+    return (joined.withColumn("score", F.round(score, 4))
+            .filter(F.col("score") > 0.0)
+            .orderBy(F.desc(F.round(score, 7)), F.asc("term"))
+            .limit(10)
+            .select("term", F.col("fg").cast("long").alias("doc_count"),
+                    F.col("df").cast("long").alias("bg_count"), "score"))
+
+
 PARA_W = 10          # paragraph-proxy width (corpus has no newlines)
 QUOTA_K = 25         # per-source quota for pl_domain_quota
 QUOTA_SALT = 8       # MINIMUM salt fan-out for the two-phase exact
@@ -3079,6 +3112,7 @@ QUERIES = {
     "ft_agg_percentiles": q_ft_agg_percentiles,
     "ft_agg_cardinality": q_ft_agg_cardinality,
     "ft_agg_sig_terms": q_ft_agg_sig_terms,
+    "ft_agg_sig_text": q_ft_agg_sig_text,
     "ft_rescore": q_ft_rescore,
     "ft_suggest": q_ft_suggest,
     "ft_collapse": q_ft_collapse,
@@ -3613,6 +3647,22 @@ jlh AS (
   FROM fg f JOIN tdf t USING (term) CROSS JOIN m CROSS JOIN stats s)
 SELECT term, fg AS doc_count, df AS bg_count, round(raw, 4) AS score
 FROM jlh WHERE round(raw, 4) > 0
+ORDER BY round(raw, 7) DESC, term LIMIT 10""",
+        "ft_agg_sig_text": pre + """, matched AS (
+  SELECT DISTINCT doc_id FROM postings WHERE term = 'valu'),
+reps AS (SELECT min(doc_id) AS doc_id FROM documents
+         WHERE doc_id IN (SELECT doc_id FROM matched)
+         GROUP BY md5(coalesce(text, ''))),
+m2 AS (SELECT count(*)::DOUBLE AS m FROM reps),
+fg2 AS (SELECT term, count(*)::BIGINT AS fg FROM postings
+        WHERE doc_id IN (SELECT doc_id FROM reps) GROUP BY term),
+jlh2 AS (
+  SELECT f.term, f.fg, t.df,
+         (f.fg / m2.m - t.df::DOUBLE / s.n)
+           * (f.fg / m2.m) / (t.df::DOUBLE / s.n) AS raw
+  FROM fg2 f JOIN tdf t USING (term) CROSS JOIN m2 CROSS JOIN stats s)
+SELECT term, fg AS doc_count, df AS bg_count, round(raw, 4) AS score
+FROM jlh2 WHERE round(raw, 4) > 0
 ORDER BY round(raw, 7) DESC, term LIMIT 10""",
         "ft_rescore": pre + f""", win AS (
   SELECT doc_id, score FROM scored WHERE term = 'valu'
