@@ -954,6 +954,69 @@ class Index:
         except Exception as e:  # noqa: BLE001 — the API contract is no-raise
             return {"valid": False, "error": str(e)}
 
+    def search_template(self, template: dict) -> dict:
+        """ES ``_search/template`` analog (mustache subset): ``source``
+        is a search envelope — a dict or a JSON string — with
+        ``{{param}}`` placeholders; ``params`` supplies values.
+        Substitution follows the mustache-in-JSON rule ES uses: the
+        template text carries its own quoting, so a string parameter
+        is inserted raw (``"{{q}}"`` in the source becomes ``"hello"``)
+        and numbers/booleans/null render as JSON literals.  Sections,
+        partials, and ``{{#toJson}}`` are not supported (rejected by
+        the leftover-placeholder check, never silently dropped).  Pure
+        parse-time sugar: the substituted envelope runs through
+        query_json unchanged."""
+        import json as _json
+        import re as _re
+
+        src = template.get("source")
+        if src is None:
+            raise A.QueryError("search_template needs a source")
+        text = src if isinstance(src, str) else _json.dumps(src)
+        params = template.get("params") or {}
+        for k, v in params.items():
+            if isinstance(v, str):
+                rep = _json.dumps(v)[1:-1]  # escape, drop the quotes
+            else:
+                rep = _json.dumps(v)
+            text = text.replace("{{" + str(k) + "}}", rep)
+        left = _re.findall(r"\{\{([^}]*)\}\}", text)
+        if left:
+            raise A.QueryError(
+                f"search_template: unbound placeholders {sorted(set(left))}")
+        try:
+            body = _json.loads(text)
+        except ValueError as e:
+            raise A.QueryError(
+                f"search_template: substituted source is not valid "
+                f"JSON ({e})")
+        return self.query_json(body)
+
+    def field_caps(self, fields: list[str] | None = None) -> dict:
+        """ES ``_field_caps`` analog: per-field capability map from the
+        schema.  ``searchable`` = indexed; ``aggregatable`` = stored
+        (this engine's aggregations read stored fields) or fast;
+        types use the ES names (text / keyword for raw-tokenized /
+        long / double / date / binary / dense_vector)."""
+        type_map = {"i64": "long", "u64": "long", "f64": "double",
+                    "date": "date", "bytes": "binary",
+                    "dense_vector": "dense_vector", "facet": "keyword"}
+        out: dict = {}
+        for f in self.schema.fields:
+            if fields is not None and f.name not in fields:
+                continue
+            if f.type in ("text", "string"):
+                es_t = "keyword" if (f.tokenizer == "raw"
+                                     or not f.indexed) else "text"
+            else:
+                es_t = type_map.get(f.type, f.type)
+            out[f.name] = {es_t: {
+                "type": es_t,
+                "searchable": bool(f.indexed),
+                "aggregatable": bool(f.stored or f.fast),
+            }}
+        return {"fields": out}
+
     def msearch(self, searches: list[dict]) -> list[dict]:
         """ES ``_msearch`` analog: N search envelopes against this
         index in one call, results in request order.  Runs the bodies

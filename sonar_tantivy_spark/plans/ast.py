@@ -1120,15 +1120,50 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
         # ES match: analyzed text → bool of term queries.
         # {"match": {field: "a b"}} or
         # {"match": {field: {"query": "a b", "operator": "and"|"or",
-        #                    "minimum_should_match": m}}}
+        #                    "minimum_should_match": m,
+        #                    "fuzziness": "AUTO"|0|1|2,
+        #                    "prefix_length": p}}}
+        # fuzziness rewrites each analyzed token to a FuzzyQ (OSA,
+        # transpositions on — the ES default) with the ES AUTO ladder:
+        # < 3 chars exact, 3-5 one edit, > 5 two; tokens whose ladder
+        # distance is 0 stay plain scored TermQs.
         (field, spec), = body.items()
+        fuzz = None
+        plen = 0
         if isinstance(spec, dict):
             text = str(spec.get("query", ""))
             op = str(spec.get("operator", "or")).lower()
             msm = int(spec.get("minimum_should_match", 0))
+            fuzz = spec.get("fuzziness")
+            plen = int(spec.get("prefix_length", 0))
         else:
             text, op, msm = str(spec), "or", 0
-        return _match_node(schema, field, text, op, msm)
+        if fuzz is None:
+            return _match_node(schema, field, text, op, msm)
+        if op not in ("or", "and"):
+            raise QueryError(f"match operator must be and/or, got {op!r}")
+        auto = str(fuzz).upper() == "AUTO"
+        if not auto:
+            fz = int(fuzz)
+            if not 0 <= fz <= 2:
+                raise QueryError("match fuzziness must be 0..2 or AUTO")
+        terms = _analyze_one(schema, field, text)
+        if not terms:
+            return BoolQ()
+        clauses: list[Node] = []
+        for t in terms:
+            d = (0 if len(t) < 3 else 1 if len(t) <= 5 else 2) \
+                if auto else fz
+            clauses.append(TermQ(field, t) if d == 0 else
+                           FuzzyQ(field, t, d, transposition=True,
+                                  prefix_length=plen))
+        if len(clauses) == 1:
+            return clauses[0]
+        if op == "and":
+            return BoolQ(must=clauses)
+        node = BoolQ(should=clauses)
+        node.min_should = max(0, msm)
+        return node
     if kind == "multi_match":
         # ES multi_match: one analyzed text against several fields.
         # {"multi_match": {"query": "a b", "fields": ["text^2", "role"],

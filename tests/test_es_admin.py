@@ -169,3 +169,80 @@ def test_reindex_excludes_deleted(spark, cat, corpus):
     n = cat.reindex("src_del", "dst_del")
     assert n == 57
     assert cat.open("dst_del").count({"all": {}}) == 57
+
+
+# ----------------------------------------------- search_template / field_caps
+def test_search_template_substitution(index):
+    """Mustache-subset substitution: string params insert raw inside
+    the template's own quotes, numbers as literals; the substituted
+    envelope is bit-identical to the direct query_json call."""
+    direct = index.query_json({"query": {"term": {"text": "hello"}},
+                               "limit": 5})
+    templ = index.search_template({
+        "source": {"query": {"term": {"text": "{{t}}"}},
+                   "limit": "{{k}}"},
+        "params": {"t": "hello", "k": 5}})
+    assert [(h["docid"], h["score"]) for h in templ["docs"]] == \
+        [(h["docid"], h["score"]) for h in direct["docs"]]
+    # string source form + escaping round-trip
+    templ2 = index.search_template({
+        "source": '{"query": {"term": {"text": "{{t}}"}}, "limit": 5}',
+        "params": {"t": "hello"}})
+    assert [(h["docid"], h["score"]) for h in templ2["docs"]] == \
+        [(h["docid"], h["score"]) for h in direct["docs"]]
+
+
+def test_search_template_errors(index):
+    with pytest.raises(QueryError):  # unbound placeholder
+        index.search_template({
+            "source": {"query": {"term": {"text": "{{missing}}"}}}})
+    with pytest.raises(QueryError):  # no source
+        index.search_template({"params": {"q": "x"}})
+
+
+def test_field_caps(index):
+    caps = index.field_caps()["fields"]
+    assert caps["text"]["text"] == {
+        "type": "text", "searchable": True, "aggregatable": True}
+    assert caps["role"]["keyword"]["searchable"] is True
+    assert caps["ts"]["date"]["aggregatable"] is True
+    assert caps["conv_id"]["keyword"]["searchable"] is False  # unindexed
+    sub = index.field_caps(["text"])["fields"]
+    assert set(sub) == {"text"}
+
+
+# ------------------------------------------------------------ match fuzziness
+def test_match_fuzziness_parse_and_equivalence(index):
+    """match+fuzziness: AUTO ladder (stemmed-token length: <3 exact,
+    3-5 one edit, >5 two) and bit-identical equivalence with the
+    explicitly spelled bool-of-fuzzy."""
+    from sonar_tantivy_spark.plans import ast as A
+
+    n = A.parse_json({"match": {"text": {
+        "query": "hello needle", "fuzziness": "AUTO"}}}, index.schema)
+    assert isinstance(n, A.BoolQ)
+    k0, k1 = n.should
+    assert isinstance(k0, A.FuzzyQ) and k0.term == "hello" \
+        and k0.distance == 1 and k0.transposition
+    assert isinstance(k1, A.FuzzyQ) and k1.term == "needl" \
+        and k1.distance == 1
+    # a <3-char token stays a plain scored TermQ under AUTO
+    n2 = A.parse_json({"match": {"text": {
+        "query": "ab hello", "fuzziness": "AUTO"}}}, index.schema)
+    assert isinstance(n2.should[0], A.TermQ)
+    with pytest.raises(QueryError):
+        A.parse_json({"match": {"text": {
+            "query": "x", "fuzziness": 3}}}, index.schema)
+
+    via_match = index.query_json({"query": {"match": {"text": {
+        "query": "hello needle", "fuzziness": 1,
+        "prefix_length": 1}}}, "limit": 10})
+    explicit = index.query_json({"query": {"bool": {"should": [
+        {"fuzzy": {"text": {"value": "hello", "fuzziness": 1,
+                            "transpositions": True,
+                            "prefix_length": 1}}},
+        {"fuzzy": {"text": {"value": "needle", "fuzziness": 1,
+                            "transpositions": True,
+                            "prefix_length": 1}}}]}}, "limit": 10})
+    assert [(h["docid"], h["score"]) for h in via_match["docs"]] == \
+        [(h["docid"], h["score"]) for h in explicit["docs"]]
