@@ -216,10 +216,16 @@ def test_multi_match_parse(index):
     n = A.parse_json({"multi_match": {
         "query": "hello", "fields": ["text"]}}, index.schema)
     assert isinstance(n, A.TermQ)
+    # cross_fields is IMPLEMENTED (rewrites onto combined_fields) —
+    # single same-analyzer field parses; mixed analyzers still reject
+    n = A.parse_json({"multi_match": {
+        "query": "hello", "fields": ["text"],
+        "type": "cross_fields"}}, index.schema)
+    assert isinstance(n, A.CombinedFieldsQ)
     for bad in (
         {"multi_match": {"query": "a", "fields": []}},
-        {"multi_match": {"query": "a", "fields": ["text"],
-                         "type": "cross_fields"}},
+        {"multi_match": {"query": "a", "fields": ["text", "role"],
+                         "type": "cross_fields"}},  # en_stem vs raw
         {"multi_match": {"query": "a", "fields": ["nope"]}},
         {"multi_match": {"query": "a", "fields": ["text", "role"],
                          "tie_breaker": 2.0}},
