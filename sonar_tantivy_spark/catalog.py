@@ -212,6 +212,50 @@ class Index:
             raise A.QueryError("Empty Query Provided")  # search.rs:100-102
         node = self._resolve_mlt(A.parse_json(body, self.schema))
         hl = search.get("highlight")
+        # ES post_filter: hits are trimmed by an extra filter AFTER
+        # aggs/facets/total are computed over the UNFILTERED query match
+        # set (the faceted-navigation contract).  The hit side composes
+        # as bool{must: [query], filter: [pf]} — the engine's filter
+        # clauses are non-scoring left-semi joins, so scores stay the
+        # query's own.  Highlighting reads the QUERY node (post_filter
+        # terms never highlight, the ES rule).
+        pf = search.get("post_filter")
+        hits_node = node
+        if pf is not None:
+            if search.get("rescore") or search.get("collapse"):
+                raise A.QueryError(
+                    "post_filter cannot combine with rescore/collapse "
+                    "here")
+            hits_node = A.BoolQ(must=[node],
+                                filter=[A.parse_json(pf, self.schema)])
+        src = search.get("_source")
+        inc = exc = None
+        if isinstance(src, list):
+            inc = {str(x) for x in src}
+        elif isinstance(src, dict):
+            bad = set(src) - {"includes", "excludes"}
+            if bad:
+                raise A.QueryError(
+                    f"_source accepts includes/excludes, got {sorted(bad)}")
+            inc = set(src.get("includes") or []) or None
+            exc = set(src.get("excludes") or [])
+        elif src is not None and not isinstance(src, bool):
+            raise A.QueryError(
+                "_source must be a bool, a field list, or "
+                "{includes/excludes}")
+
+        def _apply_source(docs: list) -> None:
+            # after highlight: ES highlights regardless of _source
+            if src is None or src is True:
+                return
+            for d in docs:
+                if src is False:
+                    d["doc"] = {}
+                else:
+                    d["doc"] = {
+                        k: v for k, v in d["doc"].items()
+                        if (inc is None or k in inc)
+                        and (exc is None or k not in exc)}
         min_score = search.get("min_score")
         if min_score is not None:
             min_score = float(min_score)
@@ -236,6 +280,7 @@ class Index:
         def _done(res: dict) -> dict:
             if hl:
                 self._apply_highlight(res["docs"], node, hl)
+            _apply_source(res["docs"])
             if total is not None:
                 res["total"] = total
             return res
@@ -283,8 +328,14 @@ class Index:
             # reference's single-pass MultiCollector
             cand = s.candidates(node).persist()
             try:
-                hits = s.top_k(node, limit=depth, sort_by=sort_by,
-                               cands=cand, after=after)
+                # post_filter: the persisted cand frame is the
+                # AGGS-side match set; the trimmed hit side runs its
+                # own (pruned-eligible) plan
+                hits = (s.top_k(node, limit=depth, sort_by=sort_by,
+                                cands=cand, after=after)
+                        if pf is None else
+                        s.top_k(hits_node, limit=depth, sort_by=sort_by,
+                                after=after))
                 docs = _page(s.retrieve(hits))
                 out: dict[str, Any] = {"docs": docs, "facets": {}}
                 if facets:
@@ -324,11 +375,13 @@ class Index:
         # cursor filter composes with zone-map pruning too, but that
         # combination is rare enough not to thread it through)
         if sort_by:
-            hits = (s.top_k(node, limit=depth, sort_by=sort_by, after=after)
+            hits = (s.top_k(hits_node, limit=depth, sort_by=sort_by,
+                            after=after)
                     if after is not None else
-                    s.top_k_sorted_pruned(node, limit=depth, sort_by=sort_by))
+                    s.top_k_sorted_pruned(hits_node, limit=depth,
+                                          sort_by=sort_by))
         else:
-            hits = s.top_k_pruned(node, limit=depth, after=after)
+            hits = s.top_k_pruned(hits_node, limit=depth, after=after)
         return _done({"docs": _page(s.retrieve(hits)), "facets": {}})
 
     def _knn_hits(self, knn: dict, k: int):

@@ -183,3 +183,80 @@ def test_track_total_hits_exact(index, oracle):
     res2 = index.query_json({"query": {"term": {"text": TERM}},
                              "limit": 3})
     assert "total" not in res2  # opt-in only
+
+
+# --------------------------------------------------------------- post_filter
+def test_post_filter_trims_hits_not_aggs(index):
+    """ES faceted-navigation contract: aggs/total see the full query
+    match set; hits are trimmed by the post_filter with their QUERY
+    scores unchanged."""
+    full = index.query_json({"query": {"term": {"text": "hello"}},
+                             "limit": 100, "track_total_hits": True,
+                             "aggs": {"roles": {"terms":
+                                                {"field": "role"}}}})
+    pf = index.query_json({"query": {"term": {"text": "hello"}},
+                           "limit": 100, "track_total_hits": True,
+                           "post_filter": {"term": {"role": "user"}},
+                           "aggs": {"roles": {"terms":
+                                              {"field": "role"}}}})
+    # aggs + total identical: the filter never reached them
+    assert pf["aggs"] == full["aggs"]
+    assert pf["total"] == full["total"]
+    # hits: exactly the query hits whose role is user, same scores
+    expect = [(h["docid"], h["score"]) for h in full["docs"]
+              if h["doc"]["role"] == ["user"]]
+    got = [(h["docid"], h["score"]) for h in pf["docs"]]
+    assert got == expect and got  # non-trivial trim
+    assert len(got) < len(full["docs"])
+
+
+def test_post_filter_plain_path(index):
+    """Without aggs the hit side still composes as bool{must, filter}
+    — equal to the explicitly spelled query, bit for bit."""
+    pf = index.query_json({"query": {"term": {"text": "hello"}},
+                           "post_filter": {"term": {"role": "user"}},
+                           "limit": 10})
+    explicit = index.query_json({"query": {"bool": {
+        "must": [{"term": {"text": "hello"}}],
+        "filter": [{"term": {"role": "user"}}]}}, "limit": 10})
+    assert [(h["docid"], h["score"]) for h in pf["docs"]] == \
+        [(h["docid"], h["score"]) for h in explicit["docs"]]
+
+
+def test_post_filter_refusals(index):
+    with pytest.raises(A.QueryError):
+        index.query_json({"query": {"term": {"text": "hello"}},
+                          "post_filter": {"term": {"role": "user"}},
+                          "collapse": {"field": "conv_id"}})
+
+
+# ------------------------------------------------------------------- _source
+def test_source_filtering(index):
+    q = {"query": {"term": {"text": "hello"}}, "limit": 3}
+    full = index.query_json(q)["docs"]
+    assert "text" in full[0]["doc"] and "role" in full[0]["doc"]
+    off = index.query_json({**q, "_source": False})["docs"]
+    assert all(h["doc"] == {} for h in off)
+    assert [h["docid"] for h in off] == [h["docid"] for h in full]
+    only = index.query_json({**q, "_source": ["role"]})["docs"]
+    assert all(set(h["doc"]) == {"role"} for h in only)
+    exc = index.query_json({**q, "_source":
+                            {"excludes": ["text"]}})["docs"]
+    assert all("text" not in h["doc"] and "role" in h["doc"]
+               for h in exc)
+    with pytest.raises(A.QueryError):
+        index.query_json({**q, "_source": {"nope": []}})
+    with pytest.raises(A.QueryError):
+        index.query_json({**q, "_source": 7})
+
+
+def test_source_false_keeps_highlight(index):
+    """ES: highlight is independent of _source — fragments survive a
+    _source: false request."""
+    res = index.query_json({
+        "query": {"term": {"text": "hello"}}, "limit": 3,
+        "_source": False,
+        "highlight": {"fields": {"text": {}}}})
+    assert res["docs"] and all(h["doc"] == {} for h in res["docs"])
+    assert any("<em>" in "".join(h.get("highlight", {}).get("text", []))
+               for h in res["docs"])
