@@ -1211,6 +1211,26 @@ class Index:
             return A.BoolQ(
                 should=[A.TermQ(node.field, t) for t in terms],
                 must_not=[A.IdsQ([node.like_docid])])
+        if isinstance(node, A.TermsLookupQ):
+            # terms lookup (TermsLookupQ docstring): one bounded mget
+            # read of the source doc, its path values become a plain
+            # TermSetQ under the terms-query verbatim/case-fold rule;
+            # missing doc or empty values -> match nothing (ES rule)
+            got = self.mget([node.docid])[0]
+            vals = got["doc"].get(node.path) if got["found"] else None
+            if not vals:
+                return A.BoolQ()
+            tok = self.schema.tokenizer_for(node.field)
+            terms = [str(v) if tok == "raw" else str(v).lower()
+                     for v in vals]
+            return A.TermSetQ(node.field, list(dict.fromkeys(terms)))
+        if isinstance(node, A.PinnedQ):
+            import dataclasses as _dc
+            return _dc.replace(
+                node, organic=self._resolve_mlt(node.organic))
+        if isinstance(node, A.ScriptScoreQ):
+            import dataclasses as _dc
+            return _dc.replace(node, child=self._resolve_mlt(node.child))
         if isinstance(node, A.BoolQ):
             return dataclasses.replace(
                 node,

@@ -502,6 +502,20 @@ def _prefix_node(schema: IndexSchema, field: str, value: str) -> Node:
 
 
 @dataclass
+class TermsLookupQ(Node):
+    """ES terms lookup: the term set is read from another document's
+    stored field at query time.  An index-dependent node like MltQ —
+    the parser emits it, catalog.py resolves it into a plain TermSetQ
+    (constant-score, the terms-query contract) before execution; a
+    missing/deleted source doc or an empty path value matches nothing
+    (the ES rule)."""
+
+    field: str
+    docid: int
+    path: str
+
+
+@dataclass
 class FunctionScoreQ(Node):
     """ES ``function_score``: the child's match set, re-scored by
     document-value functions.  ``functions`` are validated specs, each
@@ -1045,8 +1059,25 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
     if kind == "terms":
         # ES terms set: {"terms": {field: ["a", "b", ...]}} — values
         # matched verbatim (raw fields) / case-folded (analyzed fields),
-        # never stemmed, per the ES rule that `terms` skips analysis
+        # never stemmed, per the ES rule that `terms` skips analysis.
+        # Terms LOOKUP form: {"terms": {field: {"id": gid, "path":
+        # stored_field}}} — the value list is read from another doc's
+        # stored field at query time (resolved index-side, catalog.py
+        # _resolve_index_nodes; ES's cross-index lookup collapses to
+        # same-index here — one catalog, one schema per index).
         (field, values), = body.items()
+        if isinstance(values, dict):
+            if "id" not in values or "path" not in values:
+                raise QueryError(
+                    "terms lookup needs {'id': docid, 'path': field}")
+            if schema.field(field) is None:
+                raise QueryError(f"unknown field {field!r}")
+            path = str(values["path"])
+            pdef = schema.field(path)
+            if pdef is None or not pdef.stored:
+                raise QueryError(
+                    f"terms lookup path {path!r} is not a stored field")
+            return TermsLookupQ(field, int(values["id"]), path)
         if not isinstance(values, (list, tuple)) or not values:
             raise QueryError("terms query needs a non-empty value list")
         tok = schema.tokenizer_for(field)

@@ -1247,3 +1247,39 @@ def test_ids_cannot_resurrect_deleted(spark, tmp_path_factory):
     res = idx.query_json({"query": {"ids": {"values": [0, 1, 2]}},
                           "limit": 10})
     assert [h["docid"] for h in res["docs"]] == [0, 2]
+
+
+# ---------------------------------------------------------------- terms lookup
+def test_terms_lookup(index, corpus):
+    """ES terms lookup: the term set reads from another doc's stored
+    field at query time — equal to the explicitly spelled terms query;
+    missing source doc or a null path value matches nothing."""
+    rows = corpus.to_dict("records")
+    src = next(i for i, r in enumerate(rows) if r["tool"] is not None)
+    via_lookup = index.query_json({"query": {"terms": {
+        "tool": {"id": src, "path": "tool"}}}, "limit": 200})
+    explicit = index.query_json({"query": {"terms": {
+        "tool": [rows[src]["tool"]]}}, "limit": 200})
+    got = [(h["docid"], h["score"]) for h in via_lookup["docs"]]
+    assert got == [(h["docid"], h["score"]) for h in explicit["docs"]]
+    assert got  # non-empty
+    # missing source doc -> matches nothing
+    assert index.query_json({"query": {"terms": {
+        "tool": {"id": 10**6, "path": "tool"}}}, "limit": 5})["docs"] == []
+    # null path value (a non-tool turn) -> matches nothing
+    nul = next(i for i, r in enumerate(rows) if r["tool"] is None)
+    assert index.query_json({"query": {"terms": {
+        "tool": {"id": nul, "path": "tool"}}}, "limit": 5})["docs"] == []
+    # composes inside bool (the resolution pass recurses)
+    both = index.query_json({"query": {"bool": {
+        "must": [{"term": {"text": "the"}}],
+        "filter": [{"terms": {"tool": {"id": src, "path": "tool"}}}]}},
+        "limit": 10})
+    assert all(h["doc"]["tool"] == [rows[src]["tool"]]
+               for h in both["docs"])
+    # rejections: bad shape / unknown path
+    with pytest.raises(A.QueryError):
+        A.parse_json({"terms": {"tool": {"id": 3}}}, index.schema)
+    with pytest.raises(A.QueryError):
+        A.parse_json({"terms": {"tool": {"id": 3, "path": "nope"}}},
+                     index.schema)
