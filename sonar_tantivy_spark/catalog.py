@@ -208,7 +208,13 @@ class Index:
         knn = search.get("knn")
         if knn is not None:
             return self._knn_search(search, knn, body)
+        sugg = search.get("suggest")
         if body is None:
+            if sugg:
+                # ES suggest-only request: no query, no hits — just the
+                # suggesters (the spell-correct round-trip clients make)
+                return {"docs": [], "facets": {},
+                        "suggest": self._run_suggest(sugg)}
             raise A.QueryError("Empty Query Provided")  # search.rs:100-102
         node = self._resolve_mlt(A.parse_json(body, self.schema))
         hl = search.get("highlight")
@@ -283,6 +289,8 @@ class Index:
             _apply_source(res["docs"])
             if total is not None:
                 res["total"] = total
+            if sugg:
+                res["suggest"] = self._run_suggest(sugg)
             return res
 
         def _page(docs: list) -> list:
@@ -1006,6 +1014,53 @@ class Index:
             return {"valid": True, "error": None}
         except Exception as e:  # noqa: BLE001 — the API contract is no-raise
             return {"valid": False, "error": str(e)}
+
+    def _run_suggest(self, spec: dict) -> dict:
+        """ES ``suggest`` envelope block: named suggesters resolved to
+        the engine's term / phrase / completion implementations —
+        {"name": {"text": t, "term": {"field": f, ...}}} or
+        {"phrase": {...}} or {"prefix": p, "completion": {...}}.
+        Pure routing: each suggester keeps its own documented execution
+        shape (bounded termdict scans, never postings)."""
+        if not isinstance(spec, dict) or not spec:
+            raise A.QueryError("suggest needs named suggester blocks")
+        out: dict = {}
+        for name, blk in spec.items():
+            if not isinstance(blk, dict):
+                raise A.QueryError(f"suggest {name!r}: not an object")
+            kinds = [k for k in ("term", "phrase", "completion")
+                     if k in blk]
+            if len(kinds) != 1:
+                raise A.QueryError(
+                    f"suggest {name!r}: exactly one of term/phrase/"
+                    f"completion required")
+            kind = kinds[0]
+            b = blk[kind] or {}
+            f = b.get("field")
+            if not f:
+                raise A.QueryError(f"suggest {name!r}: missing field")
+            size = int(b.get("size", 5))
+            if kind == "term":
+                text = blk.get("text")
+                if not text:
+                    raise A.QueryError(f"suggest {name!r}: missing text")
+                out[name] = self.suggest(
+                    f, str(text), size=size,
+                    max_dist=int(b.get("max_edits", 2)),
+                    mode=str(b.get("suggest_mode", "missing")))
+            elif kind == "phrase":
+                text = blk.get("text")
+                if not text:
+                    raise A.QueryError(f"suggest {name!r}: missing text")
+                out[name] = self.suggest_phrase(f, str(text), size=size)
+            else:
+                prefix = blk.get("prefix", blk.get("text"))
+                if not prefix:
+                    raise A.QueryError(
+                        f"suggest {name!r}: completion needs a prefix")
+                out[name] = self.suggest_completion(f, str(prefix),
+                                                    size=size)
+        return out
 
     def search_template(self, template: dict) -> dict:
         """ES ``_search/template`` analog (mustache subset): ``source``

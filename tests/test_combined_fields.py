@@ -259,3 +259,33 @@ def test_pruned_equals_exact(index):
     pruned = [(int(r["docid_g"]), round(float(r["score"]), 9))
               for r in s.top_k_pruned(node, limit=10).collect()]
     assert exact == pruned
+
+
+# ---------------------------------------------------- planted-skew pruning
+def test_combined_fields_segment_skips_on_skew(spark, tmp_path_factory):
+    """The blended WAND bound must actually WIN, not just stay exact:
+    a query term confined to the first quarter of the build order
+    (segments built in n order) yields absence proofs in the cold
+    segments — top_k_pruned skips them and stays bit-identical to the
+    exhaustive plan."""
+    base = str(tmp_path_factory.mktemp("idxcfskew"))
+    cat = IndexCatalog(spark, base)
+    idx = cat.create_index("cfskew", SCHEMA)
+    rows = []
+    for i in range(400):
+        hot = "victor victor" if i < 100 else "alpha"
+        rows.append((f"{hot} bravo", f"delta echo {hot}", "a", i))
+    sdf = spark.createDataFrame(
+        rows, "title string, body string, tag string, n long")
+    idx.add_df(sdf.selectExpr("*", "n as __ord"),
+               order_cols=["__ord"], num_segments=4)
+    node = A.parse_json({"combined_fields": {
+        "query": "victor", "fields": ["title^2", "body"]}}, idx.schema)
+    s = idx.searcher()
+    pruned = [(int(r["docid_g"]), round(float(r["score"]), 9))
+              for r in s.top_k_pruned(node, limit=10).collect()]
+    st = dict(s.last_prune)
+    assert st["segments_skipped"] >= 2, st  # ~3 cold segments of 4
+    exact = [(int(r["docid_g"]), round(float(r["score"]), 9))
+             for r in s.top_k(node, limit=10).collect()]
+    assert pruned == exact

@@ -260,3 +260,34 @@ def test_source_false_keeps_highlight(index):
     assert res["docs"] and all(h["doc"] == {} for h in res["docs"])
     assert any("<em>" in "".join(h.get("highlight", {}).get("text", []))
                for h in res["docs"])
+
+
+# ----------------------------------------------------------- suggest envelope
+def test_suggest_envelope_routes_to_suggesters(index):
+    """The ES suggest block routes to the engine's term / phrase /
+    completion suggesters and returns identical payloads to the direct
+    API calls; a suggest-only request (no query) returns suggesters
+    with zero hits."""
+    env = index.query_json({"query": {"term": {"text": "hello"}},
+                            "limit": 1, "suggest": {
+        "fix": {"text": "helo", "term": {"field": "text", "size": 3}},
+        "comp": {"prefix": "hel",
+                 "completion": {"field": "text", "size": 3}}}})
+    assert env["suggest"]["fix"] == index.suggest("text", "helo", size=3)
+    assert env["suggest"]["comp"] == \
+        index.suggest_completion("text", "hel", size=3)
+    assert env["docs"]  # the query still ran
+    only = index.query_json({"suggest": {
+        "fix": {"text": "helo", "term": {"field": "text"}}}})
+    assert only["docs"] == [] and "fix" in only["suggest"]
+
+
+def test_suggest_envelope_rejections(index):
+    with pytest.raises(A.QueryError):  # two kinds in one block
+        index.query_json({"suggest": {"x": {
+            "text": "a", "term": {"field": "text"},
+            "phrase": {"field": "text"}}}})
+    with pytest.raises(A.QueryError):  # missing field
+        index.query_json({"suggest": {"x": {"text": "a", "term": {}}}})
+    with pytest.raises(A.QueryError):  # no query AND no suggest
+        index.query_json({"limit": 5})
