@@ -1015,6 +1015,34 @@ class Index:
         except Exception as e:  # noqa: BLE001 — the API contract is no-raise
             return {"valid": False, "error": str(e)}
 
+    SPAN_EXPAND_CAP = 128
+
+    def _span_expand_terms(self, field: str,
+                           m: "A.SpanExpand") -> list[str]:
+        """Expand a span_multi marker against the term dictionary: ONE
+        pushdown-filtered termdict scan (prefix → StartsWith reaches
+        the parquet reader; regex → anchored rlike), distinct terms in
+        ascending order.  Raises past SPAN_EXPAND_CAP — the Lucene
+        TooManyClauses contract: a span chain over hundreds of
+        alternatives is a different (and worse) query than the user
+        meant, so fail loudly rather than silently truncate."""
+        s = self.searcher()
+        td = s._table("termdict")
+        if td is None:
+            return []
+        base = td.filter(F.col("field") == field)
+        if m.kind == "prefix":
+            base = base.filter(F.col("term").startswith(m.value))
+        else:
+            base = base.filter(F.col("term").rlike(f"^(?:{m.value})$"))
+        rows = (base.select("term").distinct().orderBy("term")
+                .limit(self.SPAN_EXPAND_CAP + 1).collect())
+        if len(rows) > self.SPAN_EXPAND_CAP:
+            raise A.QueryError(
+                f"span_multi pattern {m.value!r} expands past "
+                f"{self.SPAN_EXPAND_CAP} dictionary terms — narrow it")
+        return [r["term"] for r in rows]
+
     def _run_suggest(self, spec: dict) -> dict:
         """ES ``suggest`` envelope block: named suggesters resolved to
         the engine's term / phrase / completion implementations —
@@ -1279,6 +1307,25 @@ class Index:
             terms = [str(v) if tok == "raw" else str(v).lower()
                      for v in vals]
             return A.TermSetQ(node.field, list(dict.fromkeys(terms)))
+        if isinstance(node, A.SpanNearQ) \
+                and any(isinstance(c, A.SpanExpand) for c in node.clauses):
+            import dataclasses as _dc
+            clauses: list = []
+            for c in node.clauses:
+                if isinstance(c, A.SpanExpand):
+                    terms = self._span_expand_terms(node.field, c)
+                    if not terms:
+                        return A.BoolQ()  # dead clause: span matches nothing
+                    clauses.append(tuple(terms))
+                else:
+                    clauses.append(c)
+            return _dc.replace(node, clauses=clauses)
+        if isinstance(node, A.SpanFirstQ):
+            import dataclasses as _dc
+            child = self._resolve_mlt(node.child)
+            if not isinstance(child, A.SpanNearQ):
+                return child  # resolution collapsed it to match-nothing
+            return _dc.replace(node, child=child)
         if isinstance(node, A.PinnedQ):
             import dataclasses as _dc
             return _dc.replace(

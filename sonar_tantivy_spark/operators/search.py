@@ -569,6 +569,13 @@ class Searcher:
         dfs).  Scoring: tf = surviving final-clause positions,
         idf = Σ idf over every live alternative (the Lucene SpanWeight
         rule of summing the stats of all involved terms)."""
+        if any(isinstance(c, A.SpanExpand) for c in node.clauses):
+            # span_multi markers are index-resolved BEFORE execution
+            # (catalog.py _resolve_mlt / _span_expand_terms); reaching
+            # here unresolved means a caller bypassed the rewrite pass
+            raise A.QueryError(
+                "span_multi clause was not resolved — run the query "
+                "through Index.query/query_json, not a raw Searcher")
         clauses = [tuple(c) for c in node.clauses]
         if not clauses:
             return None

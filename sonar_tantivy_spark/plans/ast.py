@@ -137,6 +137,22 @@ class PhrasePrefixQ(Node):
     prefix: str
 
 
+@dataclass(frozen=True)
+class SpanExpand:
+    """Unresolved ``span_multi`` clause (Lucene
+    SpanMultiTermQueryWrapper): a prefix or term-dictionary regex that
+    expands index-side (catalog.py's pre-execution rewrite pass, the
+    MltQ/TermsLookupQ pattern) into the clause's alternatives tuple.
+    Expansion is capped and raises past the cap — the Lucene
+    TooManyClauses contract, never a silent truncation; an empty
+    expansion makes the whole span match nothing.  Fuzzy sources are
+    rejected at parse (the percolator's OSA pin).  NOT a query node:
+    executors must never see one (guarded in _cand_span)."""
+
+    kind: str   # "prefix" | "regex"
+    value: str
+
+
 @dataclass
 class SpanNearQ(Node):
     """Lucene/ES ``span_near`` over ``span_term`` / ``span_or`` leaf
@@ -678,6 +694,45 @@ def _span_leaf(kind: str, body: dict,
                 f"span_term value {value!r} analyzes to {len(toks)} tokens"
                 " (exactly 1 required)")
         return field, (toks[0],)
+    if kind == "span_multi":
+        # Lucene SpanMultiTermQueryWrapper: {"span_multi": {"match":
+        # {"prefix"/"wildcard"/"regexp": {field: value}}}}.  Reuses the
+        # wildcard rewrite: a no-wildcard pattern is a verbatim term
+        # clause; trailing-star → prefix marker; anything else → regex
+        # marker.  Fuzzy sources rejected (OSA expansion has no bounded
+        # dictionary pushdown — the percolator pin).
+        match = body.get("match")
+        if not (isinstance(match, dict) and len(match) == 1):
+            raise QueryError("span_multi needs a single query in 'match'")
+        mkind, mbody = next(iter(match.items()))
+        if mkind == "fuzzy":
+            raise QueryError(
+                "span_multi does not support fuzzy sources (prefix/"
+                "wildcard/regexp only)")
+        if mkind not in ("prefix", "wildcard", "regexp", "regex"):
+            raise QueryError(
+                f"span_multi supports prefix/wildcard/regexp, "
+                f"got {mkind!r}")
+        (field, value), = mbody.items()
+        fdef = schema.field(field)
+        if fdef is None or not fdef.has_positions:
+            raise QueryError(f"field {field!r} does not record positions")
+        if isinstance(value, dict):
+            value = value.get("value")
+        value = str(value or "")
+        if not value:
+            raise QueryError("span_multi needs a non-empty pattern")
+        if mkind == "prefix":
+            inner: Node = _prefix_node(schema, field, value)
+        elif mkind in ("regexp", "regex"):
+            inner = RegexQ(field, value)
+        else:
+            inner = _wildcard_node(schema, field, value)
+        if isinstance(inner, TermSetQ):  # degenerate wildcard, no metas
+            return field, tuple(inner.terms)
+        if isinstance(inner, PrefixQ):
+            return field, SpanExpand("prefix", inner.prefix)
+        return field, SpanExpand("regex", inner.pattern)
     if kind == "span_or":
         clauses = body.get("clauses") or []
         if not clauses:
@@ -802,7 +857,7 @@ def _intervals_node(schema: IndexSchema, field: str,
 
 
 def _parse_span(kind: str, body: dict, schema: IndexSchema) -> SpanNearQ:
-    if kind in ("span_term", "span_or"):
+    if kind in ("span_term", "span_or", "span_multi"):
         field, clause = _span_leaf(kind, body, schema)
         return SpanNearQ(field, [clause])
     if kind == "span_near":
@@ -856,7 +911,7 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
         for t in terms:
             analyzed.extend(_analyze_one(schema, field, t))
         return PhraseQ(field, analyzed, slop=slop, in_order=in_order)
-    if kind in ("span_term", "span_or", "span_near"):
+    if kind in ("span_term", "span_or", "span_near", "span_multi"):
         return _parse_span(kind, body, schema)
     if kind == "intervals":
         (field, spec), = body.items()

@@ -404,3 +404,67 @@ def test_mlt_node_errors(index):
     with pytest.raises(KeyError):  # out-of-range seed docid
         index.query_json({"query": {"more_like_this": {
             "fields": ["text"], "like": [{"_id": 10**9}]}}})
+
+
+# ------------------------------------------------------------- span_multi
+def test_span_multi_parse_shapes(index):
+    schema = index.schema
+    n = A.parse_json({"span_multi": {"match": {
+        "prefix": {"text": "hel"}}}}, schema)
+    assert isinstance(n, A.SpanNearQ)
+    assert n.clauses == [A.SpanExpand("prefix", "hel")]
+    # wildcard with a trailing star is the prefix marker; no metas at
+    # all degenerates to a verbatim term tuple
+    n = A.parse_json({"span_multi": {"match": {
+        "wildcard": {"text": "hel*"}}}}, schema)
+    assert n.clauses == [A.SpanExpand("prefix", "hel")]
+    n = A.parse_json({"span_multi": {"match": {
+        "wildcard": {"text": "hello"}}}}, schema)
+    assert n.clauses == [("hello",)]
+    n = A.parse_json({"span_multi": {"match": {
+        "regexp": {"text": "hel+o"}}}}, schema)
+    assert n.clauses == [A.SpanExpand("regex", "hel+o")]
+    with pytest.raises(A.QueryError):  # fuzzy pinned out
+        A.parse_json({"span_multi": {"match": {
+            "fuzzy": {"text": "helo"}}}}, schema)
+    with pytest.raises(A.QueryError):  # not inside span_or
+        A.parse_json({"span_or": {"clauses": [
+            {"span_multi": {"match": {"prefix": {"text": "hel"}}}}]}},
+            schema)
+
+
+def test_span_multi_near_equals_expanded_span_or(index):
+    """span_near [span_multi(prefix hel), world] is bit-identical to
+    the explicitly spelled span_or of the expanded dictionary terms."""
+    marker = A.SpanExpand("prefix", "hel")
+    terms = index._span_expand_terms("text", marker)
+    assert "hello" in terms and len(terms) >= 1
+    # standalone: bit-identical to the expanded span_or, and non-empty
+    alone = index.query_json({"query": {"span_multi": {"match": {
+        "prefix": {"text": "hel"}}}}, "limit": 10})
+    alone_exp = index.query_json({"query": {"span_or": {"clauses": [
+        {"span_term": {"text": t}} for t in terms]}}, "limit": 10})
+    got = [(h["docid"], h["score"]) for h in alone["docs"]]
+    assert got == [(h["docid"], h["score"]) for h in alone_exp["docs"]]
+    assert got  # 'hello' is a planted marker: matches exist
+    # inside a chain: still bit-identical to the spelled-out span_or
+    via_multi = index.query_json({"query": {"span_near": {"clauses": [
+        {"span_multi": {"match": {"prefix": {"text": "hel"}}}},
+        {"span_term": {"text": "world"}}], "slop": 1}}, "limit": 10})
+    explicit = index.query_json({"query": {"span_near": {"clauses": [
+        {"span_or": {"clauses": [{"span_term": {"text": t}}
+                                 for t in terms]}},
+        {"span_term": {"text": "world"}}], "slop": 1}}, "limit": 10})
+    assert [(h["docid"], h["score"]) for h in via_multi["docs"]] == \
+        [(h["docid"], h["score"]) for h in explicit["docs"]]
+
+
+def test_span_multi_empty_and_overcap(index):
+    # empty expansion -> the whole span matches nothing
+    assert index.query_json({"query": {"span_multi": {"match": {
+        "prefix": {"text": "zzzznope"}}}}, "limit": 5})["docs"] == []
+    # the 50k-word vocab all starts with 'w': expansion must REFUSE,
+    # not silently truncate (the Lucene TooManyClauses contract)
+    with pytest.raises(A.QueryError):
+        index.query_json({"query": {"span_multi": {"match": {
+            "prefix": {"text": "w"}}}}, "limit": 5})
