@@ -275,13 +275,27 @@ class Index:
                 raise A.QueryError(
                     "min_score cannot combine with sort_by here")
         track = bool(search.get("track_total_hits", False))
+        if min_score is not None and (search.get("facets")
+                                      or search.get("aggs") or track):
+            # ES's MinimumScoreCollector filters docs BEFORE the aggs
+            # collectors and the total-hits counter; this engine applies
+            # min_score to the hit window only — refuse the combination
+            # rather than return totals/facets that silently include
+            # sub-threshold docs
+            raise A.QueryError(
+                "min_score cannot combine with facets/aggs/"
+                "track_total_hits here (the threshold would not reach "
+                "them — ES filters all collectors)")
         total = None
         if track:
             # exact distributed count of the match set (the reference's
             # count collector; ES default caps at 10k/"gte" — this
             # engine's count is one pruned-projection aggregation, so
-            # exact/"eq" is affordable and more useful)
-            total = {"value": int(self.count(body)), "relation": "eq"}
+            # exact/"eq" is affordable and more useful).  Counts the
+            # QUERY node (post_filter never shrinks totals, the ES
+            # rule) — already resolved, so no second mget/expansion.
+            total = {"value": int(self._count_node(node)),
+                     "relation": "eq"}
 
         def _done(res: dict) -> dict:
             if hl:
@@ -661,11 +675,13 @@ class Index:
         driver-side (block-max absence proofs), and the surviving
         candidate set is counted without the top-k sort or the docs-table
         retrieval join."""
-        node = self._resolve_mlt(
-            A.parse_string(query, self.schema)
-            if isinstance(query, str)
-            else A.parse_json(query, self.schema)
-        )
+        return self._count_node(self._parse_any(query))
+
+    def _count_node(self, node: "A.Node") -> int:
+        """count() on an already-parsed-and-resolved node — so callers
+        holding one (track_total_hits) don't pay a second parse +
+        index-dependent resolution (a second terms-lookup mget / MLT
+        seed read / span_multi termdict expansion)."""
         s = self.searcher()
         bounds = s._segment_bounds(node)
         if bounds is not None:
@@ -1110,16 +1126,23 @@ class Index:
             raise A.QueryError("search_template needs a source")
         text = src if isinstance(src, str) else _json.dumps(src)
         params = template.get("params") or {}
-        for k, v in params.items():
+
+        def _sub(m: "_re.Match") -> str:
+            # ONE regex pass over the template (mustache semantics:
+            # parameter VALUES are inserted literally, never
+            # re-expanded — sequential str.replace would re-substitute
+            # a value containing {{...}} and falsely reject literal
+            # braces in values)
+            k = m.group(1)
+            if k not in params:
+                raise A.QueryError(
+                    f"search_template: unbound placeholder {k!r}")
+            v = params[k]
             if isinstance(v, str):
-                rep = _json.dumps(v)[1:-1]  # escape, drop the quotes
-            else:
-                rep = _json.dumps(v)
-            text = text.replace("{{" + str(k) + "}}", rep)
-        left = _re.findall(r"\{\{([^}]*)\}\}", text)
-        if left:
-            raise A.QueryError(
-                f"search_template: unbound placeholders {sorted(set(left))}")
+                return _json.dumps(v)[1:-1]  # escape, drop the quotes
+            return _json.dumps(v)
+
+        text = _re.sub(r"\{\{([^{}]*)\}\}", _sub, text)
         try:
             body = _json.loads(text)
         except ValueError as e:

@@ -374,11 +374,18 @@ class Searcher:
         if fn["kind"] == "random_score":
             # deterministic per (seed, field value), uniform-ish in
             # [0, 1): Knuth multiplicative mix, exact int64 column math
-            # (the ast._validate_function pin) — no UDF, no RNG state
-            v = F.coalesce(F.col(fn["field"]).cast("long"), F.lit(0))
-            mix = F.pmod(v * F.lit(2654435761)
-                         + F.lit(int(fn["seed"]) * 2246822519),
-                         F.lit(4294967296))
+            # (the ast._validate_function pin) — no UDF, no RNG state.
+            # Overflow pin: value and seed reduce mod 2^31 BEFORE the
+            # multiply and each product reduces mod 2^32 before the sum
+            # — (2^31-1)*2654435761 < 2^63 keeps ANSI mode happy for
+            # ANY field magnitude (epoch-millis included), and by the
+            # modular identity the result is unchanged for in-range
+            # inputs the old direct form handled
+            v = F.pmod(F.coalesce(F.col(fn["field"]).cast("long"),
+                                  F.lit(0)), F.lit(2147483648))
+            sp = (int(fn["seed"]) % 2147483648) * 2246822519 % 4294967296
+            mix = F.pmod(F.pmod(v * F.lit(2654435761), F.lit(4294967296))
+                         + F.lit(sp), F.lit(4294967296))
             return mix.cast("double") / F.lit(4294967296.0)
         if fn["kind"] == "field_value_factor":
             v = F.coalesce(F.col(fn["field"]).cast("double"),
@@ -1039,8 +1046,15 @@ class Searcher:
                 # try_divide yields null → coalesced 0.0 downstream
                 return F.try_divide(a, b)
             if isinstance(n.op, pyast.Mod):
+                # C-style remainder (sign of the DIVIDEND — Spark's
+                # try_mod / Painless %); the oracle mirrors with
+                # math.fmod, NOT Python's floor-mod
                 return F.try_mod(a, b)
-            return F.pow(a, b)
+            # `**`: a negative base with a fractional exponent has no
+            # real result — Spark pow yields NaN, which would sort
+            # ABOVE every real score in the descending top-k; nanvl
+            # folds it into the same 0.0 gap rule as division by zero
+            return F.nanvl(F.pow(a, b), F.lit(None).cast("double"))
         return ev(tree)
 
     def _cand_script_score(self, node: "A.ScriptScoreQ",
@@ -1080,7 +1094,23 @@ class Searcher:
         yields the pin-first layout."""
         rows = self._ids_rows(node.ids)
         # keep list ORDER for the rank scores: _ids_rows resolves in
-        # input order, dropping dead ids — re-rank over survivors
+        # input order, dropping dead ids — re-rank over survivors.
+        # DELETED ids must drop HERE too: scoring before the downstream
+        # tombstone anti-join would let a dead pin consume a rank and
+        # shift every survivor's PINNED_BASE/(1+i) score away from the
+        # documented re-rank-over-survivors rule (and the oracle).  One
+        # bounded probe (|ids| literal keys vs the tombstone frame),
+        # only when deletes exist.
+        tomb = self._tombstones()
+        if rows and tomb is not None:
+            lit = self.spark.createDataFrame(
+                rows, "segment_id string, docid long")
+            dead = {(r["segment_id"], int(r["docid"]))
+                    for r in tomb.join(F.broadcast(lit),
+                                       on=["segment_id", "docid"],
+                                       how="left_semi").collect()}
+            if dead:
+                rows = [p for p in rows if (p[0], p[1]) not in dead]
         pinned = None
         if rows:
             scored = [(sid, local, float(A.PINNED_BASE / (1.0 + i)))

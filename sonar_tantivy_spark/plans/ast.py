@@ -564,10 +564,13 @@ def _validate_function(schema: IndexSchema, fn: dict) -> dict:
         # value in [0, 1).  ES hashes _seq_no by default; this engine
         # has no hidden per-doc counter, so the field is REQUIRED (the
         # ES consistent-scoring recommendation anyway).  Pinned mix:
-        # r = ((v·2654435761 + seed·2246822519) mod 2^32) / 2^32 —
-        # Knuth multiplicative hashing, exact in int64/NUMERIC in
-        # Spark, DuckDB, and Python alike (oracle-matchable), unlike
-        # ES's internal murmur which is not a public contract.
+        # v' = v mod 2^31, s' = seed mod 2^31,
+        # r = ((v'·2654435761 mod 2^32 + s'·2246822519 mod 2^32)
+        #      mod 2^32) / 2^32 — Knuth multiplicative hashing with
+        # every intermediate below 2^63 (ANSI-safe for epoch-millis
+        # magnitudes), exact in int64/NUMERIC in Spark, DuckDB, and
+        # Python alike (oracle-matchable), unlike ES's internal murmur
+        # which is not a public contract.
         f = body.get("field")
         fdef = schema.field(f) if f else None
         if fdef is None or not fdef.stored:
@@ -1033,6 +1036,12 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
                 f"{kind} supports RIGID big spans only (slop=0, "
                 f"in_order) — the engine tracks exact span extents "
                 f"only for rigid chains (SpanContainQ docstring)")
+        if any(isinstance(c, SpanExpand) for c in big.clauses):
+            # the contain executor and the index-side resolution pass
+            # only handle expansion markers inside plain SpanNearQ —
+            # reject loudly rather than crash downstream
+            raise QueryError(
+                f"{kind} does not support span_multi clauses in big")
         lkind, lbody = next(iter(little_spec.items()))
         if lkind not in ("span_term", "span_or"):
             raise QueryError(
@@ -1228,9 +1237,31 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
             return _match_node(schema, field, text, op, msm)
         if op not in ("or", "and"):
             raise QueryError(f"match operator must be and/or, got {op!r}")
-        auto = str(fuzz).upper() == "AUTO"
-        if not auto:
-            fz = int(fuzz)
+        fs = str(fuzz).upper()
+        auto = fs.startswith("AUTO")
+        fz = 0
+        lo, hi = 3, 6  # the ES AUTO default: <3 exact, 3-5 one, >=6 two
+        if auto:
+            if fs != "AUTO":
+                # the ES AUTO:low,high form
+                import re as _re
+                m2 = _re.fullmatch(r"AUTO:(\d+),(\d+)", fs)
+                if not m2:
+                    raise QueryError(
+                        f"match fuzziness must be 0..2, AUTO, or "
+                        f"AUTO:low,high — got {fuzz!r}")
+                lo, hi = int(m2.group(1)), int(m2.group(2))
+                if not 0 <= lo <= hi:
+                    raise QueryError(
+                        "match fuzziness AUTO:low,high needs "
+                        "0 <= low <= high")
+        else:
+            try:
+                fz = int(fuzz)
+            except (TypeError, ValueError):
+                raise QueryError(
+                    f"match fuzziness must be 0..2, AUTO, or "
+                    f"AUTO:low,high — got {fuzz!r}")
             if not 0 <= fz <= 2:
                 raise QueryError("match fuzziness must be 0..2 or AUTO")
         terms = _analyze_one(schema, field, text)
@@ -1238,7 +1269,7 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
             return BoolQ()
         clauses: list[Node] = []
         for t in terms:
-            d = (0 if len(t) < 3 else 1 if len(t) <= 5 else 2) \
+            d = (0 if len(t) < lo else 1 if len(t) < hi else 2) \
                 if auto else fz
             clauses.append(TermQ(field, t) if d == 0 else
                            FuzzyQ(field, t, d, transposition=True,
@@ -1274,6 +1305,14 @@ def parse_json(q: dict, schema: IndexSchema) -> Node:
         op = str(body.get("operator", "or")).lower()
         msm = int(body.get("minimum_should_match", 0))
         if mtype == "cross_fields":
+            if "tie_breaker" in body:
+                # ES cross_fields honors tie_breaker across per-term
+                # groups; the BM25F rewrite SUMS term scores and has no
+                # tie knob — reject loudly rather than silently ignore
+                raise QueryError(
+                    "multi_match cross_fields ignores tie_breaker under "
+                    "the combined_fields rewrite — remove it or use "
+                    "best_fields")
             return parse_json({"combined_fields": {
                 "query": text, "fields": fields, "operator": op,
                 "minimum_should_match": msm}}, schema)

@@ -138,8 +138,11 @@ class OracleIndex:
 
         v = self.docs[docid].get(fn["field"])
         if fn["kind"] == "random_score":
-            iv = int(v) if v is not None else 0
-            mix = (iv * 2654435761 + fn["seed"] * 2246822519) % 4294967296
+            # mirror the engine's overflow pin: value/seed mod 2^31,
+            # per-product mod 2^32 (identical for in-range inputs)
+            iv = (int(v) if v is not None else 0) % 2147483648
+            sp = (fn["seed"] % 2147483648) * 2246822519 % 4294967296
+            mix = (iv * 2654435761 % 4294967296 + sp) % 4294967296
             return mix / 4294967296.0
         if fn["kind"] == "field_value_factor":
             x = fn["factor"] * (float(v) if v is not None else fn["missing"])
@@ -461,8 +464,17 @@ class OracleIndex:
             if isinstance(n.op, pyast.Div):
                 return a / b if b else None
             if isinstance(n.op, pyast.Mod):
-                return a % b if b else None
-            return a ** b
+                # C-style remainder (sign of the dividend) — the
+                # engine's try_mod; Python's % floor-mod differs on
+                # negative operands
+                import math as _m
+                return _m.fmod(a, b) if b else None
+            # negative base ** fractional exponent → complex in Python,
+            # NaN in Spark: both fold to the 0.0 gap rule
+            r = a ** b
+            if isinstance(r, complex) or r != r:
+                return None
+            return float(r)
 
         out: dict[int, float] = {}
         for d, s in base.items():
