@@ -232,8 +232,12 @@ class Index:
                 raise A.QueryError(
                     "post_filter cannot combine with rescore/collapse "
                     "here")
-            hits_node = A.BoolQ(must=[node],
-                                filter=[A.parse_json(pf, self.schema)])
+            # resolve index-dependent nodes (terms lookup / mlt / ...)
+            # inside the post_filter too — they need the same seed-read
+            # rewrite the query slot gets (ADVICE r5)
+            hits_node = A.BoolQ(
+                must=[node],
+                filter=[self._resolve_mlt(A.parse_json(pf, self.schema))])
         src = search.get("_source")
         inc = exc = None
         if isinstance(src, list):
@@ -274,6 +278,15 @@ class Index:
                 # match set, a cost this engine only pays when asked
                 raise A.QueryError(
                     "min_score cannot combine with sort_by here")
+        if min_score is not None and search.get("rescore"):
+            # ES's MinimumScoreCollector filters on the QUERY-phase
+            # score before rescoring; applying the threshold to the
+            # rescored window score would silently deviate — refuse,
+            # consistent with the sort_by/facets/aggs refusals
+            # (ADVICE r5)
+            raise A.QueryError(
+                "min_score cannot combine with rescore here (ES filters "
+                "on the pre-rescore query score)")
         track = bool(search.get("track_total_hits", False))
         if min_score is not None and (search.get("facets")
                                       or search.get("aggs") or track):
@@ -350,17 +363,25 @@ class Index:
             # reference's single-pass MultiCollector
             cand = s.candidates(node).persist()
             try:
-                # post_filter: the persisted cand frame is the
-                # AGGS-side match set; the trimmed hit side runs its
-                # own (pruned-eligible) plan
-                hits = (s.top_k(node, limit=depth, sort_by=sort_by,
-                                cands=cand, after=after)
-                        if pf is None else
-                        s.top_k(hits_node, limit=depth, sort_by=sort_by,
-                                after=after))
-                docs = _page(s.retrieve(hits))
-                out: dict[str, Any] = {"docs": docs, "facets": {}}
-                if facets:
+                # the hit page, facet counts and aggregations are
+                # independent collectors over the SAME persisted scan —
+                # submit them as concurrent Spark jobs (a small thread
+                # pool) so the tiny top-k job's tail overlaps the agg
+                # jobs instead of serializing one barrier per collector
+                from concurrent.futures import ThreadPoolExecutor
+
+                def _hits() -> list:
+                    # post_filter: the persisted cand frame is the
+                    # AGGS-side match set; the trimmed hit side runs its
+                    # own (pruned-eligible) plan
+                    hits = (s.top_k(node, limit=depth, sort_by=sort_by,
+                                    cands=cand, after=after)
+                            if pf is None else
+                            s.top_k(hits_node, limit=depth,
+                                    sort_by=sort_by, after=after))
+                    return s.retrieve(hits)
+
+                def _facets() -> dict:
                     # reference quirks (search.rs:32-42, 89-98): one facet
                     # field, and only the FIRST requested root's counts
                     # return
@@ -369,10 +390,20 @@ class Index:
                     counts = s.facet_counts(node, field, roots=roots,
                                             cands=cand).collect()
                     key = "facet" if roots else field
-                    out["facets"] = {field: {r[key]: r["count"]
-                                             for r in counts}}
-                if aggs:
-                    out["aggs"] = s.aggregations(node, aggs, cands=cand)
+                    return {field: {r[key]: r["count"] for r in counts}}
+
+                with ThreadPoolExecutor(max_workers=3) as pool:
+                    fut_hits = pool.submit(_hits)
+                    fut_facets = pool.submit(_facets) if facets else None
+                    fut_aggs = (pool.submit(s.aggregations, node, aggs,
+                                            cand)
+                                if aggs else None)
+                    out: dict[str, Any] = {"docs": _page(fut_hits.result()),
+                                           "facets": {}}
+                    if fut_facets is not None:
+                        out["facets"] = fut_facets.result()
+                    if fut_aggs is not None:
+                        out["aggs"] = fut_aggs.result()
                 return _done(out)
             finally:
                 cand.unpersist()
@@ -1133,7 +1164,9 @@ class Index:
             # re-expanded — sequential str.replace would re-substitute
             # a value containing {{...}} and falsely reject literal
             # braces in values)
-            k = m.group(1)
+            # mustache trims whitespace around the key: {{ q }} == {{q}}
+            # (ADVICE r5)
+            k = m.group(1).strip()
             if k not in params:
                 raise A.QueryError(
                     f"search_template: unbound placeholder {k!r}")

@@ -3031,7 +3031,92 @@ def q_tx_normalize(spark, sf_dir):
         F.length(norm).cast("long").alias("n_chars_norm"))
 
 
+# Registry order note (round 6): the driver's correctness artifact
+# records the FIRST 50 entries, and rounds 1-5 only ever witnessed
+# the original first 50 — so the round-4/5 surfaces (aggs, ids,
+# combined_fields, script_score, collapse, rescore, semdedup, dsir,
+# ...) are rotated to the front.  Pure reordering: every query and
+# its oracle SQL are unchanged.
 QUERIES = {
+    "ft_ids": q_ft_ids,
+    "ft_combined_fields": q_ft_combined_fields,
+    "ft_script_score": q_ft_script_score,
+    "ft_collapse": q_ft_collapse,
+    "ft_rescore": q_ft_rescore,
+    "ft_agg_terms": q_ft_agg_terms,
+    "ft_agg_stats": q_ft_agg_stats,
+    "ft_agg_histogram": q_ft_agg_histogram,
+    "ft_agg_percentiles": q_ft_agg_percentiles,
+    "ft_agg_cardinality": q_ft_agg_cardinality,
+    "ft_agg_sig_terms": q_ft_agg_sig_terms,
+    "ft_agg_sig_text": q_ft_agg_sig_text,
+    "ft_agg_extstats": q_ft_agg_extstats,
+    "ft_agg_top_hits": q_ft_agg_top_hits,
+    "ft_agg_range": q_ft_agg_range,
+    "ft_agg_pct_ranks": q_ft_agg_pct_ranks,
+    "ft_agg_subagg": q_ft_agg_subagg,
+    "ft_agg_filters": q_ft_agg_filters,
+    "ft_agg_cumsum": q_ft_agg_cumsum,
+    "ft_agg_derivative": q_ft_agg_derivative,
+    "ft_agg_moving_fn": q_ft_agg_moving_fn,
+    "ft_agg_bucket_sort": q_ft_agg_bucket_sort,
+    "ft_agg_sibling": q_ft_agg_sibling,
+    "ft_agg_composite": q_ft_agg_composite,
+    "ft_agg_multi_terms": q_ft_agg_multi_terms,
+    "ft_agg_weighted_avg": q_ft_agg_weighted_avg,
+    "ft_agg_rare_terms": q_ft_agg_rare_terms,
+    "ft_agg_mad": q_ft_agg_mad,
+    "ft_agg_boxplot": q_ft_agg_boxplot,
+    "ft_agg_string_stats": q_ft_agg_string_stats,
+    "ft_agg_adjacency": q_ft_agg_adjacency,
+    "ft_agg_serial_diff": q_ft_agg_serial_diff,
+    "ft_agg_bucket_script": q_ft_agg_bucket_script,
+    "ft_agg_bucket_selector": q_ft_agg_bucket_selector,
+    "ft_agg_pct_bucket": q_ft_agg_pct_bucket,
+    "ft_agg_extstats_bucket": q_ft_agg_extstats_bucket,
+    "dd_semdedup_kmeans": q_dd_semdedup_kmeans,
+    "pl_dsir_weights": q_pl_dsir_weights,
+    "ft_prefix": q_ft_prefix,
+    "ft_phrase_slop": q_ft_phrase_slop,
+    "ft_phrase_slop_unordered": q_ft_phrase_slop_unordered,
+    "ft_more_like_this": q_ft_more_like_this,
+    "ft_terms_set": q_ft_terms_set,
+    "ft_dismax": q_ft_dismax,
+    "ft_phrase_prefix": q_ft_phrase_prefix,
+    "ft_wildcard": q_ft_wildcard,
+    "ft_const_score": q_ft_const_score,
+    "ft_boosting": q_ft_boosting,
+    "ft_rrf_hybrid": q_ft_rrf_hybrid,
+    "ft_suggest": q_ft_suggest,
+    "ev_sessionize": q_ev_sessionize,
+    "ev_value_quantiles": q_ev_value_quantiles,
+    "ev_funnel": q_ev_funnel,
+    "ev_retention": q_ev_retention,
+    "ev_asof_join": q_ev_asof_join,
+    "tx_repetition": q_tx_repetition,
+    "pl_decontaminate": q_pl_decontaminate,
+    "tx_tfidf_topk": q_tx_tfidf_topk,
+    "pl_pack_sequences": q_pl_pack_sequences,
+    "pl_chunk_docs": q_pl_chunk_docs,
+    "ev_json_props": q_ev_json_props,
+    "ft_match_and": q_ft_match_and,
+    "ft_page2": q_ft_page2,
+    "ft_search_after": q_ft_search_after,
+    "ft_function_fvf": q_ft_function_fvf,
+    "ft_function_gauss": q_ft_function_gauss,
+    "ft_rank_feature": q_ft_rank_feature,
+    "ft_pinned": q_ft_pinned,
+    "ft_random_score": q_ft_random_score,
+    "ft_distance_feature": q_ft_distance_feature,
+    "dd_para_dup": q_dd_para_dup,
+    "pl_domain_quota": q_pl_domain_quota,
+    "tx_lm_xent": q_tx_lm_xent,
+    "ev_zscore_anomaly": q_ev_zscore_anomaly,
+    "tx_normalize": q_tx_normalize,
+    "pl_split_hash": q_pl_split_hash,
+    "tx_ngram_freq": q_tx_ngram_freq,
+    "dd_window_dup": q_dd_window_dup,
+    "tx_line_dedup": q_tx_line_dedup,
     "ft_term_bm25": q_ft_term_bm25,
     "ft_bool_must": q_ft_bool_must,
     "ft_bool_should": q_ft_bool_should,
@@ -3082,85 +3167,6 @@ QUERIES = {
     "mm_binary_meta": q_mm_binary_meta,
     "ev_windowed_counts": q_ev_windowed_counts,
     "ev_rollup_daily": q_ev_rollup_daily,
-    "ev_sessionize": q_ev_sessionize,
-    "ev_value_quantiles": q_ev_value_quantiles,
-    "ev_funnel": q_ev_funnel,
-    "ev_retention": q_ev_retention,
-    "ev_asof_join": q_ev_asof_join,
-    "tx_repetition": q_tx_repetition,
-    "pl_decontaminate": q_pl_decontaminate,
-    "tx_tfidf_topk": q_tx_tfidf_topk,
-    "pl_pack_sequences": q_pl_pack_sequences,
-    "pl_chunk_docs": q_pl_chunk_docs,
-    "ev_json_props": q_ev_json_props,
-    "ft_prefix": q_ft_prefix,
-    "ft_phrase_slop": q_ft_phrase_slop,
-    "ft_phrase_slop_unordered": q_ft_phrase_slop_unordered,
-    "ft_more_like_this": q_ft_more_like_this,
-    "ft_terms_set": q_ft_terms_set,
-    "ft_ids": q_ft_ids,
-    "ft_dismax": q_ft_dismax,
-    "ft_phrase_prefix": q_ft_phrase_prefix,
-    "ft_wildcard": q_ft_wildcard,
-    "ft_const_score": q_ft_const_score,
-    "ft_match_and": q_ft_match_and,
-    "ft_page2": q_ft_page2,
-    "ft_search_after": q_ft_search_after,
-    "ft_agg_terms": q_ft_agg_terms,
-    "ft_agg_stats": q_ft_agg_stats,
-    "ft_agg_histogram": q_ft_agg_histogram,
-    "ft_agg_percentiles": q_ft_agg_percentiles,
-    "ft_agg_cardinality": q_ft_agg_cardinality,
-    "ft_agg_sig_terms": q_ft_agg_sig_terms,
-    "ft_agg_sig_text": q_ft_agg_sig_text,
-    "ft_rescore": q_ft_rescore,
-    "ft_suggest": q_ft_suggest,
-    "ft_collapse": q_ft_collapse,
-    "ft_function_fvf": q_ft_function_fvf,
-    "ft_function_gauss": q_ft_function_gauss,
-    "ft_rank_feature": q_ft_rank_feature,
-    "ft_pinned": q_ft_pinned,
-    "ft_script_score": q_ft_script_score,
-    "ft_random_score": q_ft_random_score,
-    "ft_combined_fields": q_ft_combined_fields,
-    "ft_distance_feature": q_ft_distance_feature,
-    "ft_agg_extstats": q_ft_agg_extstats,
-    "ft_agg_top_hits": q_ft_agg_top_hits,
-    "ft_agg_range": q_ft_agg_range,
-    "ft_agg_pct_ranks": q_ft_agg_pct_ranks,
-    "ft_agg_subagg": q_ft_agg_subagg,
-    "ft_agg_filters": q_ft_agg_filters,
-    "ft_agg_cumsum": q_ft_agg_cumsum,
-    "ft_agg_derivative": q_ft_agg_derivative,
-    "ft_agg_moving_fn": q_ft_agg_moving_fn,
-    "ft_agg_bucket_sort": q_ft_agg_bucket_sort,
-    "ft_agg_sibling": q_ft_agg_sibling,
-    "ft_agg_composite": q_ft_agg_composite,
-    "ft_agg_multi_terms": q_ft_agg_multi_terms,
-    "ft_agg_weighted_avg": q_ft_agg_weighted_avg,
-    "ft_agg_rare_terms": q_ft_agg_rare_terms,
-    "ft_agg_mad": q_ft_agg_mad,
-    "ft_agg_boxplot": q_ft_agg_boxplot,
-    "ft_agg_string_stats": q_ft_agg_string_stats,
-    "ft_agg_adjacency": q_ft_agg_adjacency,
-    "ft_agg_serial_diff": q_ft_agg_serial_diff,
-    "ft_agg_bucket_script": q_ft_agg_bucket_script,
-    "ft_agg_bucket_selector": q_ft_agg_bucket_selector,
-    "ft_agg_pct_bucket": q_ft_agg_pct_bucket,
-    "ft_agg_extstats_bucket": q_ft_agg_extstats_bucket,
-    "ft_rrf_hybrid": q_ft_rrf_hybrid,
-    "ft_boosting": q_ft_boosting,
-    "dd_para_dup": q_dd_para_dup,
-    "pl_domain_quota": q_pl_domain_quota,
-    "tx_lm_xent": q_tx_lm_xent,
-    "ev_zscore_anomaly": q_ev_zscore_anomaly,
-    "tx_normalize": q_tx_normalize,
-    "pl_split_hash": q_pl_split_hash,
-    "tx_ngram_freq": q_tx_ngram_freq,
-    "pl_dsir_weights": q_pl_dsir_weights,
-    "dd_window_dup": q_dd_window_dup,
-    "dd_semdedup_kmeans": q_dd_semdedup_kmeans,
-    "tx_line_dedup": q_tx_line_dedup,
 }
 
 

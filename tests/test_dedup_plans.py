@@ -185,3 +185,21 @@ def test_winnow_pairs_cover_jaccard_pairs(spark):
                   and nfp.get(b, 0) >= dq.WINNOW_MIN_SHARED}
     assert long_pairs and long_pairs <= winnow
     assert len(jacc - long_pairs) <= 3  # the short-doc tail is small
+
+
+def test_exact_topk_batch_matches_per_query(spark):
+    """The one-job recall ground truth (exact_topk_batch, round-6
+    measurement optimization) must select exactly the ids the per-query
+    exact_topk path selects, for every query."""
+    from pyspark.sql import functions as F
+
+    from sonar_tantivy_spark.operators.ann import exact_topk, exact_topk_batch
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qvecs = {r["vec_id"]: r["embedding"] for r in
+             emb.filter(F.col("vec_id") < 6).collect()}
+    batch = exact_topk_batch(emb, qvecs, k=5)
+    for qid, qv in qvecs.items():
+        per_query = {r["vec_id"] for r in
+                     exact_topk(emb, qid, 5, qvec=qv).collect()}
+        assert batch[qid] == per_query, (qid, batch[qid], per_query)

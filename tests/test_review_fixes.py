@@ -165,3 +165,40 @@ def test_cross_fields_rejects_tie_breaker(idx):
         A.parse_json({"multi_match": {
             "query": "alpha", "fields": ["body"],
             "type": "cross_fields", "tie_breaker": 0.3}}, idx.schema)
+
+
+# ---------------------------------------------------------------- r6 advice
+
+
+def test_search_template_trims_placeholder_whitespace(idx):
+    """Mustache trims whitespace around the key: {{ q }} binds the
+    'q' param (ADVICE r6)."""
+    res = idx.search_template({
+        "source": {"query": {"term": {"body": "{{ q }}"}}, "limit": 5},
+        "params": {"q": "alpha"}})
+    direct = idx.query_json({"query": {"term": {"body": "alpha"}},
+                             "limit": 5})
+    assert len(res["docs"]) == len(direct["docs"]) > 0
+
+
+def test_min_score_refuses_rescore(idx):
+    """ES filters min_score on the query-phase score BEFORE rescoring;
+    this engine refuses the combination instead of deviating
+    (ADVICE r6)."""
+    with pytest.raises(A.QueryError):
+        idx.query_json({
+            "query": {"term": {"body": "alpha"}}, "min_score": 0.1,
+            "rescore": {"window_size": 4, "query": {
+                "rescore_query": {"term": {"body": "beta"}}}}})
+
+
+def test_post_filter_resolves_index_dependent_nodes(idx):
+    """A more_like_this node inside post_filter must go through the
+    same seed-read resolution as the query slot (ADVICE r6)."""
+    res = idx.query_json({
+        "query": {"term": {"body": "alpha"}},
+        "post_filter": {"more_like_this": {
+            "fields": ["body"], "like": [{"_id": 0}],
+            "min_doc_freq": 1}},
+        "limit": 10})
+    assert isinstance(res["docs"], list)
