@@ -491,11 +491,21 @@ def measure_recall(spark: SparkSession, sf_dir: str, n_queries: int = 20,
     from concurrent.futures import ThreadPoolExecutor
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    tables = plane_tables(emb)
+    # ONE collect serves both the deterministic plane vectors
+    # (vec_ids 1..T*P, plane_tables' rule) and the query vectors
+    # (vec_ids 0..n_queries-1)
+    need = N_TABLES * N_PLANES
+    head = {r["vec_id"]: r["embedding"] for r in emb.filter(
+        F.col("vec_id") <= max(need, n_queries - 1)).collect()}
+    if any((i + 1) not in head for i in range(need)):
+        raise ValueError(
+            f"LSH plane sampling needs vec_ids 1..{need} present; "
+            f"for corpora this small use exact_topk")
+    tables = [[head[t * N_PLANES + i + 1] for i in range(N_PLANES)]
+              for t in range(N_TABLES)]
     bucketed = with_buckets(emb, tables).persist()
     n = bucketed.count()
-    qvecs = {r["vec_id"]: r["embedding"] for r in
-             bucketed.filter(F.col("vec_id") < n_queries).collect()}
+    qvecs = {qid: head[qid] for qid in range(n_queries)}
     bcols = [f"b{t}" for t in range(len(tables))]
     bucket_rows = [tuple(r) for r in bucketed.select(*bcols).collect()]
     exact_sets = exact_topk_batch(emb, qvecs, k)  # ONE ground-truth job
