@@ -66,7 +66,7 @@ _TEXTY = (A.TermQ, A.PhraseQ, A.PrefixQ, A.TermSetQ, A.PhrasePrefixQ,
           A.SpanNearQ, A.SpanNotQ, A.FuzzyQ, A.RegexQ)
 
 
-def _tmap_udf(tokenizer: str):
+def _tmap_udf(tokenizer: str, pos_terms: frozenset | None = None):
     """Arrow-batched text -> {term: [positions]} map builder (in-row:
     a doc's positions never leave its row, so this is map-only).
 
@@ -74,8 +74,18 @@ def _tmap_udf(tokenizer: str):
     postings UDF (build.py make_perdoc_postings_udf): the original
     token is the memo key, so byte-length check + lowercase + stem cost
     ~one dict hit per occurrence — the distinct-token working set
-    dominates, not token volume.  Output is bit-identical to the
-    tokenize_batch path (pinned by the test_percolate parity suite)."""
+    dominates, not token volume.
+
+    ``pos_terms`` is the position-pruning plan (positions_plan): the
+    compiled predicates read POSITION ARRAYS only for phrase/span chain
+    terms, which are known at registration — every other key only needs
+    to EXIST in the map (term/terms/prefix/regex/fuzzy/exists are key
+    lookups).  With a set, non-chain terms carry an empty array, so the
+    Arrow transfer back to the JVM shrinks from O(tokens) ints per doc
+    to O(chain-term occurrences); None keeps full positions (needed
+    under phrase_prefix, which expands against arbitrary keys).
+    Membership output is bit-identical either way (pinned by the
+    test_percolate parity suite)."""
     from pyspark.sql.functions import pandas_udf
 
     _MAP_T = T.MapType(T.StringType(), T.ArrayType(T.IntegerType()))
@@ -94,6 +104,7 @@ def _tmap_udf(tokenizer: str):
     findall = _TOKEN_RE.findall
     do_stem = tokenizer == "en_stem"
     memo: dict[str, str | None] = {}
+    _no_pos: list[int] = []  # shared empty positions value
 
     def analyze(tok: str) -> str | None:
         if len(tok) >= 10 and len(tok.encode("utf-8")) >= MAX_TOKEN_BYTES:
@@ -105,6 +116,7 @@ def _tmap_udf(tokenizer: str):
     def tmap(texts: pd.Series) -> pd.Series:
         out = []
         memo_get = memo.get
+        keep = pos_terms
         for text in texts:
             d: dict[str, list[int]] = {}
             if text is not None:
@@ -114,8 +126,12 @@ def _tmap_udf(tokenizer: str):
                         a = memo[tok] = analyze(tok)
                     if a is None:
                         continue
+                    if keep is not None and a not in keep:
+                        if a not in d:
+                            d[a] = _no_pos
+                        continue
                     lst = d.get(a)
-                    if lst is None:
+                    if lst is None or lst is _no_pos:
                         d[a] = [pos]
                     else:
                         lst.append(pos)
@@ -151,6 +167,56 @@ def referenced_text_fields(node: A.Node, schema: IndexSchema) -> set[str]:
             walk(n.negative)
 
     walk(node)
+    return out
+
+
+def positions_plan(queries: dict[str, A.Node],
+                   schema: IndexSchema) -> dict[str, frozenset | None]:
+    """Per referenced text field: the set of analyzed terms whose
+    POSITION ARRAYS the compiled predicates will read (phrase / span
+    chains), or None when the field must keep full positions (a
+    phrase_prefix reads positions of arbitrary prefix-matched keys).
+    Fields referenced only by key-lookup shapes get an empty set —
+    their maps carry keys with empty position arrays."""
+    out: dict[str, frozenset | None] = {}
+    acc: dict[str, set | None] = {}
+
+    def _add(field: str, terms) -> None:
+        cur = acc.setdefault(field, set())
+        if cur is not None:
+            cur.update(terms)
+
+    def walk(n: A.Node) -> None:
+        if isinstance(n, A.PhraseQ):
+            _add(n.field, n.terms)
+        elif isinstance(n, A.PhrasePrefixQ):
+            acc[n.field] = None  # expands against arbitrary keys
+        elif isinstance(n, A.SpanNearQ):
+            for c in n.clauses:
+                _add(n.field, c)
+        elif isinstance(n, A.SpanFirstQ):
+            walk(n.child)
+        elif isinstance(n, A.SpanNotQ):
+            _add(n.field, n.include)
+            _add(n.field, n.exclude)
+        elif isinstance(n, A.BoolQ):
+            for c in n.must + n.must_not + n.should + n.filter:
+                walk(c)
+        elif isinstance(n, A.DisMaxQ):
+            for c in n.queries:
+                walk(c)
+        elif isinstance(n, (A.BoostQ, A.ConstScoreQ, A.FunctionScoreQ)):
+            walk(n.child)
+        elif isinstance(n, A.BoostingQ):
+            walk(n.positive)
+            walk(n.negative)
+
+    for node in queries.values():
+        walk(node)
+    for f in {ff for node in queries.values()
+              for ff in referenced_text_fields(node, schema)}:
+        terms = acc.get(f, set())
+        out[f] = None if terms is None else frozenset(terms)
     return out
 
 
@@ -384,10 +450,13 @@ def percolate_df(df: DataFrame, schema: IndexSchema,
     fields: set[str] = set()
     for node in queries.values():
         fields |= referenced_text_fields(node, schema)
+    pos_plan = positions_plan(queries, schema)
     out = df
     for f in sorted(fields):
         out = out.withColumn(
-            f"__tmap_{f}", _tmap_udf(schema.tokenizer_for(f))(F.col(f)))
+            f"__tmap_{f}",
+            _tmap_udf(schema.tokenizer_for(f),
+                      pos_terms=pos_plan.get(f))(F.col(f)))
 
     comp = _Compiler(schema, lambda f: F.col(f"__tmap_{f}"))
     matched = F.array_compact(F.array(*[

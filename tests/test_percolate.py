@@ -183,3 +183,49 @@ def test_non_exploded_shape(spark, corpus, index):
                           explode=False)
     assert out.count() == len(corpus)  # every doc kept, even 0-match
     assert dict(out.dtypes)["matched_queries"] == "array<string>"
+
+
+# ------------------------------------------------- r6 position pruning
+_PRUNED_SET = ("p_term", "p_prefix", "p_phrase", "p_slop",
+               "p_slop_unordered", "p_span_near", "p_span_first",
+               "p_span_not", "p_msm", "p_exists_tool")
+
+
+def test_positions_plan_shapes(index):
+    """The position-pruning plan keeps full positions only under
+    phrase_prefix; phrase/span chain terms are enumerated exactly."""
+    from sonar_tantivy_spark.operators.percolate import positions_plan
+
+    nodes_full = {k: index._parse_any(QUERIES[k]) for k in QUERIES}
+    plan_full = positions_plan(nodes_full, index.schema)
+    assert plan_full["text"] is None  # p_phrase_prefix forces full
+
+    nodes = {k: index._parse_any(QUERIES[k]) for k in _PRUNED_SET}
+    plan = positions_plan(nodes, index.schema)
+    assert plan["text"] == frozenset({"hello", "world", "mundo"})
+    assert plan["tool"] == frozenset()  # exists: keys only
+
+
+def test_membership_parity_under_position_pruning(spark, corpus, oracle,
+                                                  index):
+    """With no phrase_prefix registered, the tmap carries positions
+    only for chain terms — phrase/span membership must still match the
+    oracle exactly."""
+    from sonar_tantivy_spark.operators.percolate import percolate_df
+
+    nodes = {k: index._parse_any(QUERIES[k]) for k in _PRUNED_SET}
+    df = spark.createDataFrame(corpus)
+    rows = percolate_df(df, index.schema, nodes,
+                        keep_cols=["conv_id", "turn_idx"]).collect()
+    got: dict[tuple, set] = {}
+    for r in rows:
+        got.setdefault((r["conv_id"], int(r["turn_idx"])), set()).add(
+            r["query_name"])
+    recs = corpus.to_dict("records")
+    for name in _PRUNED_SET:
+        node = index._parse_any(QUERIES[name])
+        want = set(oracle.score(node))
+        have = {d for d, rec in enumerate(recs)
+                if name in got.get((rec["conv_id"], int(rec["turn_idx"])),
+                                   set())}
+        assert have == want, (name, sorted(have ^ want)[:5])
